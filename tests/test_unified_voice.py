@@ -1,0 +1,168 @@
+"""Parity: TPU UnifiedVoice vs reference PyTorch UnifiedVoice (CPU golden).
+
+Covers SURVEY §2.1 rows: UnifiedVoice fwd/losses/latents,
+ConditioningEncoder, and the KV-cached greedy decode loop vs a manual
+loop over the reference's GPT2InferenceModel semantics.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tts_tpu.models import convert, unified_voice as uv
+from tortoise_tts_tpu.ops.sampling import SamplingConfig
+
+from tests.ref.harness import import_ref
+
+CFG = uv.UnifiedVoiceConfig(layers=2, model_dim=64, heads=4,
+                            max_text_tokens=50, max_mel_tokens=60)
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    ruv = import_ref("models.unified_voice")
+    torch.manual_seed(0)
+    m = ruv.UnifiedVoice(layers=CFG.layers, model_dim=CFG.model_dim,
+                         heads=CFG.heads, max_text_tokens=CFG.max_text_tokens,
+                         max_mel_tokens=CFG.max_mel_tokens,
+                         checkpointing=False)
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def params(ref_model):
+    return jax.tree_util.tree_map(
+        jnp.asarray,
+        convert.convert_unified_voice(ref_model.state_dict(), CFG.layers))
+
+
+def test_conditioning_parity(ref_model, params):
+    torch.manual_seed(1)
+    mel = torch.randn(2, 1, 80, 120)
+    with torch.no_grad():
+        ref = ref_model.get_conditioning(mel).numpy()
+    got = np.asarray(uv.get_conditioning(params, jnp.asarray(mel.numpy()), CFG))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def _rand_batch(b=2, tt=12, tm=20):
+    rng = np.random.RandomState(2)
+    text_lengths = np.array([tt, tt - 4])
+    text = np.zeros((b, tt), dtype=np.int64)
+    for i, l in enumerate(text_lengths):
+        text[i, :l] = rng.randint(3, 255, size=l)
+    mel_lengths = np.array([tm - 2, tm - 6])
+    codes = rng.randint(0, 8192, size=(b, tm)).astype(np.int64)
+    wav_lengths = mel_lengths * CFG.mel_length_compression
+    return text, text_lengths, codes, wav_lengths
+
+
+def test_forward_parity(ref_model, params):
+    text, text_lengths, codes, wav_lengths = _rand_batch()
+    cond = torch.randn(2, CFG.model_dim)
+    with torch.no_grad():
+        lt, lm, logits = ref_model(
+            cond, torch.tensor(text), torch.tensor(text_lengths),
+            torch.tensor(codes.copy()), torch.tensor(wav_lengths),
+            clip_inputs=False)
+    got_lt, got_lm, got_logits = uv.forward(
+        params, jnp.asarray(cond.numpy()), jnp.asarray(text),
+        jnp.asarray(text_lengths), jnp.asarray(codes),
+        jnp.asarray(wav_lengths), CFG)
+    np.testing.assert_allclose(float(got_lt), float(lt), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(float(got_lm), float(lm), atol=1e-4, rtol=1e-4)
+    # reference returns (B, V, T) logits; ours (B, T, V)
+    np.testing.assert_allclose(np.asarray(got_logits).transpose(0, 2, 1),
+                               logits.numpy(), atol=2e-3, rtol=1e-3)
+
+
+def test_latent_parity(ref_model, params):
+    text, text_lengths, codes, wav_lengths = _rand_batch()
+    cond = torch.randn(2, CFG.model_dim)
+    with torch.no_grad():
+        ref_lat = ref_model(
+            cond, torch.tensor(text), torch.tensor(text_lengths),
+            torch.tensor(codes.copy()), torch.tensor(wav_lengths),
+            clip_inputs=False, return_latent=True).numpy()
+    got = np.asarray(uv.forward(
+        params, jnp.asarray(cond.numpy()), jnp.asarray(text),
+        jnp.asarray(text_lengths), jnp.asarray(codes),
+        jnp.asarray(wav_lengths), CFG, return_latent=True))
+    np.testing.assert_allclose(got, ref_lat, atol=2e-4, rtol=1e-3)
+
+
+def _ref_greedy_decode(ref_model, cond, text, max_steps):
+    """Manual greedy loop mirroring inference_speech + GPT2InferenceModel
+    (unified_voice.py:632-668, 178-254) without HF generate()."""
+    import torch.nn.functional as F
+    m = ref_model
+    text_in = F.pad(torch.tensor(text), (0, 1), value=m.stop_text_token)
+    text_in = F.pad(text_in, (1, 0), value=m.start_text_token)
+    emb = m.text_embedding(text_in) + m.text_pos_embedding(text_in)
+    conds = cond.unsqueeze(1)
+    emb = torch.cat([conds, emb], dim=1)
+
+    tokens = []
+    past = None
+    mel_len = emb.shape[1]
+    with torch.no_grad():
+        # prefill: [cond+text emb, start_mel emb @ mel pos 0]
+        start = m.mel_embedding(torch.tensor([[m.start_mel_token]]))
+        start = start + m.mel_pos_embedding.emb.weight[0]
+        full = torch.cat([emb, start], dim=1)
+        out = m.gpt(inputs_embeds=full, use_cache=True, return_dict=True)
+        past = out.past_key_values
+        hidden = out.last_hidden_state[:, -1]
+        for step in range(max_steps):
+            logits = m.mel_head(m.final_norm(hidden))
+            tok = int(logits.argmax(-1))
+            tokens.append(tok)
+            if tok == m.stop_mel_token:
+                break
+            nxt = m.mel_embedding(torch.tensor([[tok]]))
+            nxt = nxt + m.mel_pos_embedding.emb.weight[step + 1]
+            out = m.gpt(inputs_embeds=nxt, past_key_values=past,
+                        use_cache=True, return_dict=True)
+            past = out.past_key_values
+            hidden = out.last_hidden_state[:, -1]
+    return tokens
+
+
+def test_greedy_decode_parity(ref_model, params):
+    rng = np.random.RandomState(3)
+    text = rng.randint(3, 255, size=(1, 10)).astype(np.int64)
+    cond = torch.randn(1, CFG.model_dim)
+    max_steps = 24
+
+    ref_tokens = _ref_greedy_decode(ref_model, cond, text, max_steps)
+
+    res = uv.inference_speech(
+        params, jnp.asarray(cond.numpy()), jnp.asarray(text),
+        jnp.asarray([text.shape[1]]), jax.random.PRNGKey(0), CFG,
+        SamplingConfig(greedy=True), max_length=max_steps,
+        collect_latents=True)
+    got = np.asarray(res.codes[0])
+    n = len([t for t in ref_tokens if t != CFG.stop_mel_token])
+    np.testing.assert_array_equal(got[:n], ref_tokens[:n])
+    # stop bookkeeping: rows are stop-padded after length
+    assert np.all(got[n:] == CFG.stop_mel_token)
+
+
+def test_decode_respects_text_padding(params):
+    """Padded text + mask must give identical codes to exact-length text."""
+    rng = np.random.RandomState(4)
+    text = rng.randint(3, 255, size=(1, 8)).astype(np.int64)
+    cond = jnp.asarray(rng.randn(1, CFG.model_dim).astype(np.float32))
+    res_exact = uv.inference_speech(
+        params, cond, jnp.asarray(text), jnp.asarray([8]),
+        jax.random.PRNGKey(0), CFG, SamplingConfig(greedy=True), max_length=12)
+    padded = np.pad(text, ((0, 0), (0, 6)))
+    res_pad = uv.inference_speech(
+        params, cond, jnp.asarray(padded), jnp.asarray([8]),
+        jax.random.PRNGKey(0), CFG, SamplingConfig(greedy=True), max_length=12)
+    np.testing.assert_array_equal(np.asarray(res_exact.codes),
+                                  np.asarray(res_pad.codes))

@@ -1,0 +1,268 @@
+"""Config system: YAML -> immutable nested dataclasses.
+
+Capability-parity with reference config.py:174-925 (Dataset / Model /
+LoRA / Hyperparameters / Evaluation / Trainer / Inference groups, YAML
+loading with unknown-key warnings, path conventions), with one deliberate
+design delta (SURVEY §7): **no process-global mutable ``cfg`` singleton**.
+A ``Config`` is constructed explicitly and passed down; anything that
+affects jit'd code (model dims, buckets, dtypes) is hashable/static.
+
+The YAML schema accepts the reference's key names (data/config.yaml) so
+existing configs load; TPU-specific knobs live under ``trainer`` /
+``inference`` with sensible defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+_logger = logging.getLogger(__name__)
+
+
+def _build(cls, data: Optional[dict], path: str = ""):
+    """Recursively build a dataclass from a dict, warning on unknown keys
+    (mirrors reference prune_missing, config.py:102-109)."""
+    if data is None:
+        return cls()
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in data.items():
+        if k not in fields:
+            _logger.warning("config: unknown key %s%s", path, k)
+            continue
+        f = fields[k]
+        sub = f.type if isinstance(f.type, type) else None
+        if dataclasses.is_dataclass(sub) and isinstance(v, dict):
+            v = _build(sub, v, path=f"{path}{k}.")
+        if isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """One named model in the pipeline (reference config.py Model)."""
+    name: str = "autoregressive"
+    training: bool = False
+    # TPU additions
+    dtype: str = "bfloat16"
+
+    @property
+    def full_name(self) -> str:
+        return self.name
+
+
+@dataclass(frozen=True)
+class LoRAConfig:
+    name: str = "lora"
+    rank: int = 128
+    alpha: int = 128
+    training: bool = True
+    # which modules to wrap (reference config.py:296-310 include policy)
+    include: Tuple[str, ...] = ("gpt",)
+    path: Optional[str] = None
+
+    @property
+    def full_name(self) -> str:
+        return f"{self.name}-r{self.rank}-a{self.alpha}"
+
+
+@dataclass(frozen=True)
+class Hyperparameters:
+    batch_size: int = 16
+    gradient_accumulation_steps: int = 4
+    gradient_clipping: float = 1.0
+    warmup_steps: int = 100
+    optimizer: str = "AdamW"
+    learning_rate: float = 1e-4
+    scheduler: str = ""
+    # reference deepspeed-only fields accepted and ignored
+    autotune: bool = False
+    autotune_params: Optional[dict] = None
+    torch_optimizer: bool = True
+    torch_scheduler: bool = True
+    teacher_alpha: float = 0.5
+    teacher_temperature: float = 1.0
+    teacher_loss_fn: str = "mse"
+
+
+@dataclass(frozen=True)
+class Evaluation:
+    batch_size: int = 8
+    frequency: int = 5000
+    size: int = 8
+    kwargs: Optional[dict] = None
+
+
+@dataclass(frozen=True)
+class Trainer:
+    iterations: int = 1_000_000
+    save_tag: str = "step"
+    save_on_oom: bool = True
+    save_on_quit: bool = True
+    save_frequency: int = 250
+    export_on_save: bool = True
+    keep_last_checkpoints: int = 4
+    gradient_checkpointing: bool = True
+    strict_loading: bool = False
+    resize_modules: bool = True
+    weight_dtype: str = "bfloat16"
+    amp: bool = False
+    backend: str = "local"          # accepted for compat; always jax here
+    load_webui: bool = False
+    deepspeed: Optional[dict] = None  # accepted, ignored (no deepspeed on TPU)
+    # TPU additions
+    mesh_axes: Tuple[str, ...] = ("data",)
+    mesh_shape: Tuple[int, ...] = (-1,)
+    wandb: bool = False
+    detect_grad_anomaly: bool = False
+
+    def dtype(self):
+        import jax.numpy as jnp
+        return {"float32": jnp.float32, "float16": jnp.float16,
+                "bfloat16": jnp.bfloat16}[self.weight_dtype]
+
+
+@dataclass(frozen=True)
+class Inference:
+    backend: str = "local"
+    normalize: bool = False
+    weight_dtype: str = "bfloat16"
+    amp: bool = False
+    auto_unload: bool = False   # CPU offload is a non-feature on TPU
+    batch_size: int = 1
+    # static decode buckets (SURVEY §7 'fixed shapes under jit')
+    text_buckets: Tuple[int, ...] = (64, 128, 256, 402)
+    mel_frame_bucket: int = 256   # diffusion length rounding, frames
+
+    def dtype(self):
+        import jax.numpy as jnp
+        return {"float32": jnp.float32, "float16": jnp.float16,
+                "bfloat16": jnp.bfloat16}[self.weight_dtype]
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    training: Tuple[str, ...] = ()
+    validation: Tuple[str, ...] = ()
+    noise: Tuple[str, ...] = ()
+    speaker_name_getter: str = "lambda p: f'{p.parts[-3]}_{p.parts[-2]}'"
+    speaker_group_getter: str = "lambda p: f'{p.parts[-3]}'"
+    speaker_languages: Optional[dict] = None
+    use_hdf5: bool = False
+    hdf5_flag: str = "r"
+    hdf5_name: str = "data.h5"
+    use_metadata: bool = True
+    validate: bool = True
+    workers: int = 2
+    cache: bool = True
+    duration_range: Tuple[float, float] = (3.0, 5.0)
+    min_utterances: int = 2
+    prompt_max_samples: int = 1
+    prompt_duration_range: Tuple[float, float] = (3.0, 6.0)
+    prompt_similar_p: float = 1.0
+    resps_max_samples: int = 1
+    resps_append_p: float = 0.0
+    sample_type: str = "path"
+    sample_order: str = "duration"
+    sample_max_duration_batch: float = 0
+    sample_shuffle: bool = False
+    retokenize_text: bool = False
+    tasks_list: Tuple[str, ...] = ("tts",)
+    # TPU additions
+    text_bucket: int = 256       # fixed text length for training batches
+    mel_bucket: int = 512        # fixed mel-code length for training batches
+
+
+@dataclass(frozen=True)
+class Config:
+    yaml_path: Optional[str] = None
+    device: str = "tpu"
+    mode: str = "training"
+    audio_backend: str = "mel"
+    sample_rate: int = 24_000
+    vocoder: str = "bigvgan"
+    models: Tuple[ModelConfig, ...] = (ModelConfig(),)
+    loras: Tuple[LoRAConfig, ...] = ()
+    hyperparameters: Hyperparameters = field(default_factory=Hyperparameters)
+    evaluation: Evaluation = field(default_factory=Evaluation)
+    trainer: Trainer = field(default_factory=Trainer)
+    inference: Inference = field(default_factory=Inference)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    optimizations: Optional[dict] = None  # accepted, ignored
+    weights_format: str = "sft"
+
+    # ---- path conventions (reference config.py:38-67) ----
+    @property
+    def cfg_path(self) -> Optional[Path]:
+        return Path(self.yaml_path).parent if self.yaml_path else None
+
+    @property
+    def rel_path(self) -> Path:
+        return self.cfg_path if self.cfg_path else Path(".")
+
+    @property
+    def ckpt_dir(self) -> Path:
+        return self.rel_path / "ckpt"
+
+    @property
+    def log_dir(self) -> Path:
+        return self.rel_path / "logs"
+
+    @property
+    def data_dir(self) -> Path:
+        return self.rel_path / "data"
+
+    @property
+    def metadata_dir(self) -> Path:
+        return self.rel_path / "metadata"
+
+    @property
+    def cache_dir(self) -> Path:
+        return self.rel_path / ".cache"
+
+    @property
+    def lora(self) -> Optional[LoRAConfig]:
+        return self.loras[0] if self.loras else None
+
+    @property
+    def model(self) -> ModelConfig:
+        return self.models[0]
+
+    # ---- loading ----
+    @staticmethod
+    def load(path: Optional[str | Path] = None, **overrides) -> "Config":
+        if path is None:
+            return Config(**overrides)
+        path = Path(path)
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return Config.from_dict(raw, yaml_path=str(path), **overrides)
+
+    @staticmethod
+    def from_dict(raw: dict, **overrides) -> "Config":
+        kwargs: Dict[str, Any] = {}
+        if "models" in raw:
+            kwargs["models"] = tuple(
+                _build(ModelConfig, m, "models.") for m in raw["models"])
+        if "loras" in raw:
+            kwargs["loras"] = tuple(
+                _build(LoRAConfig, m, "loras.") for m in raw["loras"])
+        for key, cls in [("hyperparameters", Hyperparameters),
+                         ("evaluation", Evaluation), ("trainer", Trainer),
+                         ("inference", Inference), ("dataset", DatasetConfig)]:
+            if key in raw:
+                kwargs[key] = _build(cls, raw[key], key + ".")
+        for key in ["device", "mode", "audio_backend", "sample_rate",
+                    "vocoder", "weights_format", "optimizations"]:
+            if key in raw:
+                kwargs[key] = raw[key]
+        kwargs.update(overrides)
+        return Config(**kwargs)

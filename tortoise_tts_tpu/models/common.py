@@ -1,0 +1,254 @@
+"""Functional NN primitives over plain parameter pytrees.
+
+Design: every model in this package is a pair of pure functions
+``init(rng, cfg) -> params`` and ``apply(params, *args) -> out`` where
+``params`` is a nested dict of jnp arrays.  No module classes, no global
+state; jit/vmap/shard_map compose directly.
+
+Conventions (chosen for mechanical weight ingestion from the reference's
+PyTorch checkpoints, see models/convert.py):
+
+- linear weights are stored ``(in, out)`` so application is ``x @ w + b``
+  (torch ``nn.Linear.weight`` is ``(out, in)`` -> transposed on import;
+  HF GPT-2 ``Conv1D`` is already ``(in, out)`` -> imported as-is).
+- conv1d weights are stored in torch layout ``(out, in, k)`` and applied
+  with ``lax.conv_general_dilated`` using ``('NCH','OIH','NCH')`` numbers.
+- norm params use ``scale`` / ``bias`` keys.
+
+Reference behaviors mirrored here:
+- GroupNorm32 (arch_utils.py:24-26): normalise in fp32, cast back.
+- ``normalization`` group-count heuristic (arch_utils.py:29-44).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def linear_init(key, d_in: int, d_out: int, bias: bool = True,
+                std: Optional[float] = None) -> Params:
+    """Torch nn.Linear default init (kaiming-uniform) unless std given."""
+    kw, kb = jax.random.split(key)
+    if std is None:
+        bound = 1.0 / math.sqrt(d_in)
+        w = _uniform(kw, (d_in, d_out), bound)
+    else:
+        w = jax.random.normal(kw, (d_in, d_out)) * std
+    p = {"w": w}
+    if bias:
+        bound = 1.0 / math.sqrt(d_in)
+        p["b"] = _uniform(kb, (d_out,), bound)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def embedding_init(key, n: int, dim: int, std: float = 0.02) -> Params:
+    return {"w": jax.random.normal(key, (n, dim)) * std}
+
+
+def embedding(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(p["w"], ids, axis=0)
+
+
+def conv1d_init(key, c_in: int, c_out: int, k: int, bias: bool = True) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(c_in * k)
+    p = {"w": _uniform(kw, (c_out, c_in, k), bound)}
+    if bias:
+        p["b"] = _uniform(kb, (c_out,), bound)
+    return p
+
+
+def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
+           dilation: int = 1, groups: int = 1) -> jnp.ndarray:
+    """x: (B, C, T) -> (B, C_out, T_out). Torch-compatible semantics."""
+    w = p["w"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)[None, :, None]
+    return y
+
+
+def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int,
+                     padding: int = 0) -> jnp.ndarray:
+    """Torch ConvTranspose1d. Weight stored torch-layout (in, out, k)."""
+    w = p["w"].astype(x.dtype)  # (C_in, C_out, K)
+    k = w.shape[-1]
+    # torch conv_transpose == gradient of conv: use lax.conv_transpose with
+    # flipped spatial kernel and IOH numbers.
+    y = lax.conv_transpose(
+        x, w,
+        strides=(stride,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        dimension_numbers=("NCH", "IOH", "NCH"),
+        transpose_kernel=True,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)[None, :, None]
+    return y
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dt)
+
+
+def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """xtransformers RMSNorm (xtransformers.py:337-347): x / max(||x||*d^-.5, eps) * g."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(x32, axis=-1, keepdims=True) * (x.shape[-1] ** -0.5)
+    y = x32 / jnp.maximum(norm, eps) * p["scale"]
+    return y.astype(dt)
+
+
+def group_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def group_norm(p: Params, x: jnp.ndarray, groups: int,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm32 over (B, C, *spatial): fp32 compute, cast back
+
+    (reference arch_utils.py:24-26)."""
+    dt = x.dtype
+    b, c = x.shape[0], x.shape[1]
+    x32 = x.astype(jnp.float32).reshape(b, groups, c // groups, -1)
+    mu = jnp.mean(x32, axis=(2, 3), keepdims=True)
+    var = jnp.var(x32, axis=(2, 3), keepdims=True)
+    y = ((x32 - mu) * lax.rsqrt(var + eps)).reshape(x.shape)
+    scale = p["scale"].reshape((1, c) + (1,) * (x.ndim - 2))
+    bias = p["bias"].reshape((1, c) + (1,) * (x.ndim - 2))
+    return (y * scale + bias).astype(dt)
+
+
+def norm_groups(channels: int) -> int:
+    """Group-count heuristic from reference arch_utils.py:29-44."""
+    groups = 32
+    if channels <= 16:
+        groups = 8
+    elif channels <= 64:
+        groups = 16
+    while channels % groups != 0:
+        groups = int(groups / 2)
+    assert groups > 2
+    return groups
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+
+def gelu_new(x):
+    """GPT-2 'gelu_new' (tanh approximation) — matches HF exactly."""
+    return 0.5 * x * (1.0 + jnp.tanh(
+        math.sqrt(2.0 / math.pi) * (x + 0.044715 * jnp.power(x, 3.0))))
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def leaky_relu(x, slope=0.1):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+
+def interpolate_nearest(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') along last axis of (B, C, T)."""
+    t = x.shape[-1]
+    idx = (jnp.arange(size) * (t / size)).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, t - 1)
+    return jnp.take(x, idx, axis=-1)
+
+
+def interpolate_nearest_scale(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    return jnp.repeat(x, factor, axis=-1)
+
+
+def interpolate_linear(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) along last axis."""
+    t = x.shape[-1]
+    scale = t / size
+    coords = (jnp.arange(size) + 0.5) * scale - 0.5
+    lo = jnp.floor(coords)
+    frac = (coords - lo).astype(x.dtype)
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, t - 1)
+    hi_i = jnp.clip(lo_i + 1, 0, t - 1)
+    # where coords < 0, torch clamps (replicates edge): frac handling below
+    frac = jnp.where(coords < 0, 0.0, frac).astype(x.dtype)
+    xl = jnp.take(x, lo_i, axis=-1)
+    xh = jnp.take(x, hi_i, axis=-1)
+    return xl * (1 - frac) + xh * frac
+
+
+def reflect_pad_1d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-pad last axis (torch 'reflect')."""
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def sinusoidal_timestep_embedding(t: jnp.ndarray, dim: int,
+                                  max_period: int = 10000) -> jnp.ndarray:
+    """Reference diffusion.py:1277-1295 timestep embedding ([cos | sin])."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) *
+                    jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def tree_cast(params, dtype):
+    """Cast all floating leaves of a pytree to dtype."""
+    def cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, params)
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

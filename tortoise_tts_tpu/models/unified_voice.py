@@ -1,0 +1,464 @@
+"""UnifiedVoice — the autoregressive GPT-2-style TTS model, TPU-native.
+
+Capability-parity with reference unified_voice.py:334-688 (UnifiedVoice /
+GPT2InferenceModel / ConditioningEncoder / LearnedPositionEmbeddings), but
+re-designed for XLA:
+
+- the GPT-2 trunk is a stacked-parameter ``lax.scan`` over layers (one
+  compiled layer body instead of 30 unrolled blocks);
+- inference replaces HF GenerationMixin + KV-cache shims
+  (unified_voice.py:98-266, stream_generator.py) with a single jitted
+  prefill + ``lax.while_loop`` decode over a donated fixed-shape KV cache,
+  with fused sampling (ops/sampling.py);
+- all shapes are static: text is padded to ``text_bucket`` and masked, the
+  decode loop always allocates ``max_mel_tokens`` steps and early-exits
+  when every row has emitted the stop token.
+
+Sequence layout (matches reference semantics, unified_voice.py:632-668):
+    [cond (1)] [start_text, text.., stop_text (+pad)] [start_mel, mel..]
+with per-modality learned positional embeddings and no trunk positions
+(gpt.wpe is null in the reference, unified_voice.py:425-426).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.attention import NEG_INF, mha
+from ..ops.sampling import SamplingConfig, sample_token, warp_logits
+from .arch import conditioning_encoder, conditioning_encoder_init
+from .common import (embedding, embedding_init, gelu_new, layer_norm,
+                     layer_norm_init, linear, linear_init)
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class UnifiedVoiceConfig:
+    """Reference defaults: unified_voice.py:335-354."""
+    layers: int = 30
+    model_dim: int = 1024
+    heads: int = 16
+    max_text_tokens: int = 402
+    max_prompt_tokens: int = 2
+    max_mel_tokens: int = 604
+    max_conditioning_inputs: int = 2
+    mel_length_compression: int = 1024
+    number_text_tokens: int = 255
+    start_text_token: int = 255
+    stop_text_token: int = 0
+    number_mel_codes: int = 8194
+    start_mel_token: int = 8192
+    stop_mel_token: int = 8193
+    types: int = 1
+
+    @property
+    def max_mel_seq_len(self) -> int:   # unified_voice.py:405
+        return self.max_mel_tokens + 2 + self.max_conditioning_inputs
+
+    @property
+    def max_text_seq_len(self) -> int:  # unified_voice.py:406
+        return self.max_text_tokens + 2
+
+    @property
+    def text_vocab(self) -> int:
+        return self.number_text_tokens * self.types + 1
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: UnifiedVoiceConfig = UnifiedVoiceConfig()) -> Params:
+    ks = jax.random.split(key, 16)
+    d, L = cfg.model_dim, cfg.layers
+    glorot = lambda k, sh: jax.random.normal(k, sh) * 0.02
+    gpt = {
+        "ln_1": {"scale": jnp.ones((L, d)), "bias": jnp.zeros((L, d))},
+        "attn_qkv": {"w": glorot(ks[0], (L, d, 3 * d)), "b": jnp.zeros((L, 3 * d))},
+        "attn_proj": {"w": glorot(ks[1], (L, d, d)), "b": jnp.zeros((L, d))},
+        "ln_2": {"scale": jnp.ones((L, d)), "bias": jnp.zeros((L, d))},
+        "mlp_fc": {"w": glorot(ks[2], (L, d, 4 * d)), "b": jnp.zeros((L, 4 * d))},
+        "mlp_proj": {"w": glorot(ks[3], (L, 4 * d, d)), "b": jnp.zeros((L, d))},
+        "ln_f": layer_norm_init(d),
+    }
+    return {
+        "conditioning_encoder": conditioning_encoder_init(
+            ks[4], 80, d, attn_blocks=6, num_attn_heads=cfg.heads),
+        "text_embedding": embedding_init(ks[5], cfg.text_vocab, d),
+        "mel_embedding": embedding_init(ks[6], cfg.number_mel_codes, d),
+        "text_pos_embedding": embedding_init(ks[7], cfg.max_text_seq_len, d),
+        "mel_pos_embedding": embedding_init(ks[8], cfg.max_mel_seq_len, d),
+        "gpt": gpt,
+        "final_norm": layer_norm_init(d),
+        "text_head": linear_init(ks[9], d, cfg.text_vocab),
+        "mel_head": linear_init(ks[10], d, cfg.number_mel_codes),
+    }
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 trunk (stacked layers, lax.scan)
+# ---------------------------------------------------------------------------
+
+
+def _layer_params(gpt: Params):
+    """Stacked per-layer params as scan xs."""
+    return {k: v for k, v in gpt.items() if k != "ln_f"}
+
+
+def _gpt_layer(lp: Params, x: jnp.ndarray, heads: int,
+               mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """One pre-LN GPT-2 block. x: (B, T, D); mask broadcastable (B,1,T,T)."""
+    b, t, d = x.shape
+    h = layer_norm(lp["ln_1"], x)
+    qkv = linear(lp["attn_qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)
+    a = mha(q, k, v, mask=mask, causal=True)
+    a = a.transpose(0, 2, 1, 3).reshape(b, t, d)
+    x = x + linear(lp["attn_proj"], a)
+    h = layer_norm(lp["ln_2"], x)
+    h = linear(lp["mlp_proj"], gelu_new(linear(lp["mlp_fc"], h)))
+    return x + h
+
+
+def gpt_forward(gpt: Params, emb: jnp.ndarray, heads: int,
+                key_mask: Optional[jnp.ndarray] = None,
+                remat: bool = False) -> jnp.ndarray:
+    """Full-sequence causal forward. emb: (B, T, D) -> (B, T, D) (incl ln_f).
+
+    key_mask: optional (B, T) bool, True = valid key (padding masking).
+    """
+    mask = None
+    if key_mask is not None:
+        mask = key_mask[:, None, None, :]
+
+    def body(x, lp):
+        return _gpt_layer(lp, x, heads, mask), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = lax.scan(body, emb, _layer_params(gpt))
+    return layer_norm(gpt["ln_f"], x)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decode
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, H, S, D_head)
+    v: jnp.ndarray  # (L, B, H, S, D_head)
+
+
+def _init_cache(cfg: UnifiedVoiceConfig, batch: int, seq: int,
+                dtype) -> KVCache:
+    shape = (cfg.layers, batch, cfg.heads, seq, cfg.model_dim // cfg.heads)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _gpt_prefill(gpt: Params, emb: jnp.ndarray, heads: int,
+                 key_mask: jnp.ndarray, cache_len: int
+                 ) -> Tuple[jnp.ndarray, KVCache]:
+    """Run full prefix, return final hidden of last position + filled cache."""
+    b, t, d = emb.shape
+    hd = d // heads
+    mask = key_mask[:, None, None, :]
+
+    def body(x, lp):
+        bb, tt, dd = x.shape
+        h = layer_norm(lp["ln_1"], x)
+        qkv = linear(lp["attn_qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(bb, tt, heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(bb, tt, heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(bb, tt, heads, hd).transpose(0, 2, 1, 3)
+        a = mha(q, k, v, mask=mask, causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(bb, tt, dd)
+        x = x + linear(lp["attn_proj"], a)
+        h2 = layer_norm(lp["ln_2"], x)
+        x = x + linear(lp["mlp_proj"], gelu_new(linear(lp["mlp_fc"], h2)))
+        # pad KV out to cache length
+        pad = cache_len - tt
+        kc = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vc = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x, (kc, vc)
+
+    x, (kc, vc) = lax.scan(body, emb, _layer_params(gpt))
+    return layer_norm(gpt["ln_f"], x), KVCache(kc, vc)
+
+
+def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
+                     cache: KVCache, pos: jnp.ndarray,
+                     key_mask: jnp.ndarray) -> Tuple[jnp.ndarray, KVCache]:
+    """One-token step. x: (B, 1, D); pos: scalar — cache slot to write.
+
+    key_mask: (B, S) bool of *prefix validity* (text padding); positions
+    >= pos are masked by the running-length check.
+    """
+    b, _, d = x.shape
+    hd = d // heads
+    s = cache.k.shape[3]
+    valid = key_mask & (jnp.arange(s)[None, :] <= pos)  # (B, S)
+    mask = valid[:, None, None, :]
+
+    def body(x, layer):
+        lp, kc, vc = layer
+        h = layer_norm(lp["ln_1"], x)
+        qkv = linear(lp["attn_qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos, 0))
+        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos, 0))
+        a = mha(q, kc, vc, mask=mask)
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        x = x + linear(lp["attn_proj"], a)
+        h2 = layer_norm(lp["ln_2"], x)
+        x = x + linear(lp["mlp_proj"], gelu_new(linear(lp["mlp_fc"], h2)))
+        return x, (kc, vc)
+
+    x, (nk, nv) = lax.scan(body, x, (_layer_params(gpt), cache.k, cache.v))
+    return layer_norm(gpt["ln_f"], x), KVCache(nk, nv)
+
+
+# ---------------------------------------------------------------------------
+# embedding builders
+# ---------------------------------------------------------------------------
+
+
+def get_conditioning(params: Params, cond_mels: jnp.ndarray,
+                     cfg: UnifiedVoiceConfig = UnifiedVoiceConfig()) -> jnp.ndarray:
+    """cond_mels: (B, N, 80, T) or (B, 80, T) -> (B, D).
+
+    Mirrors unified_voice.py:535-542 (mean over N clips)."""
+    if cond_mels.ndim == 3:
+        cond_mels = cond_mels[:, None]
+    b, n = cond_mels.shape[:2]
+    flat = cond_mels.reshape((b * n,) + cond_mels.shape[2:])
+    lat = conditioning_encoder(params["conditioning_encoder"], flat, cfg.heads)
+    return lat.reshape(b, n, -1).mean(axis=1)
+
+
+def _build_text_segment(params: Params, text: jnp.ndarray,
+                        text_lengths: jnp.ndarray, cfg: UnifiedVoiceConfig
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[start, text.., stop, pad..] embeddings + validity mask.
+
+    text: (B, Tt) ids (padding ignored); lengths: (B,).
+    Returns emb (B, Tt+2, D), mask (B, Tt+2).
+    """
+    b, tt = text.shape
+    seg_len = tt + 2
+    pos = jnp.arange(seg_len)[None, :]
+    # token at position 0 = start; 1..len = text; len+1 = stop; rest pad(stop)
+    shifted = jnp.pad(text, ((0, 0), (1, 1)),
+                      constant_values=cfg.stop_text_token)
+    ids = jnp.where(pos == 0, cfg.start_text_token, shifted)
+    ids = jnp.where(pos > text_lengths[:, None], cfg.stop_text_token, ids)
+    mask = pos <= (text_lengths[:, None] + 1)
+    emb = embedding(params["text_embedding"], ids)
+    emb = emb + embedding(params["text_pos_embedding"],
+                          jnp.arange(seg_len))[None]
+    return emb, mask
+
+
+# ---------------------------------------------------------------------------
+# training forward
+# ---------------------------------------------------------------------------
+
+
+def forward(params: Params, cond_latent: jnp.ndarray, text: jnp.ndarray,
+            text_lengths: jnp.ndarray, mel_codes: jnp.ndarray,
+            wav_lengths: jnp.ndarray,
+            cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
+            return_latent: bool = False, remat: bool = False):
+    """Teacher-forced forward (reference unified_voice.py:544-612).
+
+    cond_latent: (B, D) from get_conditioning.
+    text: (B, Tt) token ids; text_lengths: (B,).
+    mel_codes: (B, Tm) mel code ids; wav_lengths: (B,) in samples.
+    Fixed shapes; the reference's clip_inputs is a host-side concern.
+
+    Returns (loss_text, loss_mel, mel_logits) or latents (B, Tm, D) when
+    return_latent (reference strips the 2 appended tokens; here latents[i]
+    is the hidden state above mel input i for i < Tm).
+    """
+    b, tt = text.shape
+    tm = mel_codes.shape[1]
+    d = cfg.model_dim
+
+    # --- text segment: [start, text, stop] + aligned targets ---
+    text_emb, _ = _build_text_segment(params, text, text_lengths, cfg)
+    pos_t = jnp.arange(tt + 2)[None, :]
+    # reference pads text with stop(0) in its dataloader; positions >= len
+    # are all stop in the aligned target [text, stop, stop]
+    text_targets = jnp.where(
+        pos_t >= text_lengths[:, None], cfg.stop_text_token,
+        jnp.pad(text, ((0, 0), (0, 2))))
+
+    # --- mel segment: set_mel_padding (unified_voice.py:494-506) ---
+    mel_lengths = wav_lengths // cfg.mel_length_compression
+    pos_m = jnp.arange(tm)[None, :]
+    codes = jnp.where(pos_m >= mel_lengths[:, None] + 1, cfg.stop_mel_token,
+                      mel_codes)
+    # aligned: inputs [start, codes, stop]; targets [codes, stop, stop]
+    mel_in = jnp.concatenate(
+        [jnp.full((b, 1), cfg.start_mel_token, codes.dtype), codes,
+         jnp.full((b, 1), cfg.stop_mel_token, codes.dtype)], axis=1)
+    mel_targets = jnp.concatenate(
+        [codes, jnp.full((b, 2), cfg.stop_mel_token, codes.dtype)], axis=1)
+    mel_emb = embedding(params["mel_embedding"], mel_in)
+    mel_emb = mel_emb + embedding(params["mel_pos_embedding"],
+                                  jnp.arange(tm + 2))[None]
+
+    emb = jnp.concatenate([cond_latent[:, None].astype(text_emb.dtype),
+                           text_emb, mel_emb], axis=1)
+    hidden = gpt_forward(params["gpt"], emb, cfg.heads, remat=remat)
+    # first position tied to the conditioning input (unified_voice.py:518)
+    enc = layer_norm(params["final_norm"], hidden[:, 1:])
+
+    text_latents = enc[:, : tt + 2]
+    mel_latents = enc[:, -(tm + 2):]
+    if return_latent:
+        return mel_latents[:, :-2]
+
+    text_logits = linear(params["text_head"], text_latents)
+    mel_logits = linear(params["mel_head"], mel_latents)
+
+    loss_text = _ce(text_logits, text_targets)
+    loss_mel = _ce(mel_logits, mel_targets)
+    return loss_text, loss_mel, mel_logits
+
+
+def _ce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    return nll.mean()
+
+
+# ---------------------------------------------------------------------------
+# inference (prefill + while_loop decode)
+# ---------------------------------------------------------------------------
+
+
+class DecodeResult(NamedTuple):
+    codes: jnp.ndarray     # (B, max_len) int32, stop-padded
+    lengths: jnp.ndarray   # (B,) int32 — number of codes before stop
+    latents: jnp.ndarray   # (B, max_len, D) hidden states (streaming path)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sampling", "max_length",
+                                   "collect_latents"))
+def inference_speech(params: Params, cond_latent: jnp.ndarray,
+                     text: jnp.ndarray, text_lengths: jnp.ndarray,
+                     key: jax.Array,
+                     cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
+                     sampling: SamplingConfig = SamplingConfig(),
+                     max_length: int = 500,
+                     collect_latents: bool = False) -> DecodeResult:
+    """Generate mel codes (reference unified_voice.py:632-668 + HF loop).
+
+    Sequence: [cond, start_text, text, stop_text, pad.., start_mel, ...].
+    The whole decode is one jitted while_loop with early exit when every
+    row has produced stop_mel_token.
+    """
+    b, tt = text.shape
+    d = cfg.model_dim
+    text_seg = tt + 2
+    prefix_len = 1 + text_seg            # cond + text segment
+    cache_len = prefix_len + 1 + max_length
+    dtype = params["mel_embedding"]["w"].dtype
+
+    text_emb, text_mask = _build_text_segment(params, text, text_lengths, cfg)
+    start_emb = (params["mel_embedding"]["w"][cfg.start_mel_token]
+                 + params["mel_pos_embedding"]["w"][0])[None, None].astype(text_emb.dtype)
+    prefill = jnp.concatenate(
+        [cond_latent[:, None].astype(text_emb.dtype), text_emb,
+         jnp.broadcast_to(start_emb, (b, 1, d))], axis=1)
+
+    ones = jnp.ones((b, 1), dtype=bool)
+    prefill_mask = jnp.concatenate([ones, text_mask, ones], axis=1)
+    hidden, cache = _gpt_prefill(params["gpt"], prefill, cfg.heads,
+                                 prefill_mask, cache_len)
+
+    # full-cache key mask (prefix padding + all decode slots valid-by-pos)
+    key_mask = jnp.concatenate(
+        [prefill_mask,
+         jnp.ones((b, cache_len - prefill.shape[1]), dtype=bool)], axis=1)
+
+    mel_vocab = cfg.number_mel_codes
+
+    def latent_of(h):
+        """final_norm'd hidden above the last input position — the latent
+        that produces the *next* token's logits (stream_generator.py:1172)."""
+        return layer_norm(params["final_norm"], h[:, -1])
+
+    def logits_of(lat):
+        return linear(params["mel_head"], lat).astype(jnp.float32)
+
+    first_lat = latent_of(hidden)
+
+    class Carry(NamedTuple):
+        step: jnp.ndarray
+        cache: KVCache
+        lat: jnp.ndarray       # latent producing current step's logits
+        tokens: jnp.ndarray
+        counts: jnp.ndarray
+        latents: jnp.ndarray
+        finished: jnp.ndarray
+        lengths: jnp.ndarray
+        rng: jax.Array
+
+    counts0 = jnp.zeros((b, mel_vocab), jnp.int32)
+    # start_mel token counts as seen for repetition penalty (HF counts all
+    # generated input_ids; prefix dummies are token id 1 in a different
+    # vocab space and never produced again, so only mel tokens matter).
+    counts0 = counts0.at[:, cfg.start_mel_token].add(1)
+
+    latents0 = jnp.zeros((b, max_length, d), dtype)
+
+    init = Carry(jnp.zeros((), jnp.int32), cache, first_lat,
+                 jnp.full((b, max_length), cfg.stop_mel_token, jnp.int32),
+                 counts0, latents0, jnp.zeros((b,), bool),
+                 jnp.full((b,), max_length, jnp.int32), key)
+
+    def cond_fn(c: Carry):
+        return (c.step < max_length) & ~jnp.all(c.finished)
+
+    def body_fn(c: Carry):
+        rng, sub = jax.random.split(c.rng)
+        tok = sample_token(sub, logits_of(c.lat), sampling, c.counts)
+        tok = jnp.where(c.finished, cfg.stop_mel_token, tok)
+        now_stop = (tok == cfg.stop_mel_token) & ~c.finished
+        lengths = jnp.where(now_stop, c.step, c.lengths)
+        finished = c.finished | (tok == cfg.stop_mel_token)
+        tokens = c.tokens.at[:, c.step].set(tok)
+        counts = c.counts.at[jnp.arange(b), tok].add(1)
+        latents = c.latents
+        if collect_latents:
+            # latent aligned with the token it predicted
+            latents = latents.at[:, c.step].set(c.lat.astype(latents.dtype))
+
+        emb = embedding(params["mel_embedding"], tok)[:, None]
+        emb = emb + params["mel_pos_embedding"]["w"][c.step + 1][None, None]
+        pos = prefix_len + 1 + c.step
+        h, cache = _gpt_decode_step(params["gpt"], emb.astype(dtype),
+                                    cfg.heads, c.cache, pos, key_mask)
+        return Carry(c.step + 1, cache, latent_of(h), tokens, counts,
+                     latents, finished, lengths, rng)
+
+    out = lax.while_loop(cond_fn, body_fn, init)
+    return DecodeResult(out.tokens, out.lengths, out.latents)

@@ -1,0 +1,124 @@
+"""Pure-functional logit processors / samplers for the AR decode loop.
+
+Replaces the reference's HF LogitsWarper stack (stream_generator.py,
+samplers.py, unified_voice.py:47-75) with fixed-shape pure functions of
+(logits, state) usable inside lax.scan/while_loop.  Application order
+mirrors HF generate(): repetition penalty -> typical -> temperature ->
+top-k -> top-p, then categorical sampling.
+
+All functions take and return (B, V) fp32 logits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e10
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    temperature: float = 0.8
+    top_k: int = 0            # 0 = disabled
+    top_p: float = 1.0        # 1.0 = disabled
+    typical_mass: float = 0.0  # 0 = disabled (reference default .9 when on)
+    repetition_penalty: float = 1.0
+    beam_width: int = 1
+    length_penalty: float = 1.0
+    greedy: bool = False
+
+
+def apply_repetition_penalty(logits: jnp.ndarray,
+                             token_counts: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    """HF RepetitionPenaltyLogitsProcessor on a count-vector state.
+
+    token_counts: (B, V) int — number of times each token has appeared in
+    the generated prefix (counts>0 <=> 'seen').  HF semantics: seen tokens
+    with score>0 divided by penalty, score<0 multiplied.
+    """
+    if penalty == 1.0:
+        return logits
+    seen = token_counts > 0
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def apply_temperature(logits: jnp.ndarray, temperature: float) -> jnp.ndarray:
+    if temperature == 1.0:
+        return logits
+    return logits / max(temperature, 1e-5)
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """HF TopPLogitsWarper (min_tokens_to_keep=1)."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # remove tokens with cumulative probability <= 1 - p (ascending order);
+    # always keep the top token.
+    keep_sorted = cum > (1.0 - p)
+    keep_sorted = keep_sorted.at[..., -1].set(True)
+    # threshold value: smallest kept logit
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                     axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_typical(logits: jnp.ndarray, mass: float) -> jnp.ndarray:
+    """Typical sampling (unified_voice.py:47-75 TypicalLogitsWarper)."""
+    if mass <= 0.0 or mass >= 1.0:
+        return logits
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(logp)
+    ent = -jnp.sum(jnp.where(p > 0, logp * p, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-logp - ent)
+    # sort by shifted score ascending; accumulate prob of the corresponding
+    # logits until mass reached
+    order = jnp.argsort(shifted, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    last_ind = jnp.sum((cum < mass).astype(jnp.int32), axis=-1, keepdims=True)
+    sorted_shifted = jnp.take_along_axis(shifted, order, axis=-1)
+    cutoff = jnp.take_along_axis(sorted_shifted, last_ind, axis=-1)
+    keep = shifted <= cutoff
+    # min_tokens_to_keep=1: always keep the most-typical token
+    best = jnp.argmin(shifted, axis=-1, keepdims=True)
+    keep = keep | (jnp.arange(logits.shape[-1])[None] == best)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def warp_logits(logits: jnp.ndarray, cfg: SamplingConfig,
+                token_counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Full warping chain in HF order."""
+    x = logits.astype(jnp.float32)
+    if token_counts is not None:
+        x = apply_repetition_penalty(x, token_counts, cfg.repetition_penalty)
+    x = apply_typical(x, cfg.typical_mass)
+    x = apply_temperature(x, cfg.temperature)
+    x = apply_top_k(x, cfg.top_k)
+    x = apply_top_p(x, cfg.top_p)
+    return x
+
+
+def sample_token(key: jax.Array, logits: jnp.ndarray,
+                 cfg: SamplingConfig,
+                 token_counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Warp + draw one token per row. logits (B, V) -> (B,) int32."""
+    warped = warp_logits(logits, cfg, token_counts)
+    if cfg.greedy:
+        return jnp.argmax(warped, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
