@@ -1,0 +1,176 @@
+"""Parity: TPU DiffusionTTS + gaussian samplers vs reference (CPU golden).
+
+Covers SURVEY §2.1 rows: DiffusionTTS (denoiser fwd, conditioning paths,
+timestep_independent), Gaussian diffusion math (schedules, DDIM loop,
+p_mean_variance) with conditioning-free guidance.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tts_tpu.models import convert, diffusion as dtts, gaussian
+
+from tests.ref.harness import import_ref
+
+CFG = dtts.DiffusionConfig(model_channels=64, num_layers=2, in_channels=100,
+                           in_latent_channels=64, num_heads=4)
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    rdiff = import_ref("models.diffusion")
+    torch.manual_seed(0)
+    m = rdiff.DiffusionTTS(model_channels=CFG.model_channels,
+                           num_layers=CFG.num_layers,
+                           in_channels=CFG.in_channels,
+                           in_latent_channels=CFG.in_latent_channels,
+                           num_heads=CFG.num_heads)
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def params(ref_model):
+    return jax.tree_util.tree_map(
+        jnp.asarray,
+        convert.convert_diffusion(ref_model.state_dict(), CFG.num_layers))
+
+
+def test_get_conditioning_parity(ref_model, params):
+    torch.manual_seed(1)
+    mel = torch.randn(2, 1, 100, 96)
+    with torch.no_grad():
+        ref = ref_model.get_conditioning(mel).numpy()
+    got = np.asarray(dtts.get_conditioning(params, jnp.asarray(mel.numpy()),
+                                           CFG))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_timestep_independent_parity(ref_model, params):
+    torch.manual_seed(2)
+    lat = torch.randn(2, 40, CFG.in_latent_channels)
+    cond = torch.randn(2, 2 * CFG.model_channels)
+    with torch.no_grad():
+        ref = ref_model.timestep_independent(lat, cond, 120, False).numpy()
+    got = np.asarray(dtts.timestep_independent(
+        params, jnp.asarray(lat.numpy()), jnp.asarray(cond.numpy()), 120, CFG))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_denoiser_forward_parity(ref_model, params):
+    torch.manual_seed(3)
+    x = torch.randn(2, 100, 120)
+    lat = torch.randn(2, 40, CFG.in_latent_channels)
+    cond = torch.randn(2, 2 * CFG.model_channels)
+    ts = torch.tensor([600, 1200])
+    with torch.no_grad():
+        pre = ref_model.timestep_independent(lat, cond, 120, False)
+        ref = ref_model(x, ts, precomputed_aligned_embeddings=pre).numpy()
+    pre_j = dtts.timestep_independent(
+        params, jnp.asarray(lat.numpy()), jnp.asarray(cond.numpy()), 120, CFG)
+    got = np.asarray(dtts.forward(params, jnp.asarray(x.numpy()),
+                                  jnp.asarray(ts.numpy()), pre_j, CFG))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_conditioning_free_forward_parity(ref_model, params):
+    torch.manual_seed(4)
+    x = torch.randn(1, 100, 80)
+    ts = torch.tensor([2000])
+    dummy = torch.zeros(1, CFG.model_channels, 80)
+    with torch.no_grad():
+        ref = ref_model(x, ts, precomputed_aligned_embeddings=dummy,
+                        conditioning_free=True).numpy()
+    uncond = dtts.unconditioned_embedding(params, 1, 80)
+    got = np.asarray(dtts.forward(params, jnp.asarray(x.numpy()),
+                                  jnp.asarray(ts.numpy()), uncond, CFG))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_schedule_tables_match_reference():
+    rdiff = import_ref("models.diffusion")
+    ref = rdiff.SpacedDiffusion(
+        use_timesteps=rdiff.space_timesteps(4000, [30]),
+        model_mean_type="epsilon", model_var_type="learned_range",
+        loss_type="mse", betas=rdiff.get_named_beta_schedule("linear", 4000),
+        conditioning_free=False, conditioning_free_k=1)
+    sch = gaussian.get_schedule(steps=30, cond_free=False)
+    np.testing.assert_allclose(sch.betas, ref.betas, rtol=1e-12)
+    np.testing.assert_allclose(sch.timestep_map, ref.timestep_map)
+    np.testing.assert_allclose(sch.posterior_log_variance_clipped,
+                               ref.posterior_log_variance_clipped, rtol=1e-10)
+    np.testing.assert_allclose(sch.posterior_mean_coef1,
+                               ref.posterior_mean_coef1, rtol=1e-10)
+
+
+@pytest.mark.parametrize("cond_free", [False, True])
+def test_ddim_loop_parity(ref_model, params, cond_free):
+    """Full DDIM sample loop, eta=0 (deterministic given noise)."""
+    rdiff = import_ref("models.diffusion")
+    steps = 6
+    ref_diffuser = rdiff.get_diffuser(steps=steps, cond_free=cond_free)
+    torch.manual_seed(5)
+    b, t_out = 1, 64
+    lat = torch.randn(b, 16, CFG.in_latent_channels)
+    cond = torch.randn(b, 2 * CFG.model_channels)
+    noise = torch.randn(b, 100, t_out)
+    with torch.no_grad():
+        pre = ref_model.timestep_independent(lat, cond, t_out, False)
+        ref = ref_diffuser.ddim_sample_loop(
+            ref_model, (b, 100, t_out), noise=noise,
+            model_kwargs={"precomputed_aligned_embeddings": pre}).numpy()
+
+    sch = gaussian.get_schedule(steps=steps, cond_free=cond_free)
+    pre_j = dtts.timestep_independent(
+        params, jnp.asarray(lat.numpy()), jnp.asarray(cond.numpy()), t_out, CFG)
+    uncond = dtts.unconditioned_embedding(params, b, t_out)
+
+    if cond_free:
+        code_emb = jnp.concatenate([pre_j, uncond], axis=0)
+    else:
+        code_emb = pre_j
+
+    def model_fn(x, ts):
+        return dtts.forward(params, x, ts, code_emb, CFG)
+
+    got = np.asarray(gaussian.sample_loop(
+        model_fn, jnp.asarray(noise.numpy()), jax.random.PRNGKey(0), sch,
+        sampler="ddim"))
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-2)
+
+
+def test_p_mean_variance_parity(ref_model, params):
+    """One P-sampler step's mean/logvar (noise injection differs by RNG)."""
+    rdiff = import_ref("models.diffusion")
+    steps = 6
+    ref_diffuser = rdiff.get_diffuser(steps=steps, cond_free=False)
+    torch.manual_seed(6)
+    b, t_out = 1, 48
+    lat = torch.randn(b, 12, CFG.in_latent_channels)
+    cond = torch.randn(b, 2 * CFG.model_channels)
+    x = torch.randn(b, 100, t_out)
+    t_idx = 3
+    with torch.no_grad():
+        pre = ref_model.timestep_independent(lat, cond, t_out, False)
+        ref_out = ref_diffuser.p_mean_variance(
+            ref_model, x, torch.tensor([t_idx]),
+            model_kwargs={"precomputed_aligned_embeddings": pre})
+
+    sch = gaussian.get_schedule(steps=steps, cond_free=False)
+    pre_j = dtts.timestep_independent(
+        params, jnp.asarray(lat.numpy()), jnp.asarray(cond.numpy()), t_out, CFG)
+
+    def model_fn(xx, ts):
+        return dtts.forward(params, xx, ts, pre_j, CFG)
+
+    mean, logvar, xstart = gaussian.p_mean_variance(
+        model_fn, jnp.asarray(x.numpy()), jnp.asarray(t_idx), sch)
+    np.testing.assert_allclose(np.asarray(mean), ref_out["mean"].numpy(),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logvar),
+                               ref_out["log_variance"].numpy(),
+                               atol=1e-3, rtol=1e-3)

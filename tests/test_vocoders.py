@@ -1,0 +1,145 @@
+"""Parity: HiFiGAN / BigVGAN / UnivNet vs reference torch (CPU golden).
+
+Covers SURVEY §2.1 vocoder rows, including weight-norm folding,
+kaiser-sinc anti-aliased Snake activations, and the LVC kernel.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tts_tpu.models import (bigvgan as bv, convert, hifigan as hg,
+                                     univnet as uv)
+
+from tests.ref.harness import import_ref
+
+
+HG_CFG = hg.HifiganConfig(in_channels=32, upsample_initial_channel=64,
+                          cond_channels=32)
+
+
+def test_hifigan_parity():
+    rhg = import_ref("models.hifigan")
+    torch.manual_seed(0)
+    m = rhg.HifiganGenerator(
+        in_channels=32, out_channels=1, resblock_type="1",
+        resblock_dilation_sizes=[[1, 3, 5]] * 3,
+        resblock_kernel_sizes=[3, 7, 11],
+        upsample_kernel_sizes=[16, 16, 4, 4],
+        upsample_initial_channel=64, upsample_factors=[8, 8, 2, 2],
+        cond_channels=32)
+    m.eval()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert.convert_hifigan(m.state_dict()))
+    torch.manual_seed(1)
+    x = torch.randn(1, 32, 20)
+    g = torch.randn(1, 32, 1)
+    with torch.no_grad():
+        ref = m(x, g).numpy()
+    got = np.asarray(hg.forward(params, jnp.asarray(x.numpy()),
+                                jnp.asarray(g.numpy()), HG_CFG))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_hifigan_inference_interpolation_parity():
+    rhg = import_ref("models.hifigan")
+    torch.manual_seed(2)
+    m = rhg.HifiganGenerator(
+        in_channels=32, out_channels=1, resblock_type="1",
+        resblock_dilation_sizes=[[1, 3, 5]] * 3,
+        resblock_kernel_sizes=[3, 7, 11],
+        upsample_kernel_sizes=[16, 16, 4, 4],
+        upsample_initial_channel=64, upsample_factors=[8, 8, 2, 2],
+        cond_channels=32)
+    m.eval()
+    m.device = torch.device("cpu")
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert.convert_hifigan(m.state_dict()))
+    lat = torch.randn(1, 12, 32)   # (B, T, C)
+    cond = torch.randn(1, 32)
+    with torch.no_grad():
+        ref = m.inference(lat, cond).numpy()
+    got = np.asarray(hg.inference(params, jnp.asarray(lat.numpy()),
+                                  jnp.asarray(cond.numpy()), HG_CFG))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+BV_JSON = dict(num_mels=100, upsample_rates=[4, 4, 2, 2, 2, 2],
+               upsample_kernel_sizes=[8, 8, 4, 4, 4, 4],
+               upsample_initial_channel=64, resblock="1",
+               resblock_kernel_sizes=[3, 7, 11],
+               resblock_dilation_sizes=[[1, 3, 5]] * 3,
+               activation="snakebeta", snake_logscale=True,
+               hop_size=256, n_fft=1024)
+
+
+def test_bigvgan_parity():
+    rbv = import_ref("models.bigvgan")
+    torch.manual_seed(3)
+    m = rbv.BigVGAN(data=BV_JSON)
+    m.eval()
+    cfg = bv.BigVGANConfig.from_json(BV_JSON)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        convert.convert_bigvgan(m.state_dict(), n_ups=6, resblock="1"))
+    mel = torch.randn(1, 100, 12)
+    with torch.no_grad():
+        ref = m(mel, None).numpy()
+    got = np.asarray(bv.forward(params, jnp.asarray(mel.numpy()), cfg))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_bigvgan_inference_pad_trim():
+    rbv = import_ref("models.bigvgan")
+    torch.manual_seed(4)
+    m = rbv.BigVGAN(data=BV_JSON)
+    m.eval()
+    cfg = bv.BigVGANConfig.from_json(BV_JSON)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        convert.convert_bigvgan(m.state_dict(), n_ups=6, resblock="1"))
+    mel = torch.randn(1, 100, 8)
+    with torch.no_grad():
+        ref = m.inference(mel).numpy()
+    got = np.asarray(bv.inference(params, jnp.asarray(mel.numpy()), cfg))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_univnet_parity():
+    ruv = import_ref("models.vocoder")
+    torch.manual_seed(5)
+    m = ruv.UnivNetGenerator(noise_dim=16, channel_size=8)
+    m.eval()
+    cfg = uv.UnivNetConfig(noise_dim=16, channel_size=8)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert.convert_univnet(m.state_dict()))
+    mel = torch.randn(2, 100, 6)
+    z = torch.randn(2, 16, 6)
+    with torch.no_grad():
+        ref = m(mel, z).numpy()
+    got = np.asarray(uv.forward(params, jnp.asarray(mel.numpy()),
+                                jnp.asarray(z.numpy()), cfg))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_univnet_inference_pad_trim():
+    ruv = import_ref("models.vocoder")
+    torch.manual_seed(6)
+    m = ruv.UnivNetGenerator(noise_dim=16, channel_size=8)
+    m.eval()
+    cfg = uv.UnivNetConfig(noise_dim=16, channel_size=8)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert.convert_univnet(m.state_dict()))
+    mel = torch.randn(1, 100, 6)
+    z = torch.randn(1, 16, 16)
+    with torch.no_grad():
+        ref = m.inference(mel, z).numpy()
+    got = np.asarray(uv.inference(params, jnp.asarray(mel.numpy()),
+                                  noise=jnp.asarray(z.numpy()), cfg=cfg))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)

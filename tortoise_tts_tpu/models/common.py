@@ -98,22 +98,53 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
 
 
 def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int,
-                     padding: int = 0) -> jnp.ndarray:
+                     padding: int = 0, output_padding: int = 0) -> jnp.ndarray:
     """Torch ConvTranspose1d. Weight stored torch-layout (in, out, k)."""
     w = p["w"].astype(x.dtype)  # (C_in, C_out, K)
     k = w.shape[-1]
-    # torch conv_transpose == gradient of conv: use lax.conv_transpose with
-    # flipped spatial kernel and IOH numbers.
+    # torch conv_transpose == gradient of conv: with transpose_kernel=True
+    # the OIH spec is read post-swap, i.e. the torch (in,out,k) layout.
     y = lax.conv_transpose(
         x, w,
         strides=(stride,),
-        padding=[(k - 1 - padding, k - 1 - padding)],
-        dimension_numbers=("NCH", "IOH", "NCH"),
+        padding=[(k - 1 - padding, k - 1 - padding + output_padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
         transpose_kernel=True,
     )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)[None, :, None]
     return y
+
+
+def depthwise_lowpass(x: jnp.ndarray, filt: jnp.ndarray, stride: int,
+                      pad_left: int, pad_right: int,
+                      pad_mode: str = "edge") -> jnp.ndarray:
+    """Per-channel FIR filter (BigVGAN LowPassFilter1d, bigvgan.py:72-106).
+
+    x: (B, C, T); filt: (K,) shared across channels.
+    """
+    b, c, t = x.shape
+    x = jnp.pad(x, [(0, 0), (0, 0), (pad_left, pad_right)], mode=pad_mode)
+    w = jnp.broadcast_to(filt.astype(x.dtype), (c, 1, filt.shape[0]))
+    return lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=c)
+
+
+def depthwise_upsample(x: jnp.ndarray, filt: jnp.ndarray, ratio: int,
+                       pad: int, pad_left: int, pad_right: int) -> jnp.ndarray:
+    """BigVGAN UpSample1d (bigvgan.py:112-135): replicate-pad, zero-stuffed
+    transposed depthwise conv with a kaiser-sinc filter, scaled by ratio."""
+    b, c, t = x.shape
+    k = filt.shape[0]
+    x = jnp.pad(x, [(0, 0), (0, 0), (pad, pad)], mode="edge")
+    w = jnp.broadcast_to(filt[::-1].astype(x.dtype), (c, 1, k))
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(k - 1, k - 1)],
+        lhs_dilation=(ratio,),
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=c)
+    y = ratio * y
+    return y[..., pad_left:y.shape[-1] - pad_right]
 
 
 def layer_norm_init(dim: int) -> Params:
@@ -207,10 +238,17 @@ def interpolate_nearest_scale(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return jnp.repeat(x, factor, axis=-1)
 
 
-def interpolate_linear(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """torch F.interpolate(mode='linear', align_corners=False) along last axis."""
+def interpolate_linear(x: jnp.ndarray, size: int,
+                       scale: Optional[float] = None) -> jnp.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) along last axis.
+
+    When torch is called with scale_factor (recompute_scale_factor=False),
+    source coords use 1/scale_factor, not in_size/out_size — pass ``scale``
+    (source samples per output sample) to match.
+    """
     t = x.shape[-1]
-    scale = t / size
+    if scale is None:
+        scale = t / size
     coords = (jnp.arange(size) + 0.5) * scale - 0.5
     lo = jnp.floor(coords)
     frac = (coords - lo).astype(x.dtype)

@@ -88,6 +88,180 @@ def convert_conditioning_encoder(sd: StateDict, prefix: str,
     }
 
 
+def fold_weight_norm(sd: StateDict) -> Dict[str, Array]:
+    """Fold torch weight_norm (weight_g/weight_v) into plain weights.
+
+    torch weight_norm(dim=0): w = g * v / ||v|| with the norm over all dims
+    except 0.  Vocoder checkpoints ship unfolded (hifigan.py, vocoder.py,
+    bigvgan.py all wrap convs in weight_norm).
+    """
+    out: Dict[str, Array] = {}
+    for k in sd:
+        if k.endswith(".weight_g"):
+            base = k[: -len(".weight_g")]
+            g = _np(sd[k]).astype(np.float64)
+            v = _np(sd[base + ".weight_v"]).astype(np.float64)
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+            out[base + ".weight"] = (g * v / norm).astype(np.float32)
+        elif k.endswith(".weight_v"):
+            continue
+        else:
+            out[k] = _np(sd[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vocoders
+# ---------------------------------------------------------------------------
+
+
+def convert_hifigan(sd: StateDict, n_ups: int = 4,
+                    n_resblocks_per_up: int = 3,
+                    n_convs: int = 3) -> Dict[str, Any]:
+    """reference hifigan.py:161-237 layout (weight-norm folded)."""
+    sd = fold_weight_norm(sd)
+    p: Dict[str, Any] = {
+        "conv_pre": _conv(sd, "conv_pre"),
+        "conv_post": _conv(sd, "conv_post"),
+        "ups": [_conv(sd, f"ups.{i}") for i in range(n_ups)],
+        "resblocks": [],
+    }
+    if "cond_layer.weight" in sd:
+        p["cond_layer"] = _conv(sd, "cond_layer")
+    for i in range(n_ups * n_resblocks_per_up):
+        p["resblocks"].append({
+            "convs1": [_conv(sd, f"resblocks.{i}.convs1.{j}")
+                       for j in range(n_convs)],
+            "convs2": [_conv(sd, f"resblocks.{i}.convs2.{j}")
+                       for j in range(n_convs)],
+        })
+    return p
+
+
+def convert_bigvgan(sd: StateDict, n_ups: int = 6, n_kernels: int = 3,
+                    n_convs: int = 3, resblock: str = "1") -> Dict[str, Any]:
+    """reference bigvgan.py:417-487 layout (weight-norm folded)."""
+    sd = fold_weight_norm(sd)
+
+    def snake(prefix: str) -> Dict[str, Array]:
+        p = {"alpha": _np(sd[prefix + ".act.alpha"])}
+        if prefix + ".act.beta" in sd:
+            p["beta"] = _np(sd[prefix + ".act.beta"])
+        return p
+
+    p: Dict[str, Any] = {
+        "conv_pre": _conv(sd, "conv_pre"),
+        "conv_post": _conv(sd, "conv_post"),
+        "ups": [_conv(sd, f"ups.{i}.0") for i in range(n_ups)],
+        "activation_post": snake("activation_post"),
+        "resblocks": [],
+    }
+    for i in range(n_ups * n_kernels):
+        if resblock == "1":
+            blk = {
+                "convs1": [_conv(sd, f"resblocks.{i}.convs1.{j}")
+                           for j in range(n_convs)],
+                "convs2": [_conv(sd, f"resblocks.{i}.convs2.{j}")
+                           for j in range(n_convs)],
+                "activations": [snake(f"resblocks.{i}.activations.{j}")
+                                for j in range(2 * n_convs)],
+            }
+        else:
+            blk = {
+                "convs": [_conv(sd, f"resblocks.{i}.convs.{j}")
+                          for j in range(2)],
+                "activations": [snake(f"resblocks.{i}.activations.{j}")
+                                for j in range(2)],
+            }
+        p["resblocks"].append(blk)
+    return p
+
+
+def convert_univnet(sd: StateDict, n_blocks: int = 3,
+                    n_dilations: int = 4) -> Dict[str, Any]:
+    """reference vocoder.py:227-267 layout (weight-norm folded)."""
+    sd = fold_weight_norm(sd)
+
+    def kp(prefix: str) -> Dict[str, Any]:
+        return {
+            "input_conv": _conv(sd, prefix + ".input_conv.0"),
+            "residual_convs": [
+                {"c1": _conv(sd, f"{prefix}.residual_convs.{j}.1"),
+                 "c2": _conv(sd, f"{prefix}.residual_convs.{j}.3")}
+                for j in range(3)],
+            "kernel_conv": _conv(sd, prefix + ".kernel_conv"),
+            "bias_conv": _conv(sd, prefix + ".bias_conv"),
+        }
+
+    return {
+        "conv_pre": _conv(sd, "conv_pre"),
+        "conv_post": _conv(sd, "conv_post.1"),
+        "res_stack": [{
+            "kernel_predictor": kp(f"res_stack.{i}.kernel_predictor"),
+            "convt_pre": _conv(sd, f"res_stack.{i}.convt_pre.1"),
+            "conv_blocks": [_conv(sd, f"res_stack.{i}.conv_blocks.{j}.1")
+                            for j in range(n_dilations)],
+        } for i in range(n_blocks)],
+    }
+
+
+# ---------------------------------------------------------------------------
+# DiffusionTTS — reference diffusion.py:1389-1465 state_dict layout
+# ---------------------------------------------------------------------------
+
+
+def _ts_res_block(sd: StateDict, prefix: str) -> Dict[str, Any]:
+    """diffusion ResBlock (in_layers.{0,2}, emb_layers.1, out_layers.{0,3})."""
+    return {
+        "in_norm": _norm(sd, prefix + ".in_layers.0"),
+        "in_conv": _conv(sd, prefix + ".in_layers.2"),
+        "emb": _lin(sd, prefix + ".emb_layers.1"),
+        "out_norm": _norm(sd, prefix + ".out_layers.0"),
+        "out_conv": _conv(sd, prefix + ".out_layers.3"),
+    }
+
+
+def _diffusion_layer(sd: StateDict, prefix: str) -> Dict[str, Any]:
+    return {
+        "resblk": _ts_res_block(sd, prefix + ".resblk"),
+        "attn": _attention_block(sd, prefix + ".attn"),
+    }
+
+
+def convert_diffusion(sd: StateDict, num_layers: int = 10) -> Dict[str, Any]:
+    return {
+        "inp_block": _conv(sd, "inp_block"),
+        "time_embed_0": _lin(sd, "time_embed.0"),
+        "time_embed_2": _lin(sd, "time_embed.2"),
+        "code_embedding": _emb(sd, "code_embedding"),
+        "code_converter": [_attention_block(sd, f"code_converter.{i}")
+                           for i in range(3)],
+        "code_norm": _norm(sd, "code_norm"),
+        "latent_conditioner_conv": _conv(sd, "latent_conditioner.0"),
+        "latent_conditioner_attn": [
+            _attention_block(sd, f"latent_conditioner.{i}")
+            for i in range(1, 5)],
+        "contextual_embedder_conv0": _conv(sd, "contextual_embedder.0"),
+        "contextual_embedder_conv1": _conv(sd, "contextual_embedder.1"),
+        "contextual_embedder_attn": [
+            _attention_block(sd, f"contextual_embedder.{i}")
+            for i in range(2, 7)],
+        "unconditioned_embedding": _np(sd["unconditioned_embedding"]),
+        "conditioning_timestep_integrator": [
+            _diffusion_layer(sd, f"conditioning_timestep_integrator.{i}")
+            for i in range(3)],
+        "integrating_conv": _conv(sd, "integrating_conv"),
+        "mel_head": _conv(sd, "mel_head"),
+        "layers": [_diffusion_layer(sd, f"layers.{i}")
+                   for i in range(num_layers)],
+        "final_res": [_ts_res_block(sd, f"layers.{num_layers + i}")
+                      for i in range(3)],
+        "out_norm": _norm(sd, "out.0"),
+        "out_conv": _conv(sd, "out.2"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # UnifiedVoice — reference unified_voice.py state_dict layout
 # ---------------------------------------------------------------------------

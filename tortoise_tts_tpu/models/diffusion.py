@@ -1,0 +1,222 @@
+"""DiffusionTTS denoiser — TPU-native (reference diffusion.py:1389-1574).
+
+The 10-layer DiffusionLayer trunk (+3 timestep ResBlocks) over 100-bin
+mel frames, with:
+- latent conditioner (AR hidden states -> code_emb) and discrete-code
+  converter paths (diffusion.py:1487-1515),
+- contextual embedder producing the 2048-d diffusion conditioning latent
+  (diffusion.py:1441-1485),
+- FiLM scale/shift from the conditioning latent (1492-1498),
+- classifier-free ``unconditioned_embedding`` branch (1448, 1533-1536).
+
+The trunk scans over stacked DiffusionLayer params; cond and cond-free
+branches are batched into one forward by the sampler (models/gaussian.py)
+instead of two sequential calls (reference diffusion.py:353-355).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .arch import attention_block, attention_block_init
+from .common import (conv1d, conv1d_init, embedding, embedding_init,
+                     group_norm, group_norm_init, interpolate_nearest,
+                     linear, linear_init, norm_groups, silu,
+                     sinusoidal_timestep_embedding)
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Reference defaults: diffusion.py:1390-1403."""
+    model_channels: int = 1024
+    num_layers: int = 10
+    in_channels: int = 100
+    in_latent_channels: int = 1024
+    in_tokens: int = 8193
+    out_channels: int = 200
+    num_heads: int = 16
+
+
+# ---------------------------------------------------------------------------
+# timestep-conditioned ResBlock (diffusion.py:1316-1376, scale-shift norm)
+# ---------------------------------------------------------------------------
+
+
+def _ts_res_block_init(key, channels: int, emb_channels: int,
+                       kernel_size: int = 3) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "in_norm": group_norm_init(channels),
+        "in_conv": conv1d_init(k1, channels, channels, 1),  # efficient_config
+        "emb": linear_init(k2, emb_channels, 2 * channels),
+        "out_norm": group_norm_init(channels),
+        "out_conv": conv1d_init(k3, channels, channels, kernel_size),
+    }
+
+
+def _ts_res_block(p: Params, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, C, T); emb: (B, C) -> (B, C, T). use_scale_shift_norm path."""
+    c = x.shape[1]
+    h = group_norm(p["in_norm"], x, norm_groups(c))
+    h = silu(h)
+    h = conv1d(p["in_conv"], h)
+    emb_out = linear(p["emb"], silu(emb))            # (B, 2C)
+    scale, shift = jnp.split(emb_out[..., None], 2, axis=1)
+    h = group_norm(p["out_norm"], h, norm_groups(c)) * (1 + scale) + shift
+    h = silu(h)
+    h = conv1d(p["out_conv"], h, padding=1)
+    return x + h
+
+
+def _diffusion_layer_init(key, channels: int, num_heads: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "resblk": _ts_res_block_init(k1, channels, channels),
+        "attn": attention_block_init(k2, channels, num_heads,
+                                     relative_pos_embeddings=True),
+    }
+
+
+def _diffusion_layer(p: Params, x: jnp.ndarray, time_emb: jnp.ndarray,
+                     num_heads: int) -> jnp.ndarray:
+    y = _ts_res_block(p["resblk"], x, time_emb)
+    return attention_block(p["attn"], y, num_heads)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: DiffusionConfig = DiffusionConfig()) -> Params:
+    C, H = cfg.model_channels, cfg.num_heads
+    ks = iter(jax.random.split(key, 48))
+    p: Params = {
+        "inp_block": conv1d_init(next(ks), cfg.in_channels, C, 3),
+        "time_embed_0": linear_init(next(ks), C, C),
+        "time_embed_2": linear_init(next(ks), C, C),
+        "code_embedding": embedding_init(next(ks), cfg.in_tokens, C, std=1.0),
+        "code_converter": [attention_block_init(next(ks), C, H, True)
+                           for _ in range(3)],
+        "code_norm": group_norm_init(C),
+        "latent_conditioner_conv": conv1d_init(next(ks), cfg.in_latent_channels, C, 3),
+        "latent_conditioner_attn": [attention_block_init(next(ks), C, H, True)
+                                    for _ in range(4)],
+        "contextual_embedder_conv0": conv1d_init(next(ks), cfg.in_channels, C, 3),
+        "contextual_embedder_conv1": conv1d_init(next(ks), C, 2 * C, 3),
+        "contextual_embedder_attn": [attention_block_init(next(ks), 2 * C, H, True)
+                                     for _ in range(5)],
+        "unconditioned_embedding": jax.random.normal(next(ks), (1, C, 1)),
+        "conditioning_timestep_integrator": [
+            _diffusion_layer_init(next(ks), C, H) for _ in range(3)],
+        "integrating_conv": conv1d_init(next(ks), 2 * C, C, 1),
+        "mel_head": conv1d_init(next(ks), C, cfg.in_channels, 3),
+        "layers": [_diffusion_layer_init(next(ks), C, H)
+                   for _ in range(cfg.num_layers)],
+        "final_res": [_ts_res_block_init(next(ks), C, C) for _ in range(3)],
+        "out_norm": group_norm_init(C),
+        "out_conv": conv1d_init(next(ks), C, cfg.out_channels, 3),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# conditioning paths
+# ---------------------------------------------------------------------------
+
+
+def get_conditioning(p: Params, cond_mels: jnp.ndarray,
+                     cfg: DiffusionConfig = DiffusionConfig()) -> jnp.ndarray:
+    """contextual_embedder over 100-bin mels (diffusion.py:1477-1485).
+
+    cond_mels: (B, N, 100, T) or (B, 100, T) -> (B, 2C).
+    Multiple clips are *concatenated along time* then mean-pooled
+    (reference cats conds on dim=-1 then means over it).
+    """
+    if cond_mels.ndim == 3:
+        cond_mels = cond_mels[:, None]
+    b, n = cond_mels.shape[:2]
+    flat = cond_mels.reshape((b * n,) + cond_mels.shape[2:])
+    h = conv1d(p["contextual_embedder_conv0"], flat, stride=2, padding=1)
+    h = conv1d(p["contextual_embedder_conv1"], h, stride=2, padding=1)
+    for a in p["contextual_embedder_attn"]:
+        h = attention_block(a, h, cfg.num_heads)
+    h = h.reshape(b, n, h.shape[1], h.shape[2])
+    h = jnp.transpose(h, (0, 2, 1, 3)).reshape(b, h.shape[2], -1)
+    return h.mean(axis=-1)
+
+
+def timestep_independent(p: Params, aligned: jnp.ndarray,
+                         conditioning_latent: jnp.ndarray,
+                         expected_seq_len: int,
+                         cfg: DiffusionConfig = DiffusionConfig(),
+                         is_latent: bool = True,
+                         return_code_pred: bool = False):
+    """Precompute the timestep-independent code embedding
+    (diffusion.py:1487-1515).
+
+    aligned: (B, T, 1024) AR latents (is_latent) or (B, T) int codes.
+    conditioning_latent: (B, 2C) from get_conditioning.
+    """
+    if is_latent:
+        h = jnp.transpose(aligned, (0, 2, 1))
+        h = conv1d(p["latent_conditioner_conv"], h, padding=1)
+        for a in p["latent_conditioner_attn"]:
+            h = attention_block(a, h, cfg.num_heads)
+    else:
+        h = jnp.transpose(embedding(p["code_embedding"], aligned), (0, 2, 1))
+        for a in p["code_converter"]:
+            h = attention_block(a, h, cfg.num_heads)
+    scale, shift = jnp.split(conditioning_latent, 2, axis=1)
+    h = group_norm(p["code_norm"], h, norm_groups(h.shape[1]))
+    h = h * (1 + scale[..., None]) + shift[..., None]
+    h = interpolate_nearest(h, expected_seq_len)
+    if return_code_pred:
+        return h, conv1d(p["mel_head"], h, padding=1)
+    return h
+
+
+def unconditioned_embedding(p: Params, batch: int, seq_len: int) -> jnp.ndarray:
+    """cond-free branch code_emb (diffusion.py:1533-1536)."""
+    return jnp.broadcast_to(p["unconditioned_embedding"],
+                            (batch, p["unconditioned_embedding"].shape[1],
+                             seq_len))
+
+
+# ---------------------------------------------------------------------------
+# denoiser forward
+# ---------------------------------------------------------------------------
+
+
+def forward(p: Params, x: jnp.ndarray, timesteps: jnp.ndarray,
+            code_emb: jnp.ndarray,
+            cfg: DiffusionConfig = DiffusionConfig()) -> jnp.ndarray:
+    """x: (B, 100, T); timesteps: (B,) *original-schedule* values;
+    code_emb: (B, C, T) from timestep_independent / unconditioned_embedding.
+    Returns (B, 200, T) [mean | variance-values].
+    """
+    C = cfg.model_channels
+    time_emb = sinusoidal_timestep_embedding(timesteps, C).astype(x.dtype)
+    time_emb = linear(p["time_embed_2"], silu(linear(p["time_embed_0"], time_emb)))
+
+    h = code_emb
+    for lyr in p["conditioning_timestep_integrator"]:
+        h = _diffusion_layer(lyr, h, time_emb, cfg.num_heads)
+    xh = conv1d(p["inp_block"], x, padding=1)
+    xh = jnp.concatenate([xh, h], axis=1)
+    xh = conv1d(p["integrating_conv"], xh)
+    for lyr in p["layers"]:
+        xh = _diffusion_layer(lyr, xh, time_emb, cfg.num_heads)
+    for rb in p["final_res"]:
+        xh = _ts_res_block(rb, xh, time_emb)
+    xh = xh.astype(jnp.float32)
+    out = group_norm(p["out_norm"], xh, norm_groups(C))
+    out = silu(out)
+    return conv1d(p["out_conv"], out, padding=1)
