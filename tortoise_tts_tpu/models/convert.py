@@ -263,6 +263,115 @@ def convert_diffusion(sd: StateDict, num_layers: int = 10) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# CLVP — reference clvp.py + xtransformers checkpoint layout
+# ---------------------------------------------------------------------------
+
+
+def _clvp_tower(sd: StateDict, prefix: str, depth: int) -> Dict[str, Any]:
+    """CheckpointedXTransformerEncoder layout: layers alternate attention
+    (even idx) / feedforward (odd idx); blocks sit under `.1.wrap.`
+    (arch_utils.py:414-437 CheckpointedLayer wrapping)."""
+    t = prefix + ".transformer"
+    layers = []
+    for i in range(depth):
+        a, f = 2 * i, 2 * i + 1
+        la = f"{t}.attn_layers.layers.{a}"
+        lf = f"{t}.attn_layers.layers.{f}"
+        wrap_a = f"{la}.1.wrap" if f"{la}.1.wrap.to_q.weight" in sd else f"{la}.1"
+        wrap_f = f"{lf}.1.wrap" if f"{lf}.1.wrap.net.0.proj.weight" in sd else f"{lf}.1"
+        layers.append({
+            "attn_norm": {"scale": _np(sd[f"{la}.0.0.g"])},
+            "to_q": _lin(sd, wrap_a + ".to_q"),
+            "to_k": _lin(sd, wrap_a + ".to_k"),
+            "to_v": _lin(sd, wrap_a + ".to_v"),
+            "to_out": _lin(sd, wrap_a + ".to_out"),
+            "ff_norm": {"scale": _np(sd[f"{lf}.0.0.g"])},
+            "ff_proj": _lin(sd, wrap_f + ".net.0.proj"),
+            "ff_out": _lin(sd, wrap_f + ".net.3"),
+        })
+    return {"layers": layers, "final_norm": _norm(sd, t + ".norm")}
+
+
+def convert_clvp(sd: StateDict, depth: int = 20) -> Dict[str, Any]:
+    return {
+        "text_emb": _emb(sd, "text_emb"),
+        "speech_emb": _emb(sd, "speech_emb"),
+        "to_text_latent": _lin(sd, "to_text_latent"),
+        "to_speech_latent": _lin(sd, "to_speech_latent"),
+        "text_transformer": _clvp_tower(sd, "text_transformer", depth),
+        "speech_transformer": _clvp_tower(sd, "speech_transformer", depth),
+        "temperature": _np(sd["temperature"]).reshape(()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DVAE — reference dvae.py:116-220 (default 2-layer config)
+# ---------------------------------------------------------------------------
+
+
+def _dvae_res(sd: StateDict, prefix: str) -> Dict[str, Any]:
+    return {"c1": _conv(sd, prefix + ".net.0"),
+            "c2": _conv(sd, prefix + ".net.2"),
+            "c3": _conv(sd, prefix + ".net.4")}
+
+
+def convert_dvae(sd: StateDict, num_layers: int = 2,
+                 num_resnet_blocks: int = 3) -> Dict[str, Any]:
+    n = num_layers
+    r = num_resnet_blocks
+    return {
+        "enc_convs": [_conv(sd, f"encoder.{i}.0") for i in range(n)],
+        "enc_res": [_dvae_res(sd, f"encoder.{n + i}") for i in range(r)],
+        "enc_out": _conv(sd, f"encoder.{n + r}"),
+        "dec_in": _conv(sd, "decoder.0"),
+        "dec_res": [_dvae_res(sd, f"decoder.{1 + i}") for i in range(r)],
+        "dec_convs": [_conv(sd, f"decoder.{1 + r + i}.0.conv")
+                      for i in range(n)],
+        "dec_out": _conv(sd, f"decoder.{1 + r + n}"),
+        "codebook": {"embed": _np(sd["codebook.embed"]),
+                     "cluster_size": _np(sd["codebook.cluster_size"]),
+                     "embed_avg": _np(sd["codebook.embed_avg"])},
+    }
+
+
+# ---------------------------------------------------------------------------
+# RandomLatentConverter / classifier
+# ---------------------------------------------------------------------------
+
+
+def convert_rlg(sd: StateDict) -> Dict[str, Any]:
+    return {
+        "equal_linears": [{"w": _np(sd[f"layers.{i}.weight"]),
+                           "b": _np(sd[f"layers.{i}.bias"])}
+                          for i in range(5)],
+        "final": _lin(sd, "layers.5"),
+    }
+
+
+def convert_classifier(sd: StateDict, depth: int = 2, resnet_blocks: int = 2,
+                       attn_blocks: int = 4) -> Dict[str, Any]:
+    res = []
+    idx = 0
+    for _ in range(depth):
+        for _ in range(resnet_blocks):
+            res.append({"res": _res_block_arch(sd, f"enc.res.{idx}")})
+            idx += 1
+        res.append({"down": {"op": _conv(sd, f"enc.res.{idx}.op")}})
+        idx += 1
+    return {
+        "enc": {
+            "init": _conv(sd, "enc.init.0"),
+            "res": res,
+            "final_norm": _norm(sd, "enc.final.0"),
+            "final_conv": _conv(sd, "enc.final.2"),
+            "attn": [_attention_block(sd, f"enc.attn.{i}")
+                     for i in range(attn_blocks)],
+        },
+        "head": _lin(sd, "head"),
+    }
+
+
+# ---------------------------------------------------------------------------
 # UnifiedVoice — reference unified_voice.py state_dict layout
 # ---------------------------------------------------------------------------
 
