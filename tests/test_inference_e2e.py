@@ -1,0 +1,160 @@
+"""End-to-end pipeline smoke: text + reference wav -> waveform.
+
+Uses tiny random-weight models (CPU-runnable) wired through the real TTS
+orchestration — covers tokenize -> encode_audio -> AR decode -> cleanup ->
+latent pass -> diffusion -> vocoder for all three vocoder routes, plus
+the voice-less RLG path and CLVP candidate reranking.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tortoise_tts_tpu.config import Config, Inference
+from tortoise_tts_tpu.inference import TTS
+from tortoise_tts_tpu.models import (LoadedModel, clvp as clvp_m,
+                                     diffusion as diff_m, dvae as dvae_m,
+                                     hifigan as hg, rlg as rlg_m,
+                                     unified_voice as uv_m,
+                                     _bigvgan_random, _hifigan_random,
+                                     _univnet_random)
+from tortoise_tts_tpu.models.bigvgan import BigVGANConfig
+from tortoise_tts_tpu.models.hifigan import HifiganConfig
+from tortoise_tts_tpu.models.univnet import UnivNetConfig
+from tortoise_tts_tpu.utils.io import write_wav
+
+D = 64  # tiny model width
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 12)
+    ar_cfg = uv_m.UnifiedVoiceConfig(layers=2, model_dim=D, heads=4,
+                                     max_text_tokens=80, max_mel_tokens=64)
+    d_cfg = diff_m.DiffusionConfig(model_channels=D, num_layers=2,
+                                   in_latent_channels=D, num_heads=4)
+    hg_cfg = HifiganConfig(in_channels=D, upsample_initial_channel=64,
+                           cond_channels=D)
+    bv_cfg = BigVGANConfig(upsample_initial_channel=64)
+    un_cfg = UnivNetConfig(noise_dim=16, channel_size=8)
+    cl_cfg = clvp_m.CLVPConfig(dim_text=32, dim_speech=32, dim_latent=32,
+                               text_enc_depth=1, speech_enc_depth=1,
+                               text_heads=2, speech_heads=2, dim_head=16,
+                               rotary_dim=16)
+    dv_cfg = dvae_m.DVAEConfig(num_tokens=8192, codebook_dim=32,
+                               hidden_dim=32)
+    return {
+        "autoregressive": LoadedModel(
+            "autoregressive", uv_m, ar_cfg, uv_m.init(ks[0], ar_cfg), False),
+        "diffusion": LoadedModel(
+            "diffusion", diff_m, d_cfg, diff_m.init(ks[1], d_cfg), False),
+        "hifigan": LoadedModel(
+            "hifigan", hg, hg_cfg, _hifigan_random(ks[2], hg_cfg), False),
+        "bigvgan": LoadedModel(
+            "bigvgan", __import__("tortoise_tts_tpu.models.bigvgan",
+                                  fromlist=["x"]),
+            bv_cfg, _bigvgan_random(ks[3], bv_cfg), False),
+        "vocoder": LoadedModel(
+            "vocoder", __import__("tortoise_tts_tpu.models.univnet",
+                                  fromlist=["x"]),
+            un_cfg, _univnet_random(ks[4], un_cfg), False),
+        "clvp": LoadedModel(
+            "clvp", clvp_m, cl_cfg, clvp_m.init(ks[5], cl_cfg), False),
+        "dvae": LoadedModel(
+            "dvae", dvae_m, dv_cfg, dvae_m.init(ks[6], dv_cfg), False),
+        "rlg_auto": LoadedModel(
+            "rlg_auto", rlg_m, D, rlg_m.init(ks[7], D), False),
+        "rlg_diffuser": LoadedModel(
+            "rlg_diffuser", rlg_m, 2 * D, rlg_m.init(ks[8], 2 * D), False),
+    }
+
+
+@pytest.fixture()
+def tts(tiny_models, monkeypatch, tmp_path):
+    cfg = Config(inference=Inference(weight_dtype="float32",
+                                     text_buckets=(32, 80)))
+    t = TTS(config=cfg, dtype="float32")
+    t._models = dict(tiny_models)
+    # route the emb.mel pipeline through the tiny models too
+    from tortoise_tts_tpu.emb import mel as emb_mel
+    monkeypatch.setattr(emb_mel, "load_model",
+                        lambda name, dtype="float32": tiny_models[name])
+    return t
+
+
+@pytest.fixture(scope="module")
+def ref_wav(tmp_path_factory):
+    path = tmp_path_factory.mktemp("wavs") / "ref.wav"
+    t = np.arange(22050) / 22050.0
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    write_wav(path, wav, 22050)
+    return str(path)
+
+
+def _check(wav, sr):
+    assert sr == 24_000
+    assert wav.ndim == 1 and wav.shape[0] > 1000
+    assert np.isfinite(wav).all()
+
+
+def test_e2e_bigvgan(tts, ref_wav, tmp_path):
+    out = tmp_path / "out.wav"
+    wav, sr = tts.inference("hello world", ref_wav, max_ar_steps=24,
+                            max_diffusion_steps=4, seed=0, out_path=out,
+                            vocoder_type="bigvgan")
+    _check(wav, sr)
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_e2e_univnet(tts, ref_wav):
+    wav, sr = tts.inference("hi there", ref_wav, max_ar_steps=16,
+                            max_diffusion_steps=4, seed=1,
+                            vocoder_type="vocoder")
+    _check(wav, sr)
+
+
+def test_e2e_hifigan_streaming(tts, ref_wav):
+    wav, sr = tts.inference("streaming test", ref_wav, max_ar_steps=16,
+                            seed=2, vocoder_type="hifigan")
+    _check(wav, sr)
+
+
+def test_e2e_voiceless(tts):
+    wav, sr = tts.inference("no reference voice", None, max_ar_steps=16,
+                            max_diffusion_steps=4, seed=3)
+    _check(wav, sr)
+
+
+def test_e2e_candidates_clvp(tts, ref_wav):
+    wav, sr = tts.inference("pick the best", ref_wav, max_ar_steps=16,
+                            max_diffusion_steps=4, seed=4, candidates=3)
+    _check(wav, sr)
+
+
+def test_e2e_p_sampler_no_cond_free(tts, ref_wav):
+    wav, sr = tts.inference("p sampler", ref_wav, max_ar_steps=16,
+                            max_diffusion_steps=4, seed=5,
+                            diffusion_sampler="p", cond_free=False)
+    _check(wav, sr)
+
+
+def test_cleanup_codes_semantics():
+    codes = np.array([[5, 6, 8193, 7, 8193, 9, 9, 9]])
+    lengths = np.array([2])
+    out = TTS.cleanup_codes(codes, lengths)
+    # L = 3; stops at idx 2 -> calm; tail set
+    assert out.shape[1] == 3
+    assert list(out[0]) == [45, 45, 248]
+    codes2 = np.array([[5, 6, 7, 8193, 9, 9, 9, 9]])
+    out2 = TTS.cleanup_codes(codes2, np.array([3]))
+    assert list(out2[0]) == [5, 45, 45, 248] or out2.shape[1] == 4
+
+
+def test_trim_latents_at_calm():
+    lat = np.zeros((1, 20, 4))
+    codes = np.full((20,), 83)
+    codes[:5] = 1
+    out = TTS.trim_latents_at_calm(codes, lat)
+    assert out.shape[1] == 13  # 5 + 8 calm tokens, trimmed at count>8

@@ -1,0 +1,326 @@
+"""TTS inference API (capability-parity with reference inference.py).
+
+Pipeline per line of text (reference call stack, SURVEY §3.1):
+  tokenize -> AR decode (jitted prefill+while_loop, fixed text bucket)
+  -> stop-token cleanup (calm-token constants, inference.py:353-366)
+  -> full-seq latent pass (return_latent) -> calm-token latent trim
+  -> diffusion (DDIM/P lax.scan, cond-free guidance batched)
+  -> denormalize -> vocoder {bigvgan | vocoder(univnet) | hifigan-stream}
+
+TPU-first design: every jitted shape is bucketed (text buckets, decode
+budget, optional diffusion frame rounding) so repeated calls hit the
+compile cache; all host<->device traffic is the small token/latent
+arrays.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .emb import mel as emb_mel
+from .models import load_model
+from .models import gaussian
+from .models.unified_voice import DecodeResult, forward as uv_forward, \
+    inference_speech
+from .ops.sampling import SamplingConfig
+from .ops.stft import denormalize_tacotron_mel
+from .tokenizer import VoiceBpeTokenizer
+from .utils.io import write_wav
+
+_logger = logging.getLogger(__name__)
+
+CALM_TOKEN = 83          # inference.py:231
+TAIL_TOKENS = (45, 45, 248)  # inference.py:363-366
+
+
+class TTS:
+    """User-facing inference API (reference TTS, inference.py:34-424)."""
+
+    def __init__(self, config: Optional[Config | str | Path] = None,
+                 lora=None, device=None, amp=None, dtype: Optional[str] = None,
+                 attention=None):
+        if isinstance(config, (str, Path)):
+            config = Config.load(config)
+        self.cfg = config or Config()
+        self.dtype = dtype or self.cfg.inference.weight_dtype
+        self.tokenizer = VoiceBpeTokenizer()
+        self.lora = lora
+        self._models = {}
+
+    def _model(self, name: str):
+        if name not in self._models:
+            self._models[name] = load_model(name, self.dtype)
+        return self._models[name]
+
+    # ------------------------------------------------------------------
+    def encode_text(self, text: str) -> np.ndarray:
+        return np.asarray(self.tokenizer.encode(text), dtype=np.int32)
+
+    def encode_audio(self, paths: str | Sequence[str | Path],
+                     seed: Optional[int] = None):
+        if isinstance(paths, str):
+            paths = [Path(p) for p in paths.split(";")]
+        rng = np.random.RandomState(seed)
+        return emb_mel.encode_from_files(paths, dtype=self.dtype, rng=rng)
+
+    def _bucket_text(self, tokens: np.ndarray) -> np.ndarray:
+        buckets = self.cfg.inference.text_buckets
+        n = tokens.shape[-1]
+        for b in buckets:
+            if n <= b:
+                return np.pad(tokens, (0, b - n))
+        return tokens[:buckets[-1]]
+
+    # ------------------------------------------------------------------
+    def inference(
+        self,
+        text: str,
+        references: Optional[str | Sequence[str | Path]] = None,
+        max_ar_steps: int = 500,
+        max_diffusion_steps: int = 80,
+        ar_temp: float = 0.8,
+        diffusion_temp: float = 1.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        length_penalty: float = 1.0,
+        beam_width: int = 1,
+        typical_sampling: bool = False,
+        typical_mass: float = 0.9,
+        diffusion_sampler: str = "ddim",
+        cond_free: bool = True,
+        vocoder_type: str = "bigvgan",
+        candidates: int = 1,
+        seed: Optional[int] = None,
+        out_path: Optional[str | Path] = None,
+        diffusion_pad_multiple: int = 0,
+    ) -> Tuple[np.ndarray, int]:
+        """Full pipeline; returns (wav float32 (T,), 24000)."""
+        seed = int(time.time()) if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        sr = 24_000
+
+        ar = self._model("autoregressive")
+        # conditioning latents
+        if references is not None:
+            enc = self.encode_audio(references, seed=seed)
+            ar_latent, diff_latent = enc["latent"]
+        else:
+            # voice-less generation via random-latent converters
+            # (models/__init__.py:97-103 rlg_auto / rlg_diffuser)
+            from .models import rlg as rlg_m
+            k1, k2, key = jax.random.split(key, 3)
+            rga = self._model("rlg_auto")
+            rgd = self._model("rlg_diffuser")
+            ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
+            diff_latent = rlg_m.sample(rgd.params, k2, 1, int(rgd.config))
+
+        sampling = SamplingConfig(
+            temperature=ar_temp, top_k=top_k, top_p=top_p,
+            typical_mass=typical_mass if typical_sampling else 0.0,
+            repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty, beam_width=beam_width)
+
+        wavs = []
+        for line in text.split("\n"):
+            if not line.strip():
+                continue
+            key, sub = jax.random.split(key)
+            if vocoder_type == "hifigan":
+                chunks = list(self._stream_line(
+                    line, ar_latent, sampling, max_ar_steps, sub))
+                wav = np.concatenate(chunks, axis=-1)
+            else:
+                wav = self._infer_line(
+                    line, ar_latent, diff_latent, sampling, max_ar_steps,
+                    max_diffusion_steps, diffusion_temp, diffusion_sampler,
+                    cond_free, vocoder_type, candidates, sub,
+                    diffusion_pad_multiple)
+            wavs.append(wav)
+
+        wav = np.concatenate(wavs, axis=-1)
+        if out_path is not None:
+            write_wav(out_path, wav, sr)
+        return wav, sr
+
+    # ------------------------------------------------------------------
+    def _decode_codes(self, line: str, ar_latent, sampling: SamplingConfig,
+                      max_ar_steps: int, key, candidates: int = 1,
+                      collect_latents: bool = False) -> DecodeResult:
+        ar = self._model("autoregressive")
+        tokens = self._bucket_text(self.encode_text(line))[None]
+        if candidates > 1:
+            tokens = np.repeat(tokens, candidates, axis=0)
+        lengths = np.minimum(
+            np.full((tokens.shape[0],), len(self.encode_text(line))),
+            tokens.shape[1])
+        lat = jnp.broadcast_to(jnp.asarray(ar_latent),
+                               (tokens.shape[0], ar_latent.shape[-1]))
+        return inference_speech(
+            ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths), key,
+            ar.config, sampling, max_length=max_ar_steps,
+            collect_latents=collect_latents), tokens, lengths
+
+    @staticmethod
+    def cleanup_codes(codes: np.ndarray, lengths: np.ndarray,
+                      stop_token: int = 8193) -> np.ndarray:
+        """Stop-token cleanup (inference.py:353-366): stops -> calm token,
+        everything past the first stop -> calm, last 3 -> fixed tail."""
+        L = min(int(lengths.max()) + 1, codes.shape[1])
+        codes = np.array(codes[:, :L])
+        for i in range(codes.shape[0]):
+            stops = np.nonzero(codes[i] == stop_token)[0]
+            if len(stops) == 0:
+                continue
+            stm = int(stops.min())
+            codes[i][stops] = CALM_TOKEN
+            codes[i][stm:] = CALM_TOKEN
+            codes[i][-3:] = TAIL_TOKENS
+        return codes
+
+    @staticmethod
+    def trim_latents_at_calm(codes_row: np.ndarray, latents: np.ndarray,
+                             breathing_room: int = 8) -> np.ndarray:
+        """Trim latents where >8 consecutive calm tokens begin
+        (inference.py:381-389)."""
+        calm = 0
+        for k in range(codes_row.shape[-1]):
+            calm = calm + 1 if int(codes_row[k]) == CALM_TOKEN else 0
+            if calm > breathing_room:
+                return latents[:, :k]
+        return latents
+
+    def _infer_line(self, line, ar_latent, diff_latent, sampling,
+                    max_ar_steps, max_diffusion_steps, diffusion_temp,
+                    diffusion_sampler, cond_free, vocoder_type, candidates,
+                    key, diffusion_pad_multiple) -> np.ndarray:
+        ar = self._model("autoregressive")
+        diffusion = self._model("diffusion")
+        k_ar, k_noise, k_diff, k_voc = jax.random.split(key, 4)
+
+        res, tokens, text_lengths = self._decode_codes(
+            line, ar_latent, sampling, max_ar_steps, k_ar,
+            candidates=candidates)
+        codes = self.cleanup_codes(np.asarray(res.codes),
+                                   np.asarray(res.lengths),
+                                   ar.config.stop_mel_token)
+        L = codes.shape[1]
+
+        # CLVP rerank (inference.py:392-396)
+        if candidates > 1:
+            clvp = self._model("clvp")
+            scores = clvp.module.forward(
+                clvp.params, jnp.asarray(tokens), jnp.asarray(codes),
+                clvp.config)
+            best = int(jnp.argmax(scores))
+            codes = codes[best:best + 1]
+            tokens = tokens[best:best + 1]
+            text_lengths = text_lengths[best:best + 1]
+
+        # latent pass over [cond, text, codes] (inference.py:371-379)
+        pad_codes = np.pad(codes, ((0, 0), (0, max_ar_steps - L)),
+                           constant_values=ar.config.stop_mel_token)
+        wav_lengths = np.full((codes.shape[0],),
+                              L * ar.config.mel_length_compression)
+        latents = uv_forward(
+            ar.params, jnp.broadcast_to(jnp.asarray(ar_latent),
+                                        (codes.shape[0],
+                                         ar_latent.shape[-1])),
+            jnp.asarray(tokens[:codes.shape[0]]),
+            jnp.asarray(text_lengths[:codes.shape[0]]),
+            jnp.asarray(pad_codes), jnp.asarray(wav_lengths),
+            ar.config, return_latent=True)
+        latents = np.asarray(latents[:, :L].astype(jnp.float32))
+        latents = self.trim_latents_at_calm(codes[0], latents)
+
+        # diffusion (inference.py:398-413)
+        t_lat = latents.shape[1]
+        if diffusion_pad_multiple > 1:
+            pad_t = (-t_lat) % diffusion_pad_multiple
+            if pad_t:
+                latents = np.concatenate(
+                    [latents, np.repeat(latents[:, -1:], pad_t, axis=1)],
+                    axis=1)
+        output_seq_len = latents.shape[1] * 4 * 24000 // 22050
+        exact_seq_len = t_lat * 4 * 24000 // 22050
+
+        sched = gaussian.get_schedule(steps=max_diffusion_steps,
+                                      cond_free=cond_free)
+        dmod, dparams, dcfg = (diffusion.module, diffusion.params,
+                               diffusion.config)
+        b = latents.shape[0]
+        pre = dmod.timestep_independent(
+            dparams, jnp.asarray(latents, dtype=jnp.float32),
+            jnp.broadcast_to(jnp.asarray(diff_latent, dtype=jnp.float32),
+                             (b, diff_latent.shape[-1])),
+            output_seq_len, dcfg)
+        if cond_free:
+            uncond = dmod.unconditioned_embedding(dparams, b, output_seq_len)
+            code_emb = jnp.concatenate([pre.astype(jnp.float32),
+                                        uncond.astype(jnp.float32)], axis=0)
+        else:
+            code_emb = pre.astype(jnp.float32)
+
+        noise = jax.random.normal(
+            k_noise, (b, 100, output_seq_len)) * diffusion_temp
+        mel = gaussian.sample_loop(
+            lambda x, ts: dmod.forward(dparams, x, ts, code_emb, dcfg),
+            noise, k_diff, sched, sampler=diffusion_sampler)
+        mel = denormalize_tacotron_mel(mel)[:, :, :exact_seq_len]
+
+        # vocoder (inference.py:415-417)
+        voc = self._model("bigvgan" if vocoder_type == "bigvgan"
+                          else "vocoder")
+        if vocoder_type == "bigvgan":
+            wav = voc.module.inference(voc.params, mel, voc.config)
+        else:
+            wav = voc.module.inference(voc.params, mel, key=k_voc,
+                                       cfg=voc.config)
+        return np.asarray(wav[0, 0])
+
+    # ------------------------------------------------------------------
+    def _stream_line(self, line, ar_latent, sampling, max_ar_steps, key,
+                     stream_chunk_size: int = 40, first_buffer: int = 60,
+                     overlap_wav_len: int = 1024) -> Iterator[np.ndarray]:
+        """HiFiGAN streaming route (inference.py:250-329): decode with
+        latent collection, vocode in growing chunks with linear crossfade.
+        """
+        voc = self._model("hifigan")
+        res, _, _ = self._decode_codes(line, ar_latent, sampling,
+                                       max_ar_steps, key,
+                                       collect_latents=True)
+        n = int(np.asarray(res.lengths)[0])
+        n = max(n, 1)
+        latents = np.asarray(res.latents[:, :n].astype(jnp.float32))
+        g = jnp.broadcast_to(jnp.asarray(ar_latent, dtype=jnp.float32),
+                             (1, ar_latent.shape[-1]))
+
+        wav_gen_prev, wav_overlap = None, None
+        pos, first = 0, first_buffer
+        while pos < n:
+            pos = min(n, pos + max(stream_chunk_size, first))
+            first = 0
+            chunk_lat = jnp.asarray(latents[:, :pos])
+            wav_gen = np.asarray(voc.module.inference(
+                voc.params, chunk_lat, g, voc.config))[0, 0]
+            wav_chunk = wav_gen[:-overlap_wav_len]
+            if wav_gen_prev is not None:
+                wav_chunk = wav_gen[
+                    wav_gen_prev.shape[0] - overlap_wav_len:-overlap_wav_len]
+            if wav_overlap is not None and len(wav_chunk) >= overlap_wav_len:
+                ramp = np.linspace(0.0, 1.0, overlap_wav_len,
+                                   dtype=np.float32)
+                cross = wav_chunk[:overlap_wav_len] * ramp
+                wav_chunk = np.array(wav_chunk)
+                wav_chunk[:overlap_wav_len] = wav_overlap * ramp[::-1] + cross
+            wav_overlap = wav_gen[-overlap_wav_len:]
+            wav_gen_prev = wav_gen
+            yield wav_chunk
