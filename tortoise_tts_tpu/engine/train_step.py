@@ -1,0 +1,167 @@
+"""Pure jitted train steps (reference Engines.step + train.py feeders).
+
+Each ``make_*_train_step`` returns a jitted ``(state, batch, rng) ->
+(state, metrics)`` with donated state.  Data parallelism comes from jit
++ NamedSharding on the batch (GSPMD inserts the gradient psum — the
+DDP/ZeRO replacement, SURVEY §2.3); tensor parallelism from the
+param shardings in parallel/mesh.py.
+
+Batch layout for the AR step (reference train_feeder, train.py:35-63):
+    latents (B, D) — precomputed AR conditioning latents,
+    text (B, Tt) int32 stop-padded, text_lengths (B,),
+    codes (B, Tm) int32, wav_lengths (B,).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import gaussian
+from ..models import unified_voice as uv
+from ..models.lora import apply_lora
+from .state import TrainState
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
+                       tx: optax.GradientTransformation,
+                       remat: bool = True,
+                       lora_cfg=None,
+                       base_params=None,
+                       in_shardings=None,
+                       donate: bool = True):
+    """AR (UnifiedVoice) train step.
+
+    When ``lora_cfg`` is given, ``state.params`` is the LoRA tree and
+    ``base_params`` the frozen full model (reference LoRA training mode,
+    engines/__init__.py:102-104 + lora freeze).
+    """
+
+    def loss_fn(trainable, batch):
+        if lora_cfg is not None:
+            params = apply_lora(base_params, trainable, lora_cfg.alpha,
+                                lora_cfg.rank)
+        else:
+            params = trainable
+        cond = uv.get_conditioning(params, batch["cond_mels"], cfg) \
+            if "cond_mels" in batch else batch["latents"]
+        lt, lm, _ = uv.forward(params, cond, batch["text"],
+                               batch["text_lengths"], batch["codes"],
+                               batch["wav_lengths"], cfg, remat=remat)
+        # feeder sums the loss dict (train.py:56-57)
+        return lt + lm, {"loss.text": lt, "loss.mel": lm}
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Metrics]:
+        (loss, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        b = batch["text"].shape[0]
+        tokens = jnp.sum(batch["text_lengths"]) + jnp.sum(
+            batch["wav_lengths"] // cfg.mel_length_compression)
+        new = TrainState(params, opt_state, state.step + 1,
+                         state.samples_processed + b,
+                         state.tokens_processed + tokens)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   **parts}
+        return new, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   in_shardings=in_shardings)
+
+
+def make_diffusion_train_step(cfg, tx, sched: gaussian.DiffusionSchedule,
+                              donate: bool = True):
+    """Diffusion decoder training (reference trains via
+    GaussianDiffusion.training_losses, diffusion.py:847-933).
+
+    Batch: mel (B, 100, T) normalized targets, latents (B, Tl, 1024),
+    conditioning_latents (B, 2C), rng for t/noise.
+    """
+    from ..models import diffusion as dtts
+
+    def loss_fn(params, batch, rng):
+        k_t, k_n = jax.random.split(rng)
+        x_start = batch["mel"]
+        b = x_start.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, sched.num_timesteps)
+        noise = jax.random.normal(k_n, x_start.shape, x_start.dtype)
+        x_t = gaussian.q_sample(x_start, t, noise, sched)
+        code_emb = dtts.timestep_independent(
+            params, batch["latents"], batch["conditioning_latents"],
+            x_start.shape[-1], cfg)
+        t_orig = jnp.asarray(sched.timestep_map)[t]
+        out = dtts.forward(params, x_t, t_orig, code_emb, cfg)
+        terms = gaussian.training_losses(out, x_start, x_t, t, noise, sched)
+        return terms["loss"].mean(), {"loss.mse": terms["mse"].mean(),
+                                      "loss.vb": terms["vb"].mean()}
+
+    def step(state: TrainState, batch, rng):
+        (loss, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new = TrainState(params, opt_state, state.step + 1,
+                         state.samples_processed + batch["mel"].shape[0],
+                         state.tokens_processed)
+        return new, {"loss": loss, "grad_norm": optax.global_norm(grads),
+                     **parts}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_dvae_train_step(cfg, tx, donate: bool = True):
+    """DVAE training: recon + commitment losses with the EMA codebook
+    update applied out-of-gradient (dvae.py:281-302)."""
+    from ..models import dvae as dvae_m
+
+    def loss_fn(params, batch):
+        recon_loss, commit, recon, codes, new_vq = dvae_m.forward(
+            params, batch["mel"], cfg, training=True)
+        return recon_loss.mean() + commit, (commit, new_vq)
+
+    def step(state: TrainState, batch):
+        (loss, (commit, new_vq)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        # codebook buffers are EMA-updated, not grad-updated: zero their grads
+        grads["codebook"] = jax.tree_util.tree_map(
+            jnp.zeros_like, grads["codebook"])
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = dict(params)
+        params["codebook"] = {"embed": new_vq.embed,
+                              "cluster_size": new_vq.cluster_size,
+                              "embed_avg": new_vq.embed_avg}
+        new = TrainState(params, opt_state, state.step + 1,
+                         state.samples_processed + batch["mel"].shape[0],
+                         state.tokens_processed)
+        return new, {"loss": loss, "loss.commit": commit}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_clvp_train_step(cfg, tx, donate: bool = True):
+    """CLVP InfoNCE training (clvp.py:138-141)."""
+    from ..models import clvp as clvp_m
+
+    def loss_fn(params, batch):
+        return clvp_m.forward(params, batch["text"], batch["codes"], cfg,
+                              return_loss=True), {}
+
+    def step(state: TrainState, batch):
+        (loss, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new = TrainState(params, opt_state, state.step + 1,
+                         state.samples_processed + batch["text"].shape[0],
+                         state.tokens_processed)
+        return new, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

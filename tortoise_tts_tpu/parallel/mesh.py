@@ -1,0 +1,88 @@
+"""Device mesh + sharding layout (TPU-native replacement for the
+reference's NCCL/DDP/DeepSpeed distribution, SURVEY §2.3).
+
+The reference implements data parallelism only (torch DDP /
+DeepSpeed ZeRO); here distribution is a ``jax.sharding.Mesh`` over
+('data', 'model') with GSPMD partitioning:
+
+- data axis: batch sharding (DDP equivalent; gradient psum is inserted
+  by XLA) — rides ICI within a slice, DCN across slices.
+- model axis: megatron-style tensor parallelism over the AR trunk's
+  heads/ffn (column-parallel qkv/fc, row-parallel proj) — optional, the
+  420M model fits one chip, but the layout scales decode batch and
+  training throughput.
+
+``param_shardings``/``batch_shardings`` produce NamedSharding pytrees
+for jit in_shardings; ZeRO-1-style optimizer-state sharding comes from
+applying the same specs to the optax state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def _spec_for_gpt_param(path: Tuple[str, ...]) -> P:
+    """Megatron layout for the stacked GPT trunk (leading dim = layer):
+    column-parallel attn_qkv/mlp_fc (shard out dim), row-parallel
+    attn_proj/mlp_proj (shard in dim)."""
+    names = [getattr(p, "key", str(p)) for p in path]
+    joined = "/".join(names)
+    if "attn_qkv" in joined or "mlp_fc" in joined:
+        if names[-1] == "w":
+            return P(None, None, "model")     # (L, d, 3d/4d) -> shard out
+        return P(None, "model")                # bias (L, 3d)
+    if "attn_proj" in joined or "mlp_proj" in joined:
+        if names[-1] == "w":
+            return P(None, "model", None)      # (L, 4d/d, d) -> shard in
+        return P()                             # bias replicated
+    if "mel_head" in joined or "text_head" in joined:
+        # vocab dims (8194/256) are not multiples of typical mesh sizes;
+        # replicate the heads (they are a small fraction of params)
+        return P()
+    if "text_embedding" in joined or "mel_embedding" in joined:
+        return P(None, None)                   # replicated (gather-heavy)
+    return P()                                  # replicate everything else
+
+
+def param_shardings(mesh: Mesh, params: Dict[str, Any]):
+    """NamedSharding pytree for UnifiedVoice params under `mesh`."""
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, _spec_for_gpt_param(path))
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def replicated(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), tree)
+
+
+def batch_sharding(mesh: Mesh):
+    """Leading-axis data sharding for batch pytrees."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, s), batch)
+
+
+def is_leader() -> bool:
+    """Reference is_global_leader (utils/distributed.py:63-100)."""
+    return jax.process_index() == 0

