@@ -1,0 +1,105 @@
+"""End-to-end benchmark: full-pipeline RTF on one chip.
+
+Prints ONE JSON line:
+    {"metric": "e2e_rtf", "value": N, "unit": "x_realtime",
+     "vs_baseline": N/10.0}
+
+Config #1/#2-style workload (BASELINE.md): single utterance, sampled AR
+decode (fixed 200-token budget => ~9.3 s of audio), DDIM-{steps} with
+conditioning-free guidance, BigVGAN, bf16 weights.  The first run
+compiles (persistent cache under .jax_cache); the measured run is the
+second.  ``vs_baseline`` is the ratio against the BASELINE.json target
+of RTF > 10x per chip.
+
+Env knobs: BENCH_AR_STEPS (200), BENCH_DIFF_STEPS (80), BENCH_SMALL=1
+(CPU-debug-size models).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    ar_steps = int(os.environ.get("BENCH_AR_STEPS", 200))
+    diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 80))
+    small = os.environ.get("BENCH_SMALL") == "1"
+
+    from tortoise_tts_tpu.config import Config, Inference
+    from tortoise_tts_tpu.inference import TTS
+    from tortoise_tts_tpu.utils.io import write_wav
+
+    cfg = Config(inference=Inference(weight_dtype="bfloat16",
+                                     text_buckets=(64,)))
+    tts = TTS(config=cfg, dtype="bfloat16")
+
+    if small:
+        _install_small_models(tts)
+
+    # synthetic reference clip (2 s of 220 Hz tone @ 22.05 kHz)
+    ref = "/tmp/bench_ref.wav"
+    t = np.arange(44100) / 22050.0
+    write_wav(ref, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
+              22050)
+
+    text = "The quick brown fox jumps over the lazy dog."
+    kwargs = dict(max_ar_steps=ar_steps, max_diffusion_steps=diff_steps,
+                  ar_temp=0.8, top_p=0.9, cond_free=True,
+                  diffusion_sampler="ddim", vocoder_type="bigvgan",
+                  diffusion_pad_multiple=32)
+
+    # warmup/compile
+    wav, sr = tts.inference(text, ref, seed=0, **kwargs)
+    # measured run (cached compile)
+    t0 = time.time()
+    wav, sr = tts.inference(text, ref, seed=1, **kwargs)
+    wall = time.time() - t0
+
+    audio_sec = wav.shape[-1] / sr
+    rtf = audio_sec / wall
+    print(json.dumps({"metric": "e2e_rtf", "value": round(rtf, 3),
+                      "unit": "x_realtime",
+                      "vs_baseline": round(rtf / 10.0, 3)}))
+
+
+def _install_small_models(tts):
+    import jax
+    from tortoise_tts_tpu.models import (LoadedModel, _bigvgan_random,
+                                         _hifigan_random, clvp as clvp_m,
+                                         diffusion as diff_m,
+                                         dvae as dvae_m,
+                                         unified_voice as uv_m)
+    from tortoise_tts_tpu.models.bigvgan import BigVGANConfig
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    D = 64
+    ar_cfg = uv_m.UnifiedVoiceConfig(layers=2, model_dim=D, heads=4)
+    d_cfg = diff_m.DiffusionConfig(model_channels=D, num_layers=2,
+                                   in_latent_channels=D, num_heads=4)
+    bv_cfg = BigVGANConfig(upsample_initial_channel=64)
+    dv_cfg = dvae_m.DVAEConfig(codebook_dim=32, hidden_dim=32)
+    tts._models = {
+        "autoregressive": LoadedModel("autoregressive", uv_m, ar_cfg,
+                                      uv_m.init(ks[0], ar_cfg), False),
+        "diffusion": LoadedModel("diffusion", diff_m, d_cfg,
+                                 diff_m.init(ks[1], d_cfg), False),
+        "bigvgan": LoadedModel(
+            "bigvgan", __import__("tortoise_tts_tpu.models.bigvgan",
+                                  fromlist=["x"]), bv_cfg,
+            _bigvgan_random(ks[2], bv_cfg), False),
+        "dvae": LoadedModel("dvae", dvae_m, dv_cfg,
+                            dvae_m.init(ks[3], dv_cfg), False),
+    }
+    from tortoise_tts_tpu.emb import mel as emb_mel
+    emb_mel.load_model = lambda name, dtype="float32": tts._models[name]
+
+
+if __name__ == "__main__":
+    main()
