@@ -122,3 +122,62 @@ def sample_token(key: jax.Array, logits: jnp.ndarray,
     if cfg.greedy:
         return jnp.argmax(warped, axis=-1).astype(jnp.int32)
     return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+
+
+def apply_dynamic_temperature(logits: jnp.ndarray, temperature: float,
+                              min_temperature: float = 0.0) -> jnp.ndarray:
+    """Entropy-scaled dynamic temperature (reference samplers.py:78-91):
+    interpolate between min and max temperature by normalized entropy."""
+    if min_temperature >= temperature:
+        return apply_temperature(logits, temperature)
+    probs = jax.nn.softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ent = -jnp.sum(jnp.where(probs > 0, probs * logp, 0.0), axis=-1,
+                   keepdims=True)
+    max_ent = jnp.log(jnp.asarray(logits.shape[-1], jnp.float32))
+    t = min_temperature + (temperature - min_temperature) * (ent / max_ent)
+    return logits / jnp.maximum(t, 1e-5)
+
+
+def apply_length_penalty(stop_logit: jnp.ndarray, length: jnp.ndarray,
+                         penalty: float, threshold: int = 0) -> jnp.ndarray:
+    """Length penalty on the stop logit (reference samplers.py:35-40
+    semantics: discourage/encourage stopping as length grows)."""
+    if penalty == 1.0:
+        return stop_logit
+    factor = jnp.where(length > threshold,
+                       (length - threshold).astype(jnp.float32), 0.0)
+    return stop_logit + factor * (penalty - 1.0)
+
+
+def mirostat_step(key: jax.Array, logits: jnp.ndarray, mu: jnp.ndarray,
+                  tau: float = 5.0, eta: float = 0.1,
+                  n_vocab: Optional[int] = None):
+    """Mirostat v1 sampling step (reference samplers.py:117-157).
+
+    logits: (B, V); mu: (B,) running max-surprise estimate.
+    Returns (token (B,), new_mu (B,)).
+    """
+    v = logits.shape[-1]
+    n = n_vocab or v
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    # estimate Zipf exponent s from the top-100 distribution
+    m = 100
+    top = sorted_logits[:, :m]
+    i = jnp.arange(1, m, dtype=jnp.float32)
+    b = jnp.log((i + 1) / i)
+    t = top[:, :-1] - top[:, 1:]
+    s_hat = jnp.sum(t * b[None], axis=-1) / jnp.sum(b * b)
+    eps = s_hat - 1.0
+    k = jnp.power((eps * jnp.power(2.0, mu)) / (1 - jnp.power(n, -eps)),
+                  1.0 / jnp.maximum(s_hat, 1e-3))
+    k = jnp.clip(k, 1, v).astype(jnp.int32)
+    # top-k mask with per-row dynamic k
+    ranks = jnp.argsort(jnp.argsort(-logits, axis=-1), axis=-1)
+    masked = jnp.where(ranks < k[:, None], logits, NEG_INF)
+    tok = jax.random.categorical(key, masked, axis=-1)
+    logp = jax.nn.log_softmax(masked, axis=-1)
+    surprise = -jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0] \
+        / jnp.log(2.0)
+    new_mu = mu - eta * (surprise - tau)
+    return tok.astype(jnp.int32), new_mu
