@@ -1,0 +1,79 @@
+"""Beam-search decode tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tts_tpu.models import unified_voice as uv
+from tortoise_tts_tpu.ops.sampling import SamplingConfig
+
+CFG = uv.UnifiedVoiceConfig(layers=2, model_dim=64, heads=4,
+                            max_text_tokens=40, max_mel_tokens=48)
+
+
+def _setup():
+    params = uv.init(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(1)
+    text = jnp.asarray(rng.randint(3, 255, (1, 10)))
+    cond = jnp.asarray(rng.randn(1, CFG.model_dim), dtype=jnp.float32)
+    return params, cond, text
+
+
+def _seq_logprob(params, cond, text, codes, length):
+    """Cumulative model logprob of a generated sequence."""
+    res_len = int(length)
+    tokens = np.asarray(codes)[0][:res_len]
+    # teacher-forced pass over [cond, text, [start, tokens...]]
+    lat = uv.forward(params, cond, text, jnp.asarray([text.shape[1]]),
+                     jnp.asarray(np.pad(tokens, (0, 48 - res_len))[None]),
+                     jnp.asarray([(res_len) * 1024]), CFG,
+                     return_latent=True)
+    from tortoise_tts_tpu.models.common import layer_norm, linear
+    logits = linear(params["mel_head"], lat).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    lp = 0.0
+    for i, t in enumerate(tokens):
+        lp += float(logp[0, i, int(t)])
+    return lp
+
+
+def test_beam1_equals_greedy():
+    params, cond, text = _setup()
+    greedy = uv.inference_speech(params, cond, text, jnp.asarray([10]),
+                                 jax.random.PRNGKey(0), CFG,
+                                 SamplingConfig(greedy=True), max_length=16)
+    beam = uv.inference_speech_beam(params, cond, text, jnp.asarray([10]),
+                                    CFG, num_beams=1, max_length=16)
+    np.testing.assert_array_equal(np.asarray(greedy.codes),
+                                  np.asarray(beam.codes))
+
+
+def test_beam_search_improves_logprob():
+    params, cond, text = _setup()
+    greedy = uv.inference_speech(params, cond, text, jnp.asarray([10]),
+                                 jax.random.PRNGKey(0), CFG,
+                                 SamplingConfig(greedy=True), max_length=12)
+    beam = uv.inference_speech_beam(params, cond, text, jnp.asarray([10]),
+                                    CFG, num_beams=4, max_length=12)
+    lg = int(greedy.lengths[0]) if int(greedy.lengths[0]) < 12 else 12
+    lb = int(beam.lengths[0]) if int(beam.lengths[0]) < 12 else 12
+    lp_g = _seq_logprob(params, cond, text, greedy.codes, lg)
+    lp_b = _seq_logprob(params, cond, text, beam.codes, lb)
+    # identical lengths -> beam should be at least as probable; allow a
+    # small slack: with random weights the distribution is near-uniform
+    # (~9 nats/token) and fp32 re-scoring noise dominates ranking margins
+    if lg == lb:
+        assert lp_b >= lp_g - 0.1
+    assert np.isfinite(lp_b)
+
+
+def test_beam_batch_shapes():
+    params, cond, text = _setup()
+    text2 = jnp.tile(text, (2, 1))
+    cond2 = jnp.tile(cond, (2, 1))
+    res = uv.inference_speech_beam(params, cond2, text2,
+                                   jnp.asarray([10, 10]), CFG,
+                                   num_beams=3, max_length=8)
+    assert res.codes.shape == (2, 8)
+    assert res.lengths.shape == (2,)

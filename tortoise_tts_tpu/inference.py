@@ -29,7 +29,7 @@ from .emb import mel as emb_mel
 from .models import load_model
 from .models import gaussian
 from .models.unified_voice import DecodeResult, forward as uv_forward, \
-    inference_speech
+    inference_speech, inference_speech_beam
 from .ops.sampling import SamplingConfig
 from .ops.stft import denormalize_tacotron_mel
 from .tokenizer import VoiceBpeTokenizer
@@ -164,6 +164,13 @@ class TTS:
             tokens.shape[1])
         lat = jnp.broadcast_to(jnp.asarray(ar_latent),
                                (tokens.shape[0], ar_latent.shape[-1]))
+        if sampling.beam_width > 1:
+            res = inference_speech_beam(
+                ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
+                ar.config, num_beams=sampling.beam_width,
+                max_length=max_ar_steps,
+                length_penalty=sampling.length_penalty)
+            return res, tokens, lengths
         return inference_speech(
             ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths), key,
             ar.config, sampling, max_length=max_ar_steps,

@@ -462,3 +462,120 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
 
     out = lax.while_loop(cond_fn, body_fn, init)
     return DecodeResult(out.tokens, out.lengths, out.latents)
+
+
+# ---------------------------------------------------------------------------
+# beam-search decode (HF num_beams equivalent; cache reorder =
+# unified_voice.py:256-266 _reorder_cache, as an in-graph gather)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_beams", "max_length",
+                                   "length_penalty"))
+def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
+                          text: jnp.ndarray, text_lengths: jnp.ndarray,
+                          cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
+                          num_beams: int = 4, max_length: int = 500,
+                          length_penalty: float = 1.0) -> DecodeResult:
+    """Deterministic beam-search decode.
+
+    Beams live in the batch dimension (B*W); each step expands to W*V
+    candidates, keeps the top W, and gathers the KV cache by beam index
+    (the reference reorders HF past_key_values the same way).
+    Finished beams are frozen with their score; final selection divides
+    by length**length_penalty (HF semantics).
+    """
+    b, tt = text.shape
+    w = num_beams
+    d = cfg.model_dim
+    text_seg = tt + 2
+    prefix_len = 1 + text_seg
+    cache_len = prefix_len + 1 + max_length
+    dtype = params["mel_embedding"]["w"].dtype
+    V = cfg.number_mel_codes
+
+    text_emb, text_mask = _build_text_segment(params, text, text_lengths, cfg)
+    start_emb = (params["mel_embedding"]["w"][cfg.start_mel_token]
+                 + params["mel_pos_embedding"]["w"][0])[None, None].astype(text_emb.dtype)
+    prefill = jnp.concatenate(
+        [cond_latent[:, None].astype(text_emb.dtype), text_emb,
+         jnp.broadcast_to(start_emb, (b, 1, d))], axis=1)
+    ones = jnp.ones((b, 1), dtype=bool)
+    prefill_mask = jnp.concatenate([ones, text_mask, ones], axis=1)
+
+    # expand to beams
+    def rep(x):
+        return jnp.repeat(x, w, axis=0)
+
+    hidden, cache = _gpt_prefill(params["gpt"], rep(prefill), cfg.heads,
+                                 rep(prefill_mask), cache_len)
+    key_mask = jnp.concatenate(
+        [rep(prefill_mask),
+         jnp.ones((b * w, cache_len - prefill.shape[1]), dtype=bool)], axis=1)
+
+    def latent_of(h):
+        return layer_norm(params["final_norm"], h[:, -1])
+
+    def logits_of(lat):
+        return linear(params["mel_head"], lat).astype(jnp.float32)
+
+    class Carry(NamedTuple):
+        step: jnp.ndarray
+        cache: KVCache
+        lat: jnp.ndarray            # (B*W, D)
+        tokens: jnp.ndarray         # (B, W, T)
+        scores: jnp.ndarray         # (B, W) cumulative logprob
+        finished: jnp.ndarray       # (B, W)
+        lengths: jnp.ndarray        # (B, W)
+
+    scores0 = jnp.tile(jnp.concatenate(
+        [jnp.zeros((1,)), jnp.full((w - 1,), -1e9)])[None], (b, 1))
+    init = Carry(jnp.zeros((), jnp.int32), cache, latent_of(hidden),
+                 jnp.full((b, w, max_length), cfg.stop_mel_token, jnp.int32),
+                 scores0, jnp.zeros((b, w), bool),
+                 jnp.full((b, w), max_length, jnp.int32))
+
+    def cond_fn(c: Carry):
+        return (c.step < max_length) & ~jnp.all(c.finished)
+
+    def body_fn(c: Carry):
+        logp = jax.nn.log_softmax(logits_of(c.lat), axis=-1).reshape(b, w, V)
+        # frozen beams: only 'continue as stop' with 0 added score
+        stop_only = jnp.full((V,), -jnp.inf).at[cfg.stop_mel_token].set(0.0)
+        logp = jnp.where(c.finished[..., None], stop_only[None, None], logp)
+        total = c.scores[..., None] + logp              # (B, W, V)
+        flat = total.reshape(b, w * V)
+        top_scores, top_idx = lax.top_k(flat, w)        # (B, W)
+        beam_idx = top_idx // V                         # (B, W)
+        tok = (top_idx % V).astype(jnp.int32)
+
+        gather = (jnp.arange(b)[:, None] * w + beam_idx).reshape(-1)
+        cache2 = KVCache(jnp.take(c.cache.k, gather, axis=1),
+                         jnp.take(c.cache.v, gather, axis=1))
+        tokens = jnp.take_along_axis(
+            c.tokens, beam_idx[..., None], axis=1)
+        tokens = tokens.at[:, :, c.step].set(tok)
+        finished = jnp.take_along_axis(c.finished, beam_idx, axis=1)
+        lengths = jnp.take_along_axis(c.lengths, beam_idx, axis=1)
+        now_stop = (tok == cfg.stop_mel_token) & ~finished
+        lengths = jnp.where(now_stop, c.step, lengths)
+        finished = finished | (tok == cfg.stop_mel_token)
+
+        emb = embedding(params["mel_embedding"], tok.reshape(-1))[:, None]
+        emb = emb + params["mel_pos_embedding"]["w"][c.step + 1][None, None]
+        pos = prefix_len + 1 + c.step
+        h, cache3 = _gpt_decode_step(params["gpt"], emb.astype(dtype),
+                                     cfg.heads, cache2, pos, key_mask)
+        return Carry(c.step + 1, cache3, latent_of(h), tokens, top_scores,
+                     finished, lengths)
+
+    out = lax.while_loop(cond_fn, body_fn, init)
+    # final beam selection with length penalty (HF BeamHypotheses)
+    norm = out.scores / jnp.power(
+        jnp.maximum(out.lengths, 1).astype(jnp.float32), length_penalty)
+    best = jnp.argmax(norm, axis=1)                     # (B,)
+    tokens = jnp.take_along_axis(
+        out.tokens, best[:, None, None], axis=1)[:, 0]
+    lengths = jnp.take_along_axis(out.lengths, best[:, None], axis=1)[:, 0]
+    latents = jnp.zeros((b, max_length, d), dtype)
+    return DecodeResult(tokens, lengths, latents)
