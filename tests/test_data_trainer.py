@@ -141,3 +141,18 @@ def test_trainer_loop_end_to_end(dataset_dir, tmp_path):
     restored = st.load_checkpoint(tmp_path / "ckpt", "ar",
                                   st.init_state(params, tx))
     assert int(restored.step) == 5
+
+
+def test_hdf5_pack_and_read(dataset_dir, tmp_path):
+    from tortoise_tts_tpu.data.__main__ import create_hdf5
+    import dataclasses
+    cfg = _cfg(dataset_dir)
+    n = create_hdf5(cfg)
+    assert n == 10
+    cfg_h5 = dataclasses.replace(
+        cfg, dataset=dataclasses.replace(cfg.dataset, use_hdf5=True))
+    ds = Dataset(cfg_h5, cfg_h5.dataset.training, training=True)
+    assert len(ds) == 10
+    batch = next(ds.batches())
+    assert batch["text"].shape == (4, 40)
+    assert batch["codes"].shape == (4, 48)

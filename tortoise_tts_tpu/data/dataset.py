@@ -43,8 +43,14 @@ class Dataset:
         self.training = training
         self.paths: List[Path] = []
         self.durations: List[float] = []
+        self._h5 = None
+        if self.dcfg.use_hdf5:
+            import h5py
+            h5_path = cfg.rel_path / self.dcfg.hdf5_name
+            self._h5 = h5py.File(h5_path, "r")
 
-        all_paths = self._gather(paths)
+        all_paths = (self._gather_h5() if self._h5 is not None
+                     else self._gather(paths))
         # host shard (data.py:496-497)
         if training and process_count > 1:
             all_paths = [p for i, p in enumerate(all_paths)
@@ -77,6 +83,29 @@ class Dataset:
                 out.append(root)
         return out
 
+    def _gather_h5(self) -> List[str]:
+        keys: List[str] = []
+
+        def visit(name, obj):
+            if hasattr(obj, "keys") and "codes" in obj:
+                keys.append(name)
+        self._h5.visititems(visit)
+        return sorted(keys)
+
+    def _load(self, path) -> Dict[str, Any]:
+        if self._h5 is not None:
+            g = self._h5[str(path)]
+            meta = json.loads(g.attrs.get("metadata", "{}"))
+            return {
+                "codes": np.asarray(g["codes"]),
+                "text": np.asarray(g["text"]) if "text" in g else
+                np.zeros((0,), np.int32),
+                "latent": (np.asarray(g["latent_ar"]),
+                           np.asarray(g["latent_diff"])),
+                "metadata": meta,
+            }
+        return load_artifact(path)
+
     def _load_metadata(self, paths) -> Dict[str, dict]:
         """Durations per path, with a pickle disk cache
         (data.py:347-412)."""
@@ -92,7 +121,7 @@ class Dataset:
         meta = {}
         for p in paths:
             try:
-                art = load_artifact(p)
+                art = self._load(p)
                 md = art.get("metadata", {})
                 dur = md.get("duration")
                 if dur is None and "original_length" in md:
@@ -123,7 +152,7 @@ class Dataset:
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         """One sample -> fixed-shape arrays (data.py:766-853)."""
-        art = load_artifact(self.paths[i])
+        art = self._load(self.paths[i])
         codes = np.asarray(art["codes"]).reshape(-1).astype(np.int32)
         text = np.asarray(art["text"]).reshape(-1).astype(np.int32)
         lat_ar = np.asarray(art["latent"][0]).reshape(-1).astype(np.float32)
