@@ -106,23 +106,29 @@ def validate_dataset(cfg: Config) -> int:
 
 
 def sample_dataset(cfg: Config, out_dir: Path) -> None:
-    """Decode two batches to wav for manual listening (data.py:1241-1269)."""
+    """Decode two samples to wav for manual listening (data.py:1241-1269).
+
+    DVAE codes -> 80-bin 22.05 kHz mel -> Griffin-Lim approximation
+    (the mel domain here has no direct neural vocoder; GL is the
+    listening aid)."""
     import jax.numpy as jnp
-    from ..models import load_model
-    from ..ops.stft import denormalize_tacotron_mel
+    from ..models import load_model, load_mel_norms
+    from ..ops.stft import griffin_lim_from_mel
     from ..utils.io import write_wav
     ds = Dataset(cfg, cfg.dataset.training, training=False)
     dvae = load_model("dvae")
-    voc = load_model("bigvgan")
     it = ds.batches(batch_size=1)
     out_dir.mkdir(parents=True, exist_ok=True)
+    norms = load_mel_norms()
     for i in range(2):
         batch = next(it)
-        codes = jnp.asarray(batch["codes"][:, : int(batch["wav_lengths"][0])
-                                           // 1024])
+        codes = jnp.asarray(batch["codes"][:, : max(4,
+                            int(batch["wav_lengths"][0]) // 1024)])
         mel = dvae.module.decode(dvae.params, codes, dvae.config)
-        wav = voc.module.inference(voc.params, mel, voc.config)
-        write_wav(out_dir / f"sample{i}.wav", np.asarray(wav[0, 0]), 24000)
+        if norms is not None:   # undo the mel_norms division
+            mel = mel * jnp.asarray(norms)[None, :, None]
+        wav = griffin_lim_from_mel(mel.astype(jnp.float32))
+        write_wav(out_dir / f"sample{i}.wav", np.asarray(wav[0]), 22050)
     _logger.info("wrote samples to %s", out_dir)
 
 

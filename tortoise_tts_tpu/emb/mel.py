@@ -24,6 +24,27 @@ from ..utils.io import read_wav
 AR_COND_SAMPLES = 132_300   # emb/mel.py:50
 DIFF_COND_SAMPLES = 102_400  # emb/mel.py:72
 
+# jitted stage functions (params as args; cached per input-length bucket)
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _jit_dvae_codes(params, mel, cfg):
+    from ..models import dvae as _dvae
+    return _dvae.get_codebook_indices(params, mel, cfg)
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _jit_ar_conditioning(params, mels, cfg):
+    from ..models import unified_voice as _uv
+    return _uv.get_conditioning(params, mels, cfg)
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _jit_diff_conditioning(params, mels, cfg):
+    from ..models import diffusion as _dtts
+    return _dtts.get_conditioning(params, mels, cfg)
+
 
 def format_autoregressive_conditioning(wav22: np.ndarray,
                                        cond_length: int = AR_COND_SAMPLES,
@@ -76,11 +97,10 @@ def encode(wav: np.ndarray, sr: int, dtype: str = "float32",
     ar_conds = format_autoregressive_conditioning(wav22, rng=rng)[:, None]
     diff_conds = format_diffusion_conditioning(wav22)[:, None]
 
-    codes = dvae.module.get_codebook_indices(dvae.params, mel_full,
-                                             dvae.config)
-    ar_latent = ar.module.get_conditioning(ar.params, ar_conds, ar.config)
-    diff_latent = diff.module.get_conditioning(diff.params, diff_conds,
-                                               diff.config)
+    codes = _jit_dvae_codes(dvae.params, mel_full, dvae.config)
+    ar_latent = _jit_ar_conditioning(ar.params, ar_conds, ar.config)
+    diff_latent = _jit_diff_conditioning(diff.params, diff_conds,
+                                         diff.config)
     return {
         "codes": codes,
         "conds": (ar_conds, diff_conds),

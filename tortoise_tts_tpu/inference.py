@@ -41,6 +41,71 @@ CALM_TOKEN = 83          # inference.py:231
 TAIL_TOKENS = (45, 45, 248)  # inference.py:363-366
 
 
+# ---------------------------------------------------------------------------
+# jitted stage functions — params are ARGUMENTS (never closures), so the
+# compiled programs are parameter-free and cached per shape bucket.
+# ---------------------------------------------------------------------------
+
+from functools import partial
+
+from .models import diffusion as _dtts
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_latent_pass(params, cond, text, text_lengths, codes, wav_lengths,
+                     cfg):
+    return uv_forward(params, cond, text, text_lengths, codes, wav_lengths,
+                      cfg, return_latent=True)
+
+
+@partial(jax.jit, static_argnames=("dcfg", "steps", "sampler", "seq_len",
+                                   "cond_free", "cond_free_k"))
+def _jit_diffusion(dparams, latents, diff_cond, noise, key, dcfg, steps,
+                   sampler, seq_len, cond_free, cond_free_k=2.0):
+    """timestep_independent + full DDIM/P scan in one compiled program."""
+    sched = gaussian.get_schedule(steps=steps, cond_free=cond_free,
+                                  cond_free_k=cond_free_k)
+    b = latents.shape[0]
+    pre = _dtts.timestep_independent(dparams, latents, diff_cond, seq_len,
+                                     dcfg)
+    if cond_free:
+        uncond = _dtts.unconditioned_embedding(dparams, b, seq_len)
+        code_emb = jnp.concatenate([pre.astype(jnp.float32),
+                                    uncond.astype(jnp.float32)], axis=0)
+    else:
+        code_emb = pre.astype(jnp.float32)
+
+    def model_fn(x, ts):
+        return _dtts.forward(dparams, x, ts, code_emb, dcfg)
+
+    mel = gaussian.sample_loop(model_fn, noise, key, sched, sampler=sampler)
+    return denormalize_tacotron_mel(mel)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_bigvgan(params, mel, cfg):
+    from .models import bigvgan as _bv
+    return _bv.inference(params, mel, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_univnet(params, mel, key, cfg):
+    from .models import univnet as _un
+    return _un.inference(params, mel, key=key, cfg=cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_hifigan(params, latents, g, cfg):
+    from .models import hifigan as _hg
+    return _hg.inference(params, latents, g, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_clvp_scores(params, text, codes, cfg):
+    from .models import clvp as _clvp
+    return _clvp.forward(params, text, codes, cfg)
+
+
 class TTS:
     """User-facing inference API (reference TTS, inference.py:34-424)."""
 
@@ -224,7 +289,7 @@ class TTS:
         # CLVP rerank (inference.py:392-396)
         if candidates > 1:
             clvp = self._model("clvp")
-            scores = clvp.module.forward(
+            scores = _jit_clvp_scores(
                 clvp.params, jnp.asarray(tokens), jnp.asarray(codes),
                 clvp.config)
             best = int(jnp.argmax(scores))
@@ -237,14 +302,13 @@ class TTS:
                            constant_values=ar.config.stop_mel_token)
         wav_lengths = np.full((codes.shape[0],),
                               L * ar.config.mel_length_compression)
-        latents = uv_forward(
+        latents = _jit_latent_pass(
             ar.params, jnp.broadcast_to(jnp.asarray(ar_latent),
                                         (codes.shape[0],
                                          ar_latent.shape[-1])),
             jnp.asarray(tokens[:codes.shape[0]]),
             jnp.asarray(text_lengths[:codes.shape[0]]),
-            jnp.asarray(pad_codes), jnp.asarray(wav_lengths),
-            ar.config, return_latent=True)
+            jnp.asarray(pad_codes), jnp.asarray(wav_lengths), ar.config)
         latents = np.asarray(latents[:, :L].astype(jnp.float32))
         latents = self.trim_latents_at_calm(codes[0], latents)
 
@@ -259,38 +323,24 @@ class TTS:
         output_seq_len = latents.shape[1] * 4 * 24000 // 22050
         exact_seq_len = t_lat * 4 * 24000 // 22050
 
-        sched = gaussian.get_schedule(steps=max_diffusion_steps,
-                                      cond_free=cond_free)
-        dmod, dparams, dcfg = (diffusion.module, diffusion.params,
-                               diffusion.config)
         b = latents.shape[0]
-        pre = dmod.timestep_independent(
-            dparams, jnp.asarray(latents, dtype=jnp.float32),
-            jnp.broadcast_to(jnp.asarray(diff_latent, dtype=jnp.float32),
-                             (b, diff_latent.shape[-1])),
-            output_seq_len, dcfg)
-        if cond_free:
-            uncond = dmod.unconditioned_embedding(dparams, b, output_seq_len)
-            code_emb = jnp.concatenate([pre.astype(jnp.float32),
-                                        uncond.astype(jnp.float32)], axis=0)
-        else:
-            code_emb = pre.astype(jnp.float32)
-
         noise = jax.random.normal(
             k_noise, (b, 100, output_seq_len)) * diffusion_temp
-        mel = gaussian.sample_loop(
-            lambda x, ts: dmod.forward(dparams, x, ts, code_emb, dcfg),
-            noise, k_diff, sched, sampler=diffusion_sampler)
-        mel = denormalize_tacotron_mel(mel)[:, :, :exact_seq_len]
+        mel = _jit_diffusion(
+            diffusion.params, jnp.asarray(latents, dtype=jnp.float32),
+            jnp.broadcast_to(jnp.asarray(diff_latent, dtype=jnp.float32),
+                             (b, diff_latent.shape[-1])),
+            noise, k_diff, diffusion.config, max_diffusion_steps,
+            diffusion_sampler, output_seq_len, cond_free)
+        mel = mel[:, :, :exact_seq_len]
 
         # vocoder (inference.py:415-417)
         voc = self._model("bigvgan" if vocoder_type == "bigvgan"
                           else "vocoder")
         if vocoder_type == "bigvgan":
-            wav = voc.module.inference(voc.params, mel, voc.config)
+            wav = _jit_bigvgan(voc.params, mel, voc.config)
         else:
-            wav = voc.module.inference(voc.params, mel, key=k_voc,
-                                       cfg=voc.config)
+            wav = _jit_univnet(voc.params, mel, k_voc, voc.config)
         return np.asarray(wav[0, 0])
 
     # ------------------------------------------------------------------
@@ -316,7 +366,7 @@ class TTS:
             pos = min(n, pos + max(stream_chunk_size, first))
             first = 0
             chunk_lat = jnp.asarray(latents[:, :pos])
-            wav_gen = np.asarray(voc.module.inference(
+            wav_gen = np.asarray(_jit_hifigan(
                 voc.params, chunk_lat, g, voc.config))[0, 0]
             wav_chunk = wav_gen[:-overlap_wav_len]
             if wav_gen_prev is not None:

@@ -80,6 +80,7 @@ def cosine_betas(n: int, max_beta: float = 0.999) -> np.ndarray:
                      for i in range(n)])
 
 
+@lru_cache(maxsize=32)
 def get_schedule(steps: int = 80, cond_free: bool = True,
                  cond_free_k: float = 2.0,
                  trained_diffusion_steps: int = 4000,

@@ -168,6 +168,55 @@ def denormalize_tacotron_mel(norm_mel):
 
 
 # ---------------------------------------------------------------------------
+# Griffin-Lim (mel -> audio approximation, for dataset listening checks)
+# ---------------------------------------------------------------------------
+
+
+def griffin_lim_from_mel(mel_log: jnp.ndarray, sr: int = 22050,
+                         n_fft: int = 1024, hop: int = 256,
+                         n_mels: int = 80, fmax: float = 8000.0,
+                         scale: str = "htk", iters: int = 32,
+                         key=None) -> jnp.ndarray:
+    """Rough audio from a log-mel (dataset `--action=sample` listening aid).
+
+    mel_log: (B, n_mels, T) natural-log mel. Pseudo-inverse filterbank +
+    Griffin-Lim phase recovery. Quality is 'debug-listenable' only.
+    """
+    import jax
+    fb = mel_filterbank(sr, n_fft, n_mels, 0.0, fmax, scale=scale)
+    pinv = jnp.asarray(np.linalg.pinv(fb))             # (F, n_mels)
+    mag = jnp.sqrt(jnp.clip(jnp.einsum(
+        "fm,bmt->bft", pinv, jnp.exp(mel_log)), 1e-10, None))
+    window = jnp.asarray(hann_window(n_fft))
+    b, f, t = mag.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    phase = jax.random.uniform(key, mag.shape, minval=-np.pi, maxval=np.pi)
+    spec = mag * jnp.exp(1j * phase)
+
+    def istft(s):
+        frames = jnp.fft.irfft(jnp.transpose(s, (0, 2, 1)), n=n_fft, axis=-1)
+        frames = frames * window
+        out_len = n_fft + hop * (t - 1)
+        wav = jnp.zeros((b, out_len))
+        wsum = jnp.zeros((out_len,))
+        idx = (jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None]).reshape(-1)
+        wav = wav.at[:, idx].add(frames.reshape(b, -1))
+        wsum = wsum.at[idx].add(jnp.tile(window ** 2, (t,)))
+        wav = wav / jnp.maximum(wsum, 1e-8)[None]
+        return wav[:, n_fft // 2: -(n_fft // 2)]
+
+    def body(_, s):
+        wav = istft(s)
+        re = jnp.fft.rfft(frame_signal(wav, n_fft, hop) * window, n=n_fft)
+        re = jnp.transpose(re, (0, 2, 1))
+        return mag * jnp.exp(1j * jnp.angle(re))
+
+    spec = jax.lax.fori_loop(0, iters, body, spec)
+    return istft(spec)
+
+
+# ---------------------------------------------------------------------------
 # Resampling (torchaudio.functional.resample equivalent)
 # ---------------------------------------------------------------------------
 

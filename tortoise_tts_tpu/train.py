@@ -36,6 +36,76 @@ def mel_stft_distance(hyp: np.ndarray, ref: np.ndarray,
     return float(jnp.mean(jnp.abs(h - r)))
 
 
+def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
+             base_params=None, max_samples: int = 4) -> dict:
+    """Generative round-trip eval (reference run_eval, train.py:65-256).
+
+    For a few val samples: AR decode with the current params -> diffusion
+    (30-step P sampler, cond_free off — train.py:77) -> vocoder, then a
+    mel-spectral distance between hyp audio and the reference audio
+    reconstructed from the sample's DVAE codes.  Wavs are dumped under
+    logs/<step>/ for listening.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .inference import TTS
+    from .models import load_model
+    from .models.lora import apply_lora
+    from .ops.stft import denormalize_tacotron_mel
+    from .utils.io import write_wav
+
+    step = int(state.step)
+    out_dir = log_dir / str(step)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    params = state.params
+    if lora_cfg is not None:
+        params = apply_lora(base_params, params, lora_cfg.alpha,
+                            lora_cfg.rank)
+
+    tts = TTS(config=cfg, dtype=cfg.trainer.weight_dtype)
+    ar = load_model("autoregressive", cfg.trainer.weight_dtype)
+    from .models import LoadedModel
+    tts._models["autoregressive"] = LoadedModel(
+        "autoregressive", ar.module, ar.config, params, True)
+    dvae = load_model("dvae", cfg.trainer.weight_dtype)
+
+    from .ops.stft import mel_ar, resample
+    from .tokenizer import default_tokenizer
+    tok = default_tokenizer()
+    dists = []
+    it = val_ds.batches(batch_size=1)
+    for i in range(min(max_samples, len(val_ds))):
+        batch = next(it)
+        n = int(batch["wav_lengths"][0]) // 1024
+        codes = jnp.asarray(batch["codes"][:, :max(n, 4)])
+        # the reference ground-truth in DVAE-mel space (80-bin, 22.05 kHz)
+        ref_mel = dvae.module.decode(dvae.params, codes, dvae.config)
+        text = tok.decode(batch["text"][0][:int(batch["text_lengths"][0])])
+        try:
+            hyp_wav, _ = tts.inference(
+                text or "evaluation sample", None,
+                max_ar_steps=min(200, n * 2 + 16),
+                max_diffusion_steps=30, diffusion_sampler="p",
+                cond_free=False, seed=step + i)
+        except Exception as e:
+            _logger.warning("eval generation failed: %s", e)
+            continue
+        write_wav(out_dir / f"{i}_hyp.wav", hyp_wav, 24_000)
+        # hyp audio -> 22.05 kHz 80-bin mel, L1 vs ref over common frames
+        hyp22 = resample(jnp.asarray(hyp_wav[None]), 24_000, 22_050)
+        hyp_mel = mel_ar(hyp22)
+        t = min(hyp_mel.shape[-1], ref_mel.shape[-1])
+        if t > 4:
+            d = float(jnp.mean(jnp.abs(hyp_mel[..., :t]
+                                       - ref_mel[..., :t])))
+            dists.append(d)
+    metric = float(np.mean(dists)) if dists else float("nan")
+    _logger.info("eval@%d: mel_distance=%.4f (%d samples)",
+                 step, metric, len(dists))
+    return {"eval.mel_distance": metric}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("tortoise_tts_tpu.train")
     parser.add_argument("--yaml", type=Path, required=True)
