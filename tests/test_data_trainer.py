@@ -156,3 +156,14 @@ def test_hdf5_pack_and_read(dataset_dir, tmp_path):
     batch = next(ds.batches())
     assert batch["text"].shape == (4, 40)
     assert batch["codes"].shape == (4, 48)
+
+
+def test_config_embedded_in_weights_roundtrip(tmp_path):
+    from tortoise_tts_tpu.engine.state import export_weights
+    cfg_dict = {"vocoder": "bigvgan",
+                "hyperparameters": {"batch_size": 7}}
+    export_weights({"w": np.ones((2, 2), np.float32)},
+                   tmp_path / "model.sft", config=cfg_dict)
+    loaded = Config.load(tmp_path / "model.sft")
+    assert loaded.hyperparameters.batch_size == 7
+    assert loaded.vocoder == "bigvgan"

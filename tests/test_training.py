@@ -205,3 +205,15 @@ def test_clvp_train_step():
              "codes": jnp.asarray(rng.randint(0, 8192, (4, 24)))}
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_teacher_distillation_step():
+    params = uv_m.init(jax.random.PRNGKey(0), AR_CFG)
+    teacher = uv_m.init(jax.random.PRNGKey(7), AR_CFG)
+    tx = optax.adamw(1e-4)
+    step = ts.make_ar_train_step(AR_CFG, tx, teacher_params=teacher,
+                                 teacher_alpha=0.5, donate=False)
+    state = st.init_state(params, tx)
+    state, m = step(state, _ar_batch())
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["loss.kl"])) and float(m["loss.kl"]) > 0

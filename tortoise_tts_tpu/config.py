@@ -239,12 +239,29 @@ class Config:
     # ---- loading ----
     @staticmethod
     def load(path: Optional[str | Path] = None, **overrides) -> "Config":
+        """Load from YAML, or from a weights file with embedded config
+        (.sft — reference config.py:127-144 --model mode)."""
         if path is None:
             return Config(**overrides)
         path = Path(path)
+        if path.suffix in (".sft", ".safetensors"):
+            return Config.load_model(path, **overrides)
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
         return Config.from_dict(raw, yaml_path=str(path), **overrides)
+
+    @staticmethod
+    def load_model(path: str | Path, **overrides) -> "Config":
+        """Reconstruct config from safetensors metadata
+        (reference cfg.load_model, config.py:127-144)."""
+        from .utils.io import load_metadata
+        meta = load_metadata(path)
+        raw = meta.get("config", {}) or {}
+        if not isinstance(raw, dict):
+            raw = {}
+        return Config.from_dict(raw, yaml_path=str(Path(path).parent /
+                                                   "config.yaml"),
+                                **overrides)
 
     @staticmethod
     def from_dict(raw: dict, **overrides) -> "Config":

@@ -34,6 +34,9 @@ def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
                        remat: bool = True,
                        lora_cfg=None,
                        base_params=None,
+                       teacher_params=None,
+                       teacher_alpha: float = 0.5,
+                       teacher_temperature: float = 1.0,
                        in_shardings=None,
                        donate: bool = True):
     """AR (UnifiedVoice) train step.
@@ -41,6 +44,10 @@ def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
     When ``lora_cfg`` is given, ``state.params`` is the LoRA tree and
     ``base_params`` the frozen full model (reference LoRA training mode,
     engines/__init__.py:102-104 + lora freeze).
+
+    When ``teacher_params`` is given, a KL distillation term against the
+    teacher's mel logits is blended in (reference teacher plumbing,
+    engines/base.py:518-543 + config.py:359-361).
     """
 
     def loss_fn(trainable, batch):
@@ -51,11 +58,24 @@ def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
             params = trainable
         cond = uv.get_conditioning(params, batch["cond_mels"], cfg) \
             if "cond_mels" in batch else batch["latents"]
-        lt, lm, _ = uv.forward(params, cond, batch["text"],
-                               batch["text_lengths"], batch["codes"],
-                               batch["wav_lengths"], cfg, remat=remat)
+        lt, lm, mel_logits = uv.forward(
+            params, cond, batch["text"], batch["text_lengths"],
+            batch["codes"], batch["wav_lengths"], cfg, remat=remat)
         # feeder sums the loss dict (train.py:56-57)
-        return lt + lm, {"loss.text": lt, "loss.mel": lm}
+        loss = lt + lm
+        parts = {"loss.text": lt, "loss.mel": lm}
+        if teacher_params is not None:
+            _, _, t_logits = uv.forward(
+                teacher_params, cond, batch["text"], batch["text_lengths"],
+                batch["codes"], batch["wav_lengths"], cfg)
+            T = teacher_temperature
+            p_t = jax.nn.softmax(
+                jax.lax.stop_gradient(t_logits).astype(jnp.float32) / T, -1)
+            logq = jax.nn.log_softmax(mel_logits.astype(jnp.float32) / T, -1)
+            kl = -jnp.mean(jnp.sum(p_t * logq, axis=-1)) * (T * T)
+            parts["loss.kl"] = kl
+            loss = (1 - teacher_alpha) * loss + teacher_alpha * kl
+        return loss, parts
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Metrics]:
         (loss, parts), grads = jax.value_and_grad(

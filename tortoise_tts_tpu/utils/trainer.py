@@ -75,7 +75,18 @@ def train(cfg: Config,
     try:
         for batch in dataset.batches():
             step_start = time.time()
-            state, metrics = step_fn(state, batch)
+            try:
+                state, metrics = step_fn(state, batch)
+            except Exception as e:
+                # HBM OOM resilience (reference OOM catch + checkpoint,
+                # engines/base.py:538-597): on TPU an allocation failure
+                # surfaces as RESOURCE_EXHAUSTED
+                if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                    _logger.error("OOM during step: %s", e)
+                    if tcfg.save_on_oom and save_fn:
+                        save_fn(state, int(state.step))
+                    raise
+                raise
             step = int(state.step)
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics.update({
