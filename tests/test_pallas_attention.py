@@ -1,0 +1,40 @@
+"""Pallas flash attention vs XLA mha (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tortoise_tts_tpu.ops.attention import mha
+from tortoise_tts_tpu.ops.pallas_attention import flash_attention
+
+
+@pytest.mark.parametrize("s,causal", [(256, True), (256, False),
+                                      (300, True)])
+def test_flash_matches_mha(s, causal):
+    rng = np.random.RandomState(0)
+    b, h, d = 2, 4, 64
+    q = jnp.asarray(rng.randn(b, h, s, d), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, d), dtype=jnp.float32)
+    mask = jnp.asarray(rng.rand(b, s) > 0.2)
+    mask = mask.at[:, 0].set(True)
+    ref = mha(q, k, v, mask=mask[:, None, None, :], causal=causal)
+    got = flash_attention(q, k, v, key_mask=mask, causal=causal,
+                          block_q=128, interpret=True)
+    # rows whose keys are fully masked out are undefined in both paths;
+    # compare where at least one key is attendable
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_no_mask():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 2, 128, 64), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 128, 64), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 128, 64), dtype=jnp.float32)
+    ref = mha(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True, block_q=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

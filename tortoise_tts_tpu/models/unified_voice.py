@@ -31,7 +31,17 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.attention import NEG_INF, mha
+from ..ops.pallas_attention import flash_attention
 from ..ops.sampling import SamplingConfig, sample_token, warp_logits
+
+
+def _trunk_attention(q, k, v, key_mask=None):
+    """Full-sequence causal attention for the GPT trunk: the Pallas flash
+    kernel on TPU, XLA mha elsewhere (backend known at trace time)."""
+    if jax.default_backend() == "tpu" and q.shape[-1] == 64:
+        return flash_attention(q, k, v, key_mask=key_mask, causal=True)
+    mask = key_mask[:, None, None, :] if key_mask is not None else None
+    return mha(q, k, v, mask=mask, causal=True)
 from .arch import conditioning_encoder, conditioning_encoder_init
 from .common import (embedding, embedding_init, gelu_new, layer_norm,
                      layer_norm_init, linear, linear_init)
@@ -114,8 +124,8 @@ def _layer_params(gpt: Params):
 
 
 def _gpt_layer(lp: Params, x: jnp.ndarray, heads: int,
-               mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """One pre-LN GPT-2 block. x: (B, T, D); mask broadcastable (B,1,T,T)."""
+               key_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """One pre-LN GPT-2 block. x: (B, T, D); key_mask: (B, T) bool."""
     b, t, d = x.shape
     h = layer_norm(lp["ln_1"], x)
     qkv = linear(lp["attn_qkv"], h)
@@ -123,7 +133,7 @@ def _gpt_layer(lp: Params, x: jnp.ndarray, heads: int,
     q = q.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)
-    a = mha(q, k, v, mask=mask, causal=True)
+    a = _trunk_attention(q, k, v, key_mask=key_mask)
     a = a.transpose(0, 2, 1, 3).reshape(b, t, d)
     x = x + linear(lp["attn_proj"], a)
     h = layer_norm(lp["ln_2"], x)
@@ -138,12 +148,8 @@ def gpt_forward(gpt: Params, emb: jnp.ndarray, heads: int,
 
     key_mask: optional (B, T) bool, True = valid key (padding masking).
     """
-    mask = None
-    if key_mask is not None:
-        mask = key_mask[:, None, None, :]
-
     def body(x, lp):
-        return _gpt_layer(lp, x, heads, mask), None
+        return _gpt_layer(lp, x, heads, key_mask), None
 
     if remat:
         body = jax.checkpoint(body)
@@ -173,7 +179,6 @@ def _gpt_prefill(gpt: Params, emb: jnp.ndarray, heads: int,
     """Run full prefix, return final hidden of last position + filled cache."""
     b, t, d = emb.shape
     hd = d // heads
-    mask = key_mask[:, None, None, :]
 
     def body(x, lp):
         bb, tt, dd = x.shape
@@ -183,7 +188,7 @@ def _gpt_prefill(gpt: Params, emb: jnp.ndarray, heads: int,
         q = q.reshape(bb, tt, heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(bb, tt, heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(bb, tt, heads, hd).transpose(0, 2, 1, 3)
-        a = mha(q, k, v, mask=mask, causal=True)
+        a = _trunk_attention(q, k, v, key_mask=key_mask)
         a = a.transpose(0, 2, 1, 3).reshape(bb, tt, dd)
         x = x + linear(lp["attn_proj"], a)
         h2 = layer_norm(lp["ln_2"], x)
