@@ -158,3 +158,12 @@ def test_trim_latents_at_calm():
     codes[:5] = 1
     out = TTS.trim_latents_at_calm(codes, lat)
     assert out.shape[1] == 13  # 5 + 8 calm tokens, trimmed at count>8
+
+
+def test_batch_inference(tts, ref_wav):
+    wavs, sr = tts.batch_inference(
+        ["first utterance", "the second one is longer than the first"],
+        ref_wav, max_ar_steps=16, max_diffusion_steps=4, seed=7)
+    assert sr == 24_000 and len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and np.isfinite(w).all() and w.shape[0] > 500

@@ -217,6 +217,99 @@ class TTS:
         return wav, sr
 
     # ------------------------------------------------------------------
+    def batch_inference(
+        self,
+        texts: Sequence[str],
+        references: Optional[str | Sequence[str | Path]] = None,
+        max_ar_steps: int = 500,
+        max_diffusion_steps: int = 80,
+        ar_temp: float = 0.8,
+        diffusion_temp: float = 1.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        diffusion_sampler: str = "ddim",
+        cond_free: bool = True,
+        vocoder_type: str = "bigvgan",
+        seed: Optional[int] = None,
+        diffusion_pad_multiple: int = 32,
+    ) -> Tuple[list, int]:
+        """Batched multi-utterance inference (one jitted program per stage
+        over the whole batch; shard the batch over a mesh for multi-chip
+        throughput).  Returns (list of wavs, sr)."""
+        seed = int(time.time()) if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        sr = 24_000
+        ar = self._model("autoregressive")
+        diffusion = self._model("diffusion")
+
+        if references is not None:
+            enc = self.encode_audio(references, seed=seed)
+            ar_latent, diff_latent = enc["latent"]
+        else:
+            from .models import rlg as rlg_m
+            k1, k2, key = jax.random.split(key, 3)
+            rga, rgd = self._model("rlg_auto"), self._model("rlg_diffuser")
+            ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
+            diff_latent = rlg_m.sample(rgd.params, k2, 1, int(rgd.config))
+
+        b = len(texts)
+        toks = [self.encode_text(t) for t in texts]
+        bucket = self._bucket_text(max(toks, key=len)).shape[-1]
+        tokens = np.stack([np.pad(t[:bucket], (0, bucket - len(t[:bucket])))
+                           for t in toks])
+        lengths = np.asarray([min(len(t), bucket) for t in toks])
+        sampling = SamplingConfig(temperature=ar_temp, top_k=top_k,
+                                  top_p=top_p,
+                                  repetition_penalty=repetition_penalty)
+        k_ar, k_noise, k_diff, k_voc = jax.random.split(key, 4)
+        lat = jnp.broadcast_to(jnp.asarray(ar_latent),
+                               (b, ar_latent.shape[-1]))
+        res = inference_speech(ar.params, lat, jnp.asarray(tokens),
+                               jnp.asarray(lengths), k_ar, ar.config,
+                               sampling, max_length=max_ar_steps)
+        codes = self.cleanup_codes(np.asarray(res.codes),
+                                   np.asarray(res.lengths),
+                                   ar.config.stop_mel_token)
+        L = codes.shape[1]
+        pad_codes = np.pad(codes, ((0, 0), (0, max_ar_steps - L)),
+                           constant_values=ar.config.stop_mel_token)
+        wav_lengths = np.full((b,), L * ar.config.mel_length_compression)
+        latents = _jit_latent_pass(
+            ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
+            jnp.asarray(pad_codes), jnp.asarray(wav_lengths), ar.config)
+        latents = np.asarray(latents[:, :L].astype(jnp.float32))
+
+        if diffusion_pad_multiple > 1:
+            pad_t = (-L) % diffusion_pad_multiple
+            if pad_t:
+                latents = np.concatenate(
+                    [latents, np.repeat(latents[:, -1:], pad_t, axis=1)], 1)
+        seq_len = latents.shape[1] * 4 * 24000 // 22050
+        noise = jax.random.normal(k_noise, (b, 100, seq_len)) * diffusion_temp
+        mel = _jit_diffusion(
+            diffusion.params, jnp.asarray(latents),
+            jnp.broadcast_to(jnp.asarray(diff_latent, dtype=jnp.float32),
+                             (b, diff_latent.shape[-1])),
+            noise, k_diff, diffusion.config, max_diffusion_steps,
+            diffusion_sampler, seq_len, cond_free)
+
+        voc = self._model("bigvgan" if vocoder_type == "bigvgan"
+                          else "vocoder")
+        if vocoder_type == "bigvgan":
+            wavs = np.asarray(_jit_bigvgan(voc.params, mel, voc.config))
+        else:
+            wavs = np.asarray(_jit_univnet(voc.params, mel, k_voc,
+                                           voc.config))
+        # trim each row to its own generated length
+        out = []
+        row_lengths = np.minimum(np.asarray(res.lengths) + 1, L)
+        for i in range(b):
+            n = int(row_lengths[i] * 4 * 24000 // 22050) * 256
+            out.append(wavs[i, 0, :n])
+        return out, sr
+
+    # ------------------------------------------------------------------
     def _decode_codes(self, line: str, ar_latent, sampling: SamplingConfig,
                       max_ar_steps: int, key, candidates: int = 1,
                       collect_latents: bool = False) -> DecodeResult:
