@@ -37,8 +37,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
                  causal: bool, block_q: int):
     """One (batch*head, q_block) grid step.
 
-    q_ref: (block_q, D); k_ref/v_ref: (S, D); mask_ref: (1, S) int32
-    validity of keys; o_ref: (block_q, D).
+    q_ref: (1, block_q, D); k_ref/v_ref: (1, S, D); mask_ref: (1, 1, S)
+    int32 validity of keys; o_ref: (1, block_q, D).
     """
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * scale
@@ -46,7 +46,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
     dots = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     s = k.shape[0]
-    key_ok = mask_ref[0, :] > 0
+    key_ok = mask_ref[0, 0, :] > 0
     valid = jnp.broadcast_to(key_ok[None, :], (block_q, s))
     if causal:
         q_pos = qi * block_q + jax.lax.broadcasted_iota(
@@ -92,7 +92,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qf = q.reshape(b * h, s_p, d)
     kf = k.reshape(b * h, s_p, d)
     vf = v.reshape(b * h, s_p, d)
-    maskf = jnp.repeat(key_mask.astype(jnp.int32), h, axis=0)  # (B*H, S)
+    # (B*H, 1, S): keep the mask 3D so its block shape meets the TPU
+    # (sublane, lane) tiling rules (last two dims equal the array dims)
+    maskf = jnp.repeat(key_mask.astype(jnp.int32), h, axis=0)[:, None, :]
 
     grid = (b * h, s_p // bq)
     kernel = functools.partial(_attn_kernel, scale=scale, causal=causal,
@@ -105,7 +107,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, s_p, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, s_p, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, s_p), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, s_p), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
         interpret=interpret,
