@@ -217,3 +217,22 @@ def test_teacher_distillation_step():
     state, m = step(state, _ar_batch())
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["loss.kl"])) and float(m["loss.kl"]) > 0
+
+
+def test_engines_orchestrator(tmp_path):
+    from tortoise_tts_tpu.engine.engines import Engines
+    params = uv_m.init(jax.random.PRNGKey(0), AR_CFG)
+    tx = optax.adamw(1e-4)
+    step = ts.make_ar_train_step(AR_CFG, tx, donate=False)
+    engines = Engines()
+    engines.add("autoregressive", st.init_state(params, tx), step)
+    m = engines.step(_ar_batch())
+    assert "autoregressive.loss" in m and "loss" in m
+    assert engines.global_step == 1
+    engines.save_checkpoint(tmp_path)
+    engines.export(tmp_path)
+    assert (tmp_path / "autoregressive" / "fp32.sft").exists()
+    engines2 = Engines()
+    engines2.add("autoregressive", st.init_state(params, tx), step)
+    engines2.load_checkpoint(tmp_path)
+    assert engines2.global_step == 1

@@ -1,1 +1,1 @@
-from . import optim, state, train_step  # noqa: F401
+from . import engines, optim, state, train_step  # noqa: F401
