@@ -75,8 +75,14 @@ def _jit_diffusion(dparams, latents, diff_cond, noise, key, dcfg, steps,
     else:
         code_emb = pre.astype(jnp.float32)
 
+    # run the denoiser trunk at the params' dtype (bf16 in production —
+    # the reference's fp16 autocast equivalent, diffusion.py:1558-1563);
+    # the sampler math stays fp32 (p_mean_variance upcasts outputs)
+    pdt = jnp.asarray(dparams["inp_block"]["w"]).dtype
+    code_emb = code_emb.astype(pdt)
+
     def model_fn(x, ts):
-        return _dtts.forward(dparams, x, ts, code_emb, dcfg)
+        return _dtts.forward(dparams, x.astype(pdt), ts, code_emb, dcfg)
 
     mel = gaussian.sample_loop(model_fn, noise, key, sched, sampler=sampler)
     return denormalize_tacotron_mel(mel)
@@ -85,7 +91,8 @@ def _jit_diffusion(dparams, latents, diff_cond, noise, key, dcfg, steps,
 @partial(jax.jit, static_argnames=("cfg",))
 def _jit_bigvgan(params, mel, cfg):
     from .models import bigvgan as _bv
-    return _bv.inference(params, mel, cfg)
+    pdt = jnp.asarray(params["conv_pre"]["w"]).dtype
+    return _bv.inference(params, mel.astype(pdt), cfg).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
