@@ -1,0 +1,102 @@
+"""Native C++ melbin loader: pack + batch parity vs the Python path."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tortoise_tts_tpu.data.native_loader import (MelBinDataset, get_lib,
+                                                 pack_melbin)
+
+from tests.test_data_trainer import _write_artifact
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="no native toolchain")
+
+
+@pytest.fixture()
+def packed(tmp_path):
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"utt{i}.mel"
+        _write_artifact(p, n_codes=20 + i, n_text=8 + i, seed=i, dim=64)
+        paths.append(p)
+    out = tmp_path / "data.melbin"
+    n = pack_melbin(paths, out)
+    assert n == 6
+    return paths, out
+
+
+def test_batch_matches_python_path(packed):
+    from tortoise_tts_tpu.data.dataset import load_artifact
+    paths, out = packed
+    ds = MelBinDataset(out, lat_dim=64, dlat_dim=128)
+    assert len(ds) == 6
+    batch = ds.batch([0, 3, 5], text_bucket=16, mel_bucket=32)
+    assert batch["text"].shape == (3, 16)
+    assert batch["codes"].shape == (3, 32)
+    for row, i in enumerate([0, 3, 5]):
+        art = load_artifact(paths[i])
+        codes = np.asarray(art["codes"]).reshape(-1)
+        text = np.asarray(art["text"]).reshape(-1)
+        n_t, n_c = min(len(text), 16), min(len(codes), 32)
+        np.testing.assert_array_equal(batch["text"][row, :n_t], text[:n_t])
+        assert (batch["text"][row, n_t:] == 0).all()
+        np.testing.assert_array_equal(batch["codes"][row, :n_c],
+                                      codes[:n_c])
+        assert batch["text_lengths"][row] == n_t
+        assert batch["wav_lengths"][row] == min(
+            art["metadata"]["original_length"], n_c * 1024)
+        np.testing.assert_allclose(
+            batch["latents"][row], np.asarray(art["latent"][0]).reshape(-1))
+
+
+def test_durations_and_bad_index(packed):
+    _, out = packed
+    ds = MelBinDataset(out, lat_dim=64, dlat_dim=128)
+    d = ds.durations()
+    assert d.shape == (6,) and (d > 0).all()
+    with pytest.raises(ValueError):
+        ds.batch([99], text_bucket=8, mel_bucket=8)
+
+
+def test_truncation(packed):
+    _, out = packed
+    ds = MelBinDataset(out, lat_dim=64, dlat_dim=128)
+    batch = ds.batch([5], text_bucket=4, mel_bucket=8)
+    assert batch["text_lengths"][0] == 4
+    assert batch["wav_lengths"][0] == 8 * 1024
+
+
+def test_dataset_uses_native_loader(tmp_path):
+    import dataclasses
+    from tortoise_tts_tpu.config import (Config, DatasetConfig,
+                                         Hyperparameters)
+    from tortoise_tts_tpu.data import Dataset
+    d = tmp_path / "data" / "g" / "s"
+    paths = []
+    for i in range(8):
+        p = d / f"u{i}.mel"
+        _write_artifact(p, n_codes=20 + i, seed=i, dim=1024)
+        paths.append(p)
+    # pack with full-size latent dims (loader defaults)
+    import numpy as np
+    for p in paths:  # rewrite latents at full dims
+        art = np.load(p, allow_pickle=True)[()]
+        art["latent"] = (np.zeros((1, 1024), np.float32),
+                         np.zeros((1, 2048), np.float32))
+        with open(p, "wb") as f:
+            np.save(f, art)
+    pack_melbin(paths, tmp_path / "data.melbin")
+    cfg = Config(
+        yaml_path=str(tmp_path / "cfg.yaml"),
+        hyperparameters=Hyperparameters(batch_size=4),
+        dataset=DatasetConfig(training=(str(tmp_path / "data"),),
+                              validate=False, text_bucket=16, mel_bucket=32,
+                              use_melbin=True))
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+    assert ds._melbin is not None
+    batch = next(ds.batches())
+    assert batch["text"].shape == (4, 16)
+    assert batch["codes"].shape == (4, 32)
+    assert batch["latents"].shape == (4, 1024)

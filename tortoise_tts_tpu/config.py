@@ -179,6 +179,7 @@ class DatasetConfig:
     # TPU additions
     text_bucket: int = 256       # fixed text length for training batches
     mel_bucket: int = 512        # fixed mel-code length for training batches
+    use_melbin: bool = False     # native C++ packed-dataset loader
 
 
 @dataclass(frozen=True)

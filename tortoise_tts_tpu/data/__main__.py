@@ -136,7 +136,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser("tortoise_tts_tpu.data")
     parser.add_argument("--yaml", type=Path, required=True)
     parser.add_argument("--action", type=str, default="metadata",
-                        choices=["metadata", "hdf5", "validate", "sample"])
+                        choices=["metadata", "hdf5", "validate", "sample",
+                                 "melbin"])
     parser.add_argument("--out", type=Path, default=Path("data/samples"))
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -149,6 +150,15 @@ def main(argv=None):
         validate_dataset(cfg)
     elif args.action == "sample":
         sample_dataset(cfg, args.out)
+    elif args.action == "melbin":
+        from .native_loader import pack_melbin
+        paths = []
+        for root in cfg.dataset.training + cfg.dataset.validation:
+            root = Path(root)
+            if root.is_dir():
+                paths.extend(sorted(root.rglob("*.mel")))
+        n = pack_melbin(paths, cfg.rel_path / "data.melbin")
+        _logger.info("packed %d artifacts into data.melbin", n)
 
 
 if __name__ == "__main__":

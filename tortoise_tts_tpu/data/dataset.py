@@ -44,6 +44,15 @@ class Dataset:
         self.paths: List[Path] = []
         self.durations: List[float] = []
         self._h5 = None
+        self._melbin = None
+        melbin = cfg.rel_path / "data.melbin"
+        if getattr(self.dcfg, "use_melbin", False) and melbin.exists():
+            try:
+                from .native_loader import MelBinDataset
+                self._melbin = MelBinDataset(melbin)
+                _logger.info("using native melbin loader: %s", melbin)
+            except Exception as e:
+                _logger.warning("native melbin unavailable: %s", e)
         if self.dcfg.use_hdf5:
             import h5py
             h5_path = cfg.rel_path / self.dcfg.hdf5_name
@@ -179,6 +188,10 @@ class Dataset:
     def collate(self, items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
+    def _native_batch(self, indices) -> Dict[str, np.ndarray]:
+        return self._melbin.batch(indices, self.dcfg.text_bucket,
+                                  self.dcfg.mel_bucket)
+
     # ------------------------------------------------------------------
     def batches(self, batch_size: Optional[int] = None
                 ) -> Iterator[Dict[str, np.ndarray]]:
@@ -187,13 +200,19 @@ class Dataset:
         while True:
             if isinstance(self.sampler, BatchedOrderedSampler):
                 for batch_idx in self.sampler:
-                    yield self.collate([self[i] for i in batch_idx])
+                    if self._melbin is not None:
+                        yield self._native_batch(batch_idx)
+                    else:
+                        yield self.collate([self[i] for i in batch_idx])
             else:
                 buf = []
                 for i in self.sampler:
-                    buf.append(self[i])
+                    buf.append(i)
                     if len(buf) == bs:
-                        yield self.collate(buf)
+                        if self._melbin is not None:
+                            yield self._native_batch(buf)
+                        else:
+                            yield self.collate([self[j] for j in buf])
                         buf = []
 
     # ------------------------------------------------------------------
