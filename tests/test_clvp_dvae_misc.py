@@ -169,3 +169,24 @@ def test_tokenizer_roundtrip():
     ids = t.encode("hello world")
     assert t.decode(ids) == "hello world"
     assert all(0 <= i < 256 for i in ids)
+
+
+def test_legacy_transformer_tower_parity():
+    """Non-xformers CLVP tower (reference transformer.py Transformer)."""
+    rt = import_ref("models.transformer")
+    torch.manual_seed(7)
+    m = rt.Transformer(dim=64, depth=2, seq_len=32, causal=False, heads=4,
+                       dim_head=16)
+    m.eval()
+    from tortoise_tts_tpu.models.clvp import legacy_encoder
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert.convert_legacy_tower(
+            {f"t.{k}": v for k, v in m.state_dict().items()}, "t", 2))
+    x = torch.randn(2, 20, 64)
+    mask = torch.ones(2, 20, dtype=torch.bool)
+    with torch.no_grad():
+        ref = m(x, mask=mask).numpy()
+    got = np.asarray(legacy_encoder(params, jnp.asarray(x.numpy()),
+                                    jnp.asarray(mask.numpy()), heads=4,
+                                    dim_head=16))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)

@@ -119,6 +119,69 @@ def _encoder(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# legacy DALLE-style tower (reference transformer.py, use_xformers=False)
+# ---------------------------------------------------------------------------
+
+
+def _layer_scale_init(depth_ind: int, dim: int) -> jnp.ndarray:
+    """transformer.py LayerScale: depth-dependent small init."""
+    if depth_ind <= 18:
+        eps = 0.1
+    elif depth_ind <= 24:
+        eps = 1e-5
+    else:
+        eps = 1e-6
+    return jnp.full((1, 1, dim), eps)
+
+
+def legacy_encoder_init(key, dim: int, depth: int, heads: int,
+                        dim_head: int = 64, ff_mult: int = 4) -> Params:
+    ks = iter(jax.random.split(key, depth * 8 + 2))
+    inner = dim_head * heads
+    layers = []
+    for ind in range(depth):
+        layers.append({
+            "attn_norm": layer_norm_init(dim),
+            "to_qkv": linear_init(next(ks), dim, inner * 3, bias=False),
+            "to_out": linear_init(next(ks), inner, dim),
+            "attn_scale": _layer_scale_init(ind + 1, dim),
+            "ff_norm": layer_norm_init(dim),
+            "ff_in": linear_init(next(ks), dim, dim * ff_mult * 2),
+            "ff_out": linear_init(next(ks), dim * ff_mult, dim),
+            "ff_scale": _layer_scale_init(ind + 1, dim),
+        })
+    return {"layers": layers}
+
+
+def legacy_encoder(p: Params, x: jnp.ndarray,
+                   mask: Optional[jnp.ndarray], heads: int,
+                   dim_head: int = 64) -> jnp.ndarray:
+    """PreNorm + LayerScale stack (transformer.py:99-220, causal=False)."""
+    b, t, d = x.shape
+    scale = dim_head ** -0.5
+    for lp in p["layers"]:
+        h = layer_norm(lp["attn_norm"], x)
+        qkv = linear(lp["to_qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, heads, dim_head).transpose(0, 2, 1, 3) * scale
+        k = k.reshape(b, t, heads, dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, heads, dim_head).transpose(0, 2, 1, 3)
+        dots = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        if mask is not None:
+            dots = jnp.where(mask[:, None, None, :], dots, NEG_INF)
+        w = jax.nn.softmax(dots, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, heads * dim_head)
+        x = x + linear(lp["to_out"], o) * lp["attn_scale"]
+        h = layer_norm(lp["ff_norm"], x)
+        a, gate = jnp.split(linear(lp["ff_in"], h), 2, axis=-1)
+        ff = linear(lp["ff_out"], a * jax.nn.gelu(gate, approximate=False))
+        x = x + ff * lp["ff_scale"]
+    return x
+
+
+# ---------------------------------------------------------------------------
 # CLVP
 # ---------------------------------------------------------------------------
 

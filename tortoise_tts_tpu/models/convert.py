@@ -292,6 +292,27 @@ def _clvp_tower(sd: StateDict, prefix: str, depth: int) -> Dict[str, Any]:
     return {"layers": layers, "final_norm": _norm(sd, t + ".norm")}
 
 
+def convert_legacy_tower(sd: StateDict, prefix: str,
+                         depth: int) -> Dict[str, Any]:
+    """DALLE-style Transformer (reference transformer.py:183-220):
+    layers.layers.{i}.{0 attn,1 ff} LayerScale(PreNorm(fn))."""
+    layers = []
+    for i in range(depth):
+        a = f"{prefix}.layers.layers.{i}.0"
+        f = f"{prefix}.layers.layers.{i}.1"
+        layers.append({
+            "attn_norm": _norm(sd, a + ".fn.norm"),
+            "to_qkv": _lin(sd, a + ".fn.fn.to_qkv"),
+            "to_out": _lin(sd, a + ".fn.fn.to_out.0"),
+            "attn_scale": _np(sd[a + ".scale"]),
+            "ff_norm": _norm(sd, f + ".fn.norm"),
+            "ff_in": _lin(sd, f + ".fn.fn.net.0"),
+            "ff_out": _lin(sd, f + ".fn.fn.net.3"),
+            "ff_scale": _np(sd[f + ".scale"]),
+        })
+    return {"layers": layers}
+
+
 def convert_clvp(sd: StateDict, depth: int = 20) -> Dict[str, Any]:
     return {
         "text_emb": _emb(sd, "text_emb"),
