@@ -447,25 +447,41 @@ class TTS:
     def _stream_line(self, line, ar_latent, sampling, max_ar_steps, key,
                      stream_chunk_size: int = 40, first_buffer: int = 60,
                      overlap_wav_len: int = 1024) -> Iterator[np.ndarray]:
-        """HiFiGAN streaming route (inference.py:250-329): decode with
-        latent collection, vocode in growing chunks with linear crossfade.
+        """HiFiGAN TRUE streaming route (inference.py:250-329): the decode
+        advances in 40-token chunks against a persistent on-device KV
+        cache (60-token first buffer), vocoding + 1024-sample linear
+        crossfade between chunks — audio is yielded while the AR decode
+        of later chunks is still pending.
         """
+        from .models.unified_voice import decode_chunk, decode_start
+        ar = self._model("autoregressive")
         voc = self._model("hifigan")
-        res, _, _ = self._decode_codes(line, ar_latent, sampling,
-                                       max_ar_steps, key,
-                                       collect_latents=True)
-        n = int(np.asarray(res.lengths)[0])
-        n = max(n, 1)
-        latents = np.asarray(res.latents[:, :n].astype(jnp.float32))
-        g = jnp.broadcast_to(jnp.asarray(ar_latent, dtype=jnp.float32),
-                             (1, ar_latent.shape[-1]))
+        tokens = self._bucket_text(self.encode_text(line))[None]
+        lengths = np.asarray([min(len(self.encode_text(line)),
+                                  tokens.shape[1])])
+        lat = jnp.broadcast_to(jnp.asarray(ar_latent),
+                               (1, ar_latent.shape[-1]))
+        g = lat.astype(jnp.float32)
 
+        state = decode_start(ar.params, lat, jnp.asarray(tokens),
+                             jnp.asarray(lengths), key, ar.config,
+                             max_ar_steps)
         wav_gen_prev, wav_overlap = None, None
-        pos, first = 0, first_buffer
-        while pos < n:
-            pos = min(n, pos + max(stream_chunk_size, first))
-            first = 0
-            chunk_lat = jnp.asarray(latents[:, :pos])
+        first = True
+        while True:
+            chunk = max(stream_chunk_size, first_buffer) if first \
+                else stream_chunk_size
+            first = False
+            state = decode_chunk(ar.params, state, ar.config, sampling,
+                                 max_ar_steps, chunk=chunk,
+                                 collect_latents=True)
+            pos = int(state.step)
+            n = int(np.asarray(state.lengths)[0])
+            done = bool(np.asarray(state.finished).all()) or \
+                pos >= max_ar_steps
+            upto = min(pos, n) if done else pos
+            upto = max(upto, 1)
+            chunk_lat = state.latents[:, :upto].astype(jnp.float32)
             wav_gen = np.asarray(_jit_hifigan(
                 voc.params, chunk_lat, g, voc.config))[0, 0]
             wav_chunk = wav_gen[:-overlap_wav_len]
@@ -481,3 +497,5 @@ class TTS:
             wav_overlap = wav_gen[-overlap_wav_len:]
             wav_gen_prev = wav_gen
             yield wav_chunk
+            if done:
+                break

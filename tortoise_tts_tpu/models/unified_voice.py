@@ -365,25 +365,34 @@ class DecodeResult(NamedTuple):
     latents: jnp.ndarray   # (B, max_len, D) hidden states (streaming path)
 
 
-@partial(jax.jit, static_argnames=("cfg", "sampling", "max_length",
-                                   "collect_latents"))
-def inference_speech(params: Params, cond_latent: jnp.ndarray,
-                     text: jnp.ndarray, text_lengths: jnp.ndarray,
-                     key: jax.Array,
-                     cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
-                     sampling: SamplingConfig = SamplingConfig(),
-                     max_length: int = 500,
-                     collect_latents: bool = False) -> DecodeResult:
-    """Generate mel codes (reference unified_voice.py:632-668 + HF loop).
+class DecodeState(NamedTuple):
+    """Persistent decode carry — lives on device between chunked calls."""
+    step: jnp.ndarray
+    cache: KVCache
+    lat: jnp.ndarray       # latent producing current step's logits
+    tokens: jnp.ndarray
+    counts: jnp.ndarray
+    latents: jnp.ndarray
+    finished: jnp.ndarray
+    lengths: jnp.ndarray
+    rng: jax.Array
+    key_mask: jnp.ndarray  # (B, cache_len) prefix-validity mask
 
-    Sequence: [cond, start_text, text, stop_text, pad.., start_mel, ...].
-    The whole decode is one jitted while_loop with early exit when every
-    row has produced stop_mel_token.
+
+@partial(jax.jit, static_argnames=("cfg", "max_length"))
+def decode_start(params: Params, cond_latent: jnp.ndarray,
+                 text: jnp.ndarray, text_lengths: jnp.ndarray,
+                 key: jax.Array,
+                 cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
+                 max_length: int = 500) -> DecodeState:
+    """Prefill [cond, text, start_mel] and return a resumable DecodeState.
+
+    Sequence: [cond, start_text, text, stop_text, pad.., start_mel, ...]
+    (reference unified_voice.py:632-668 layout).
     """
     b, tt = text.shape
     d = cfg.model_dim
-    text_seg = tt + 2
-    prefix_len = 1 + text_seg            # cond + text segment
+    prefix_len = 1 + tt + 2              # cond + text segment
     cache_len = prefix_len + 1 + max_length
     dtype = params["mel_embedding"]["w"].dtype
 
@@ -398,13 +407,40 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
     prefill_mask = jnp.concatenate([ones, text_mask, ones], axis=1)
     hidden, cache = _gpt_prefill(params["gpt"], prefill, cfg.heads,
                                  prefill_mask, cache_len)
-
-    # full-cache key mask (prefix padding + all decode slots valid-by-pos)
     key_mask = jnp.concatenate(
         [prefill_mask,
          jnp.ones((b, cache_len - prefill.shape[1]), dtype=bool)], axis=1)
 
-    mel_vocab = cfg.number_mel_codes
+    first_lat = layer_norm(params["final_norm"], hidden[:, -1])
+    counts0 = jnp.zeros((b, cfg.number_mel_codes), jnp.int32)
+    # start_mel token counts as seen for repetition penalty (HF counts all
+    # generated input_ids; prefix dummies are token id 1 in a different
+    # vocab space and never produced again, so only mel tokens matter).
+    counts0 = counts0.at[:, cfg.start_mel_token].add(1)
+
+    return DecodeState(
+        jnp.zeros((), jnp.int32), cache, first_lat,
+        jnp.full((b, max_length), cfg.stop_mel_token, jnp.int32), counts0,
+        jnp.zeros((b, max_length, d), dtype), jnp.zeros((b,), bool),
+        jnp.full((b,), max_length, jnp.int32), key, key_mask)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sampling", "max_length",
+                                   "chunk", "collect_latents"))
+def decode_chunk(params: Params, state: DecodeState,
+                 cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
+                 sampling: SamplingConfig = SamplingConfig(),
+                 max_length: int = 500, chunk: Optional[int] = None,
+                 collect_latents: bool = False) -> DecodeState:
+    """Advance the decode by up to `chunk` tokens (while_loop with early
+    exit).  chunk=None runs to max_length.  The streaming route calls
+    this in 40-token chunks, vocoding between calls (inference.py:250-329
+    behavior with a persistent on-device KV cache)."""
+    b = state.tokens.shape[0]
+    max_len = state.tokens.shape[1]
+    cache_len = state.cache.k.shape[3]
+    prefix_len = cache_len - 1 - max_len
+    dtype = params["mel_embedding"]["w"].dtype
 
     def latent_of(h):
         """final_norm'd hidden above the last input position — the latent
@@ -414,36 +450,14 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
     def logits_of(lat):
         return linear(params["mel_head"], lat).astype(jnp.float32)
 
-    first_lat = latent_of(hidden)
+    start_step = state.step
+    limit = (max_len if chunk is None
+             else jnp.minimum(start_step + chunk, max_len))
 
-    class Carry(NamedTuple):
-        step: jnp.ndarray
-        cache: KVCache
-        lat: jnp.ndarray       # latent producing current step's logits
-        tokens: jnp.ndarray
-        counts: jnp.ndarray
-        latents: jnp.ndarray
-        finished: jnp.ndarray
-        lengths: jnp.ndarray
-        rng: jax.Array
+    def cond_fn(c: DecodeState):
+        return (c.step < limit) & ~jnp.all(c.finished)
 
-    counts0 = jnp.zeros((b, mel_vocab), jnp.int32)
-    # start_mel token counts as seen for repetition penalty (HF counts all
-    # generated input_ids; prefix dummies are token id 1 in a different
-    # vocab space and never produced again, so only mel tokens matter).
-    counts0 = counts0.at[:, cfg.start_mel_token].add(1)
-
-    latents0 = jnp.zeros((b, max_length, d), dtype)
-
-    init = Carry(jnp.zeros((), jnp.int32), cache, first_lat,
-                 jnp.full((b, max_length), cfg.stop_mel_token, jnp.int32),
-                 counts0, latents0, jnp.zeros((b,), bool),
-                 jnp.full((b,), max_length, jnp.int32), key)
-
-    def cond_fn(c: Carry):
-        return (c.step < max_length) & ~jnp.all(c.finished)
-
-    def body_fn(c: Carry):
+    def body_fn(c: DecodeState):
         rng, sub = jax.random.split(c.rng)
         tok = sample_token(sub, logits_of(c.lat), sampling, c.counts)
         tok = jnp.where(c.finished, cfg.stop_mel_token, tok)
@@ -461,11 +475,28 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
         emb = emb + params["mel_pos_embedding"]["w"][c.step + 1][None, None]
         pos = prefix_len + 1 + c.step
         h, cache = _gpt_decode_step(params["gpt"], emb.astype(dtype),
-                                    cfg.heads, c.cache, pos, key_mask)
-        return Carry(c.step + 1, cache, latent_of(h), tokens, counts,
-                     latents, finished, lengths, rng)
+                                    cfg.heads, c.cache, pos, c.key_mask)
+        return DecodeState(c.step + 1, cache, latent_of(h), tokens, counts,
+                           latents, finished, lengths, rng, c.key_mask)
 
-    out = lax.while_loop(cond_fn, body_fn, init)
+    return lax.while_loop(cond_fn, body_fn, state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sampling", "max_length",
+                                   "collect_latents"))
+def inference_speech(params: Params, cond_latent: jnp.ndarray,
+                     text: jnp.ndarray, text_lengths: jnp.ndarray,
+                     key: jax.Array,
+                     cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
+                     sampling: SamplingConfig = SamplingConfig(),
+                     max_length: int = 500,
+                     collect_latents: bool = False) -> DecodeResult:
+    """Generate mel codes (reference unified_voice.py:632-668 + HF loop):
+    one jitted prefill + full-budget while_loop with stop early-exit."""
+    state = decode_start(params, cond_latent, text, text_lengths, key, cfg,
+                         max_length)
+    out = decode_chunk(params, state, cfg, sampling, max_length, None,
+                       collect_latents)
     return DecodeResult(out.tokens, out.lengths, out.latents)
 
 
