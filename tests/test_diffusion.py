@@ -174,3 +174,51 @@ def test_p_mean_variance_parity(ref_model, params):
     np.testing.assert_allclose(np.asarray(logvar),
                                ref_out["log_variance"].numpy(),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_dpmpp_recovers_x0_with_exact_eps_model():
+    """With an oracle eps model for a point-mass data distribution, any
+    correct deterministic sampler must return x0 exactly."""
+    rng = np.random.RandomState(0)
+    x0_true = jnp.asarray(rng.randn(1, 100, 32).astype(np.float32)) * 0.5
+    sch = gaussian.get_schedule(steps=12, cond_free=False)
+
+    def oracle(x, ts_orig):
+        # map original-timestep values back to respaced indices
+        tmap = np.asarray(sch.timestep_map)
+        idx = jnp.argmax(jnp.asarray(tmap)[None, :] == ts_orig[:, None],
+                         axis=1)
+        a = jnp.asarray(sch.sqrt_alphas_cumprod, jnp.float32)[idx][:, None, None]
+        s = jnp.asarray(sch.sqrt_one_minus_alphas_cumprod,
+                        jnp.float32)[idx][:, None, None]
+        eps = (x - a * x0_true) / s
+        var = jnp.zeros_like(x)
+        return jnp.concatenate([eps, var], axis=1)
+
+    noise = jnp.asarray(rng.randn(1, 100, 32).astype(np.float32))
+    out_dpm = gaussian.sample_loop(oracle, noise, jax.random.PRNGKey(0), sch,
+                                   sampler="dpm++", clip_denoised=False)
+    np.testing.assert_allclose(np.asarray(out_dpm), np.asarray(x0_true),
+                               atol=1e-3, rtol=1e-3)
+    out_ddim = gaussian.sample_loop(oracle, noise, jax.random.PRNGKey(0),
+                                    sch, sampler="ddim", clip_denoised=False)
+    np.testing.assert_allclose(np.asarray(out_ddim), np.asarray(x0_true),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_dpmpp_on_denoiser_finite(ref_model, params):
+    sch = gaussian.get_schedule(steps=6, cond_free=True)
+    b, t_out = 1, 64
+    rng = np.random.RandomState(1)
+    lat = jnp.asarray(rng.randn(b, 16, CFG.in_latent_channels),
+                      dtype=jnp.float32)
+    cond = jnp.asarray(rng.randn(b, 2 * CFG.model_channels),
+                       dtype=jnp.float32)
+    pre = dtts.timestep_independent(params, lat, cond, t_out, CFG)
+    uncond = dtts.unconditioned_embedding(params, b, t_out)
+    code_emb = jnp.concatenate([pre, uncond], axis=0)
+    noise = jnp.asarray(rng.randn(b, 100, t_out), dtype=jnp.float32)
+    out = gaussian.sample_loop(
+        lambda x, ts: dtts.forward(params, x, ts, code_emb, CFG),
+        noise, jax.random.PRNGKey(0), sch, sampler="dpm++")
+    assert np.isfinite(np.asarray(out)).all()

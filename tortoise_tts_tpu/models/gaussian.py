@@ -211,9 +211,55 @@ def sample_loop(model_fn: ModelFn, noise: jnp.ndarray, key: jax.Array,
             sub, x.shape, x.dtype)
         return (x, k), None
 
+    if sampler == "dpm++":
+        return _dpmpp_2m_loop(model_fn, noise, sched, clip_denoised)
+
     step = {"ddim": ddim_step, "p": p_step}[sampler]
     ts = jnp.arange(T - 1, -1, -1)
     (x, _), _ = jax.lax.scan(step, (noise.astype(jnp.float32), key), ts)
+    return x
+
+
+def _dpmpp_2m_loop(model_fn: ModelFn, noise: jnp.ndarray,
+                   sched: DiffusionSchedule,
+                   clip_denoised: bool = True) -> jnp.ndarray:
+    """DPM-Solver++(2M): deterministic 2nd-order multistep sampler — a
+    beyond-the-reference option reaching DDIM-80 quality in ~20-30 steps
+    (arXiv:2211.01095).  Uses the same respaced schedule / guidance as
+    the other samplers (x0-prediction formulation)."""
+    T = sched.num_timesteps
+    abar = np.concatenate([sched.alphas_cumprod, [1.0 - 1e-8]])  # idx T = t<0
+    alpha = np.sqrt(abar)
+    sigma = np.sqrt(np.maximum(1.0 - abar, 1e-12))
+    lam = np.log(alpha) - np.log(sigma)
+
+    alpha_j = jnp.asarray(alpha, jnp.float32)
+    sigma_j = jnp.asarray(sigma, jnp.float32)
+    lam_j = jnp.asarray(lam, jnp.float32)
+
+    def x0_of(x, t):
+        _, _, x0 = p_mean_variance(model_fn, x, t, sched, clip_denoised)
+        return x0
+
+    def step(carry, i):
+        x, x0_prev, h_prev = carry
+        t = T - 1 - i                    # current index, T-1 .. 0
+        x0 = x0_of(x, t)
+        # target index t-1; at t==0 the 'previous' state is clean (idx T)
+        tm = jnp.where(t - 1 < 0, T, t - 1)
+        h = lam_j[tm] - lam_j[t]
+        r = h_prev / jnp.maximum(h, 1e-8)
+        use_2m = (i > 0) & (t > 0)
+        d = jnp.where(use_2m,
+                      (1 + 1 / (2 * jnp.maximum(r, 1e-8))) * x0
+                      - (1 / (2 * jnp.maximum(r, 1e-8))) * x0_prev,
+                      x0)
+        x_next = (sigma_j[tm] / sigma_j[t]) * x \
+            - alpha_j[tm] * jnp.expm1(-h) * d
+        return (x_next, x0, h), None
+
+    init = (noise.astype(jnp.float32), jnp.zeros_like(noise), jnp.ones(()))
+    (x, _, _), _ = jax.lax.scan(step, init, jnp.arange(T))
     return x
 
 
