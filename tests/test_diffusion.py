@@ -222,3 +222,18 @@ def test_dpmpp_on_denoiser_finite(ref_model, params):
         lambda x, ts: dtts.forward(params, x, ts, code_emb, CFG),
         noise, jax.random.PRNGKey(0), sch, sampler="dpm++")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_precomputed_rel_biases_match_inline(params):
+    """Hoisted bias path must be numerically identical to the inline
+    gather path."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 100, 48), dtype=jnp.float32)
+    ce = jnp.asarray(rng.randn(1, CFG.model_channels, 48),
+                     dtype=jnp.float32)
+    ts = jnp.asarray([1500])
+    ref = dtts.forward(params, x, ts, ce, CFG)
+    biases = dtts.precompute_rel_biases(params, 48, CFG)
+    got = dtts.forward(params, x, ts, ce, CFG, rel_biases=biases)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

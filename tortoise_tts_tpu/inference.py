@@ -80,9 +80,13 @@ def _jit_diffusion(dparams, latents, diff_cond, noise, key, dcfg, steps,
     # the sampler math stays fp32 (p_mean_variance upcasts outputs)
     pdt = jnp.asarray(dparams["inp_block"]["w"]).dtype
     code_emb = code_emb.astype(pdt)
+    # timestep-invariant rel-pos biases hoisted out of the scan (~70% of
+    # per-step cost when gathered inside the loop)
+    rel_biases = _dtts.precompute_rel_biases(dparams, seq_len, dcfg, pdt)
 
     def model_fn(x, ts):
-        return _dtts.forward(dparams, x.astype(pdt), ts, code_emb, dcfg)
+        return _dtts.forward(dparams, x.astype(pdt), ts, code_emb, dcfg,
+                             rel_biases=rel_biases)
 
     mel = gaussian.sample_loop(model_fn, noise, key, sched, sampler=sampler)
     return denormalize_tacotron_mel(mel)

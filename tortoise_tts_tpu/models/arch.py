@@ -45,19 +45,39 @@ def attention_block_init(key, channels: int, num_heads: int = 1,
 
 
 def attention_block(p: Params, x: jnp.ndarray, num_heads: int,
-                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x: (B, C, T) -> (B, C, T)."""
+                    mask: Optional[jnp.ndarray] = None,
+                    bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x: (B, C, T) -> (B, C, T).
+
+    ``bias``: optional precomputed (H, T, T) rel-pos bias (already scaled)
+    — pass it when this block runs inside a scan so the 60 MB gather is
+    hoisted out of the loop (see precompute_rel_bias)."""
     c = x.shape[1]
     h = group_norm(p["norm"], x, norm_groups(c))
     qkv = conv1d(p["qkv"], h)
-    rel_w = p.get("rel_pos", {}).get("w")
-    # reference scales the rel-pos embedding by sqrt(head_dim)
-    # (arch_utils.py:174: RelativePositionBias(scale=(C/H)**.5, ...))
-    rel_scale = math.sqrt(c // num_heads) if rel_w is not None else 1.0
-    a = qkv_attention(qkv, num_heads, rel_pos_w=rel_w,
-                      rel_pos_scale=rel_scale, mask=mask)
+    if bias is not None:
+        a = qkv_attention(qkv, num_heads, bias=bias, mask=mask)
+    else:
+        rel_w = p.get("rel_pos", {}).get("w")
+        # reference scales the rel-pos embedding by sqrt(head_dim)
+        # (arch_utils.py:174: RelativePositionBias(scale=(C/H)**.5, ...))
+        rel_scale = math.sqrt(c // num_heads) if rel_w is not None else 1.0
+        a = qkv_attention(qkv, num_heads, rel_pos_w=rel_w,
+                          rel_pos_scale=rel_scale, mask=mask)
     a = conv1d(p["proj_out"], a)
     return x + a
+
+
+def precompute_rel_bias(p: Params, t: int, num_heads: int, channels: int,
+                        dtype=None) -> Optional[jnp.ndarray]:
+    """Materialise this block's scaled rel-pos bias once: (H, T, T)."""
+    rel_w = p.get("rel_pos", {}).get("w")
+    if rel_w is None:
+        return None
+    from ..ops.attention import rel_pos_bias_from_table
+    bias = rel_pos_bias_from_table(rel_w, t, t) \
+        * math.sqrt(channels // num_heads)
+    return bias.astype(dtype) if dtype is not None else bias
 
 
 # ---------------------------------------------------------------------------

@@ -85,9 +85,9 @@ def _diffusion_layer_init(key, channels: int, num_heads: int) -> Params:
 
 
 def _diffusion_layer(p: Params, x: jnp.ndarray, time_emb: jnp.ndarray,
-                     num_heads: int) -> jnp.ndarray:
+                     num_heads: int, bias=None) -> jnp.ndarray:
     y = _ts_res_block(p["resblk"], x, time_emb)
-    return attention_block(p["attn"], y, num_heads)
+    return attention_block(p["attn"], y, num_heads, bias=bias)
 
 
 # ---------------------------------------------------------------------------
@@ -195,25 +195,48 @@ def unconditioned_embedding(p: Params, batch: int, seq_len: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def precompute_rel_biases(p: Params, t: int,
+                          cfg: DiffusionConfig = DiffusionConfig(),
+                          dtype=None):
+    """Hoist the T5 rel-pos bias gathers of the scan-resident attention
+    blocks (conditioning_timestep_integrator + trunk layers) out of the
+    sampling loop — they are timestep-invariant and cost ~70% of a
+    denoiser eval when recomputed per step (measured on v5e)."""
+    from .arch import precompute_rel_bias
+    C = cfg.model_channels
+    return {
+        "integrator": [precompute_rel_bias(l["attn"], t, cfg.num_heads, C,
+                                           dtype)
+                       for l in p["conditioning_timestep_integrator"]],
+        "layers": [precompute_rel_bias(l["attn"], t, cfg.num_heads, C, dtype)
+                   for l in p["layers"]],
+    }
+
+
 def forward(p: Params, x: jnp.ndarray, timesteps: jnp.ndarray,
             code_emb: jnp.ndarray,
-            cfg: DiffusionConfig = DiffusionConfig()) -> jnp.ndarray:
+            cfg: DiffusionConfig = DiffusionConfig(),
+            rel_biases=None) -> jnp.ndarray:
     """x: (B, 100, T); timesteps: (B,) *original-schedule* values;
     code_emb: (B, C, T) from timestep_independent / unconditioned_embedding.
+    rel_biases: optional precompute_rel_biases() output (loop hoisting).
     Returns (B, 200, T) [mean | variance-values].
     """
     C = cfg.model_channels
     time_emb = sinusoidal_timestep_embedding(timesteps, C).astype(x.dtype)
     time_emb = linear(p["time_embed_2"], silu(linear(p["time_embed_0"], time_emb)))
 
+    bi = rel_biases["integrator"] if rel_biases else [None] * 3
+    bl = rel_biases["layers"] if rel_biases else [None] * len(p["layers"])
+
     h = code_emb
-    for lyr in p["conditioning_timestep_integrator"]:
-        h = _diffusion_layer(lyr, h, time_emb, cfg.num_heads)
+    for lyr, bias in zip(p["conditioning_timestep_integrator"], bi):
+        h = _diffusion_layer(lyr, h, time_emb, cfg.num_heads, bias=bias)
     xh = conv1d(p["inp_block"], x, padding=1)
     xh = jnp.concatenate([xh, h], axis=1)
     xh = conv1d(p["integrating_conv"], xh)
-    for lyr in p["layers"]:
-        xh = _diffusion_layer(lyr, xh, time_emb, cfg.num_heads)
+    for lyr, bias in zip(p["layers"], bl):
+        xh = _diffusion_layer(lyr, xh, time_emb, cfg.num_heads, bias=bias)
     for rb in p["final_res"]:
         xh = _ts_res_block(rb, xh, time_emb)
     xh = xh.astype(jnp.float32)

@@ -66,7 +66,8 @@ def rel_pos_bias_from_table(emb_w: jnp.ndarray, n_q: int, n_k: int,
 def qkv_attention(qkv: jnp.ndarray, n_heads: int,
                   rel_pos_w: Optional[jnp.ndarray] = None,
                   rel_pos_scale: float = 1.0,
-                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  mask: Optional[jnp.ndarray] = None,
+                  bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Fused-QKV attention over channels-major sequences.
 
     qkv: (B, H*3*C, T) with per-head [q;k;v] channel interleave
@@ -84,9 +85,11 @@ def qkv_attention(qkv: jnp.ndarray, n_heads: int,
     # (B, H, Tq, Tk)
     dots = jnp.einsum("bhct,bhcs->bhts", q * scale, k * scale,
                       preferred_element_type=jnp.float32)
-    if rel_pos_w is not None:
-        bias = rel_pos_bias_from_table(rel_pos_w, t, t)  # (H, T, T)
-        dots = dots + bias[None].astype(dots.dtype) * rel_pos_scale
+    if bias is not None:          # precomputed (H, T, T), already scaled
+        dots = dots + bias[None].astype(dots.dtype)
+    elif rel_pos_w is not None:
+        rel = rel_pos_bias_from_table(rel_pos_w, t, t)  # (H, T, T)
+        dots = dots + rel[None].astype(dots.dtype) * rel_pos_scale
     if mask is not None:
         dots = jnp.where(mask[:, None, None, :], dots, NEG_INF)
     w = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(qkv.dtype)
