@@ -1,0 +1,88 @@
+"""Logit warper parity vs HF transformers implementations.
+
+The reference drives sampling through HF generate() warpers
+(unified_voice.py:659-666); ours are pure functions — verify identical
+masking/scaling on random logits, including the reference's custom
+TypicalLogitsWarper (unified_voice.py:47-75).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tortoise_tts_tpu.ops import sampling as S
+
+
+@pytest.fixture(scope="module")
+def logits():
+    rng = np.random.RandomState(0)
+    return rng.randn(3, 50).astype(np.float32) * 3
+
+
+def _masked_set(x):
+    """Set of surviving token indices per row (finite values)."""
+    return [set(np.nonzero(row > -1e8)[0]) for row in np.asarray(x)]
+
+
+def test_top_k_matches_hf(logits):
+    from transformers.generation.logits_process import TopKLogitsWarper
+    hf = TopKLogitsWarper(top_k=7)
+    ref = hf(None, torch.tensor(logits)).numpy()
+    got = S.apply_top_k(jnp.asarray(logits), 7)
+    assert _masked_set(got) == _masked_set(ref)
+
+
+@pytest.mark.parametrize("p", [0.5, 0.9, 0.99])
+def test_top_p_matches_hf(logits, p):
+    from transformers.generation.logits_process import TopPLogitsWarper
+    hf = TopPLogitsWarper(top_p=p)
+    ref = hf(None, torch.tensor(logits)).numpy()
+    got = S.apply_top_p(jnp.asarray(logits), p)
+    assert _masked_set(got) == _masked_set(ref)
+
+
+def test_repetition_penalty_matches_hf(logits):
+    from transformers.generation.logits_process import \
+        RepetitionPenaltyLogitsProcessor
+    hf = RepetitionPenaltyLogitsProcessor(penalty=1.7)
+    input_ids = torch.tensor([[1, 4, 4, 9], [0, 2, 3, 3], [5, 6, 7, 8]])
+    ref = hf(input_ids, torch.tensor(logits)).numpy()
+    counts = np.zeros((3, 50), np.int32)
+    for b in range(3):
+        for t in input_ids[b]:
+            counts[b, int(t)] += 1
+    got = np.asarray(S.apply_repetition_penalty(
+        jnp.asarray(logits), jnp.asarray(counts), 1.7))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_typical_matches_reference_warper(logits):
+    from tests.ref.harness import import_ref
+    ruv = import_ref("models.unified_voice")
+    ref_warper = ruv.TypicalLogitsWarper(mass=0.8)
+    ref = ref_warper(None, torch.tensor(logits)).numpy()
+    got = S.apply_typical(jnp.asarray(logits), 0.8)
+    assert _masked_set(got) == _masked_set(ref)
+
+
+def test_greedy_and_temperature():
+    logits = jnp.asarray([[1.0, 5.0, 2.0]])
+    import jax
+    tok = S.sample_token(jax.random.PRNGKey(0), logits,
+                         S.SamplingConfig(greedy=True))
+    assert int(tok[0]) == 1
+    warped = S.apply_temperature(logits, 0.5)
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(logits) * 2)
+
+
+def test_mirostat_step_runs():
+    import jax
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 200).astype(np.float32))
+    mu = jnp.full((2,), 10.0)
+    tok, new_mu = S.mirostat_step(jax.random.PRNGKey(0), logits, mu)
+    assert tok.shape == (2,)
+    assert np.isfinite(np.asarray(new_mu)).all()
+    assert not np.allclose(np.asarray(new_mu), 10.0)
