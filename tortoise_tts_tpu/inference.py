@@ -144,8 +144,18 @@ class TTS:
                      seed: Optional[int] = None):
         if isinstance(paths, str):
             paths = [Path(p) for p in paths.split(";")]
+        # voice-latent cache: reference clips are reused across calls;
+        # the AR-conditioning crop is seeded so results stay reproducible
+        cache_key = (tuple(str(p) for p in paths), seed)
+        if not hasattr(self, "_voice_cache"):
+            self._voice_cache = {}
+        if cache_key in self._voice_cache:
+            return self._voice_cache[cache_key]
         rng = np.random.RandomState(seed)
-        return emb_mel.encode_from_files(paths, dtype=self.dtype, rng=rng)
+        enc = emb_mel.encode_from_files(paths, dtype=self.dtype, rng=rng)
+        if len(self._voice_cache) < 16:
+            self._voice_cache[cache_key] = enc
+        return enc
 
     def _bucket_text(self, tokens: np.ndarray) -> np.ndarray:
         buckets = self.cfg.inference.text_buckets

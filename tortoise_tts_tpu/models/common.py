@@ -121,29 +121,33 @@ def depthwise_lowpass(x: jnp.ndarray, filt: jnp.ndarray, stride: int,
                       pad_mode: str = "edge") -> jnp.ndarray:
     """Per-channel FIR filter (BigVGAN LowPassFilter1d, bigvgan.py:72-106).
 
-    x: (B, C, T); filt: (K,) shared across channels.
+    x: (B, C, T); filt: (K,) shared across channels.  The shared filter
+    lets us fold channels into the batch dim (plain conv) instead of a
+    C-group depthwise conv, which lowers poorly on TPU.
     """
     b, c, t = x.shape
     x = jnp.pad(x, [(0, 0), (0, 0), (pad_left, pad_right)], mode=pad_mode)
-    w = jnp.broadcast_to(filt.astype(x.dtype), (c, 1, filt.shape[0]))
-    return lax.conv_general_dilated(
-        x, w, window_strides=(stride,), padding=[(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=c)
+    w = filt.astype(x.dtype)[None, None, :]
+    y = lax.conv_general_dilated(
+        x.reshape(b * c, 1, -1), w, window_strides=(stride,),
+        padding=[(0, 0)], dimension_numbers=("NCH", "OIH", "NCH"))
+    return y.reshape(b, c, -1)
 
 
 def depthwise_upsample(x: jnp.ndarray, filt: jnp.ndarray, ratio: int,
                        pad: int, pad_left: int, pad_right: int) -> jnp.ndarray:
     """BigVGAN UpSample1d (bigvgan.py:112-135): replicate-pad, zero-stuffed
-    transposed depthwise conv with a kaiser-sinc filter, scaled by ratio."""
+    transposed conv with a kaiser-sinc filter shared across channels
+    (channels folded into batch; see depthwise_lowpass)."""
     b, c, t = x.shape
     k = filt.shape[0]
     x = jnp.pad(x, [(0, 0), (0, 0), (pad, pad)], mode="edge")
-    w = jnp.broadcast_to(filt[::-1].astype(x.dtype), (c, 1, k))
+    w = filt[::-1].astype(x.dtype)[None, None, :]
     y = lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding=[(k - 1, k - 1)],
-        lhs_dilation=(ratio,),
-        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=c)
-    y = ratio * y
+        x.reshape(b * c, 1, -1), w, window_strides=(1,),
+        padding=[(k - 1, k - 1)], lhs_dilation=(ratio,),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    y = ratio * y.reshape(b, c, -1)
     return y[..., pad_left:y.shape[-1] - pad_right]
 
 

@@ -118,9 +118,11 @@ def sample_token(key: jax.Array, logits: jnp.ndarray,
                  cfg: SamplingConfig,
                  token_counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Warp + draw one token per row. logits (B, V) -> (B,) int32."""
-    warped = warp_logits(logits, cfg, token_counts)
     if cfg.greedy:
-        return jnp.argmax(warped, axis=-1).astype(jnp.int32)
+        # argmax is invariant under temperature and top-k/p/typical masks
+        # (the top-1 token always survives); skip the warp entirely
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    warped = warp_logits(logits, cfg, token_counts)
     return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
 
 
