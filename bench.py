@@ -51,6 +51,28 @@ def main():
               22050)
 
     text = "The quick brown fox jumps over the lazy dog."
+    mode = os.environ.get("BENCH_MODE", "single")
+
+    if mode == "batch":
+        # BASELINE config #2: batched 8-utterance sampling + BigVGAN bf16;
+        # metric = audio-seconds generated per wall second (throughput)
+        bsz = int(os.environ.get("BENCH_BATCH", 8))
+        texts = [text] * bsz
+        kwargs = dict(max_ar_steps=ar_steps,
+                      max_diffusion_steps=diff_steps, ar_temp=0.8,
+                      top_p=0.9, cond_free=True, diffusion_sampler="ddim",
+                      vocoder_type="bigvgan", diffusion_pad_multiple=32)
+        tts.batch_inference(texts, ref, seed=0, **kwargs)
+        t0 = time.time()
+        wavs, sr = tts.batch_inference(texts, ref, seed=1, **kwargs)
+        wall = time.time() - t0
+        audio_sec = sum(w.shape[-1] for w in wavs) / sr
+        thr = audio_sec / wall
+        print(json.dumps({"metric": "throughput", "value": round(thr, 3),
+                          "unit": "audio_sec_per_s",
+                          "vs_baseline": round(thr / 10.0, 3)}))
+        return
+
     kwargs = dict(max_ar_steps=ar_steps, max_diffusion_steps=diff_steps,
                   ar_temp=0.8, top_p=0.9, cond_free=True,
                   diffusion_sampler="ddim", vocoder_type="bigvgan",

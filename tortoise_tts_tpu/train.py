@@ -82,10 +82,16 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
         # the reference ground-truth in DVAE-mel space (80-bin, 22.05 kHz)
         ref_mel = dvae.module.decode(dvae.params, codes, dvae.config)
         text = tok.decode(batch["text"][0][:int(batch["text_lengths"][0])])
+        # Evaluation.kwargs remap (reference config.py:369-397 ar_kwargs)
+        ek = cfg.evaluation.kwargs or {}
         try:
             hyp_wav, _ = tts.inference(
                 text or "evaluation sample", None,
-                max_ar_steps=min(200, n * 2 + 16),
+                max_ar_steps=int(ek.get("max_steps",
+                                        min(200, n * 2 + 16))),
+                ar_temp=float(ek.get("ar_temp", 0.8)),
+                top_p=float(ek.get("top_p", 1.0)),
+                top_k=int(ek.get("top_k", 0)),
                 max_diffusion_steps=30, diffusion_sampler="p",
                 cond_free=False, seed=step + i)
         except Exception as e:
