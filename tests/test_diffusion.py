@@ -237,3 +237,40 @@ def test_precomputed_rel_biases_match_inline(params):
     got = dtts.forward(params, x, ts, ce, CFG, rel_biases=biases)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_training_losses_parity(ref_model, params):
+    """training_losses (mse + frozen-mean vb) vs reference at t>0."""
+    rdiff = import_ref("models.diffusion")
+    steps = 10
+    ref_d = rdiff.get_diffuser(steps=steps, cond_free=False)
+    rng = np.random.RandomState(11)
+    b, t_out = 2, 48
+    x_start = torch.tensor(rng.randn(b, 100, t_out).astype(np.float32))
+    noise = torch.tensor(rng.randn(b, 100, t_out).astype(np.float32))
+    lat = torch.tensor(rng.randn(b, 12, CFG.in_latent_channels)
+                       .astype(np.float32))
+    cond = torch.tensor(rng.randn(b, 2 * CFG.model_channels)
+                        .astype(np.float32))
+    t_idx = torch.tensor([3, 7])
+    with torch.no_grad():
+        pre = ref_model.timestep_independent(lat, cond, t_out, False)
+        terms = ref_d.training_losses(
+            ref_model, x_start, t_idx, noise=noise,
+            model_kwargs={"precomputed_aligned_embeddings": pre})
+
+    sch = gaussian.get_schedule(steps=steps, cond_free=False)
+    tj = jnp.asarray(t_idx.numpy())
+    x_t = gaussian.q_sample(jnp.asarray(x_start.numpy()), tj,
+                            jnp.asarray(noise.numpy()), sch)
+    pre_j = dtts.timestep_independent(
+        params, jnp.asarray(lat.numpy()), jnp.asarray(cond.numpy()),
+        t_out, CFG)
+    t_orig = jnp.asarray(sch.timestep_map)[tj]
+    out = dtts.forward(params, x_t, t_orig, pre_j, CFG)
+    got = gaussian.training_losses(out, jnp.asarray(x_start.numpy()), x_t,
+                                   tj, jnp.asarray(noise.numpy()), sch)
+    np.testing.assert_allclose(np.asarray(got["mse"]),
+                               terms["mse"].numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["vb"]),
+                               terms["vb"].numpy(), atol=1e-3, rtol=1e-2)
