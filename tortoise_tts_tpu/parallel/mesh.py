@@ -86,3 +86,45 @@ def shard_batch(mesh: Mesh, batch):
 def is_leader() -> bool:
     """Reference is_global_leader (utils/distributed.py:63-100)."""
     return jax.process_index() == 0
+
+
+_initialized = False
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host initialisation (the reference's init_distributed /
+    NCCL rendezvous role, utils/distributed.py:15-60).
+
+    On TPU pods `jax.distributed.initialize()` auto-discovers the
+    topology from the environment; explicit args cover manual
+    rendezvous.  No-op (returns False) for single-process runs.
+    """
+    global _initialized
+    if _initialized:
+        return True
+    import os
+    auto = os.environ.get("JAX_COORDINATOR_ADDRESS") or coordinator_address
+    if auto is None and num_processes is None:
+        return False   # single process — nothing to do
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _initialized = True
+    return True
+
+
+def world_size() -> int:
+    return jax.process_count()
+
+
+def global_rank() -> int:
+    return jax.process_index()
+
+
+def barrier(name: str = "barrier") -> None:
+    """Host-level sync (reference distributed.py:31 barrier): agree via a
+    tiny psum across all devices."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
