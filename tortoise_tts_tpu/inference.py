@@ -59,13 +59,23 @@ def _jit_latent_pass(params, cond, text, text_lengths, codes, wav_lengths,
 
 
 @partial(jax.jit, static_argnames=("dcfg", "steps", "sampler", "seq_len",
-                                   "cond_free", "cond_free_k"))
+                                   "cond_free", "cond_free_k", "n_lat"))
 def _jit_diffusion(dparams, latents, diff_cond, noise, key, dcfg, steps,
-                   sampler, seq_len, cond_free, cond_free_k=2.0):
-    """timestep_independent + full DDIM/P scan in one compiled program."""
+                   sampler, seq_len, cond_free, cond_free_k=2.0,
+                   n_lat=None, t_lat=None):
+    """timestep_independent + full DDIM/P scan in one compiled program.
+
+    When ``n_lat``/``t_lat`` are given, ``latents`` is the full
+    (B, max_steps, D) device buffer from the latent pass and the
+    calm-trim + edge-pad to ``n_lat`` frames happens here (dynamic
+    gather), avoiding a host roundtrip of the latents."""
     sched = gaussian.get_schedule(steps=steps, cond_free=cond_free,
                                   cond_free_k=cond_free_k)
     b = latents.shape[0]
+    if n_lat is not None:
+        idx = jnp.minimum(jnp.arange(n_lat), t_lat - 1)
+        latents = jnp.take(latents, idx, axis=1)
+    latents = latents.astype(jnp.float32)
     pre = _dtts.timestep_independent(dparams, latents, diff_cond, seq_len,
                                      dcfg)
     if cond_free:
@@ -377,12 +387,21 @@ class TTS:
                              breathing_room: int = 8) -> np.ndarray:
         """Trim latents where >8 consecutive calm tokens begin
         (inference.py:381-389)."""
+        k = TTS.calm_trim_point(codes_row, latents.shape[1],
+                                breathing_room)
+        return latents[:, :k]
+
+    @staticmethod
+    def calm_trim_point(codes_row: np.ndarray, upto: int,
+                        breathing_room: int = 8) -> int:
+        """First index where >8 consecutive calm tokens begin
+        (inference.py:381-389), else `upto`."""
         calm = 0
-        for k in range(codes_row.shape[-1]):
+        for k in range(min(codes_row.shape[-1], upto)):
             calm = calm + 1 if int(codes_row[k]) == CALM_TOKEN else 0
             if calm > breathing_room:
-                return latents[:, :k]
-        return latents
+                return k
+        return upto
 
     def _infer_line(self, line, ar_latent, diff_latent, sampling,
                     max_ar_steps, max_diffusion_steps, diffusion_temp,
@@ -423,29 +442,27 @@ class TTS:
             jnp.asarray(tokens[:codes.shape[0]]),
             jnp.asarray(text_lengths[:codes.shape[0]]),
             jnp.asarray(pad_codes), jnp.asarray(wav_lengths), ar.config)
-        latents = np.asarray(latents[:, :L].astype(jnp.float32))
-        latents = self.trim_latents_at_calm(codes[0], latents)
+        # latents stay on device; the calm-token trim point is decided
+        # from the (small) codes array (inference.py:381-389 semantics)
+        t_lat = self.calm_trim_point(codes[0], upto=L)
 
         # diffusion (inference.py:398-413)
-        t_lat = latents.shape[1]
+        n_lat = t_lat
         if diffusion_pad_multiple > 1:
-            pad_t = (-t_lat) % diffusion_pad_multiple
-            if pad_t:
-                latents = np.concatenate(
-                    [latents, np.repeat(latents[:, -1:], pad_t, axis=1)],
-                    axis=1)
-        output_seq_len = latents.shape[1] * 4 * 24000 // 22050
+            n_lat = t_lat + ((-t_lat) % diffusion_pad_multiple)
+        output_seq_len = n_lat * 4 * 24000 // 22050
         exact_seq_len = t_lat * 4 * 24000 // 22050
 
-        b = latents.shape[0]
+        b = codes.shape[0]
         noise = jax.random.normal(
             k_noise, (b, 100, output_seq_len)) * diffusion_temp
         mel = _jit_diffusion(
-            diffusion.params, jnp.asarray(latents, dtype=jnp.float32),
+            diffusion.params, latents,
             jnp.broadcast_to(jnp.asarray(diff_latent, dtype=jnp.float32),
                              (b, diff_latent.shape[-1])),
             noise, k_diff, diffusion.config, max_diffusion_steps,
-            diffusion_sampler, output_seq_len, cond_free)
+            diffusion_sampler, output_seq_len, cond_free,
+            n_lat=n_lat, t_lat=jnp.asarray(t_lat))
         mel = mel[:, :, :exact_seq_len]
 
         # vocoder (inference.py:415-417)
