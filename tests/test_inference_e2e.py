@@ -167,3 +167,36 @@ def test_batch_inference(tts, ref_wav):
     assert sr == 24_000 and len(wavs) == 2
     for w in wavs:
         assert w.ndim == 1 and np.isfinite(w).all() and w.shape[0] > 500
+
+
+def test_runtime_lora_merge(tiny_models, tmp_path, monkeypatch):
+    """LoRA weights found on disk are merged into the AR model at
+    inference load (reference inference.py:205-216)."""
+    import dataclasses
+    import jax
+    from tortoise_tts_tpu.config import Config, Inference, LoRAConfig
+    from tortoise_tts_tpu.engine.state import flatten_tree
+    from tortoise_tts_tpu.models.lora import init_lora
+    from tortoise_tts_tpu.utils.io import save_state_dict
+    from tortoise_tts_tpu.models import load_model
+
+    ar = tiny_models["autoregressive"]
+    lcfg = LoRAConfig(rank=4, alpha=8)
+    lora = init_lora(jax.random.PRNGKey(5), ar.params, rank=4)
+    # make b nonzero so the merge visibly changes weights
+    lora["gpt"]["attn_qkv"]["b"] = (
+        lora["gpt"]["attn_qkv"]["b"] + 0.01)
+    lora_path = tmp_path / "lora.sft"
+    save_state_dict(flatten_tree(lora), lora_path)
+
+    cfg = Config(yaml_path=str(tmp_path / "c.yaml"),
+                 loras=(dataclasses.replace(lcfg, path=str(lora_path)),),
+                 inference=Inference(weight_dtype="float32",
+                                     text_buckets=(32, 80)))
+    t = TTS(config=cfg, dtype="float32")
+    monkeypatch.setattr("tortoise_tts_tpu.inference.load_model",
+                        lambda name, dtype: tiny_models[name])
+    m = t._model("autoregressive")
+    assert not np.allclose(
+        np.asarray(m.params["gpt"]["attn_qkv"]["w"]),
+        np.asarray(ar.params["gpt"]["attn_qkv"]["w"]))

@@ -139,12 +139,39 @@ class TTS:
         self.dtype = dtype or self.cfg.inference.weight_dtype
         self.tokenizer = VoiceBpeTokenizer()
         self.lora = lora
+        self.cache_voice = True
         self._models = {}
 
     def _model(self, name: str):
         if name not in self._models:
-            self._models[name] = load_model(name, self.dtype)
+            m = load_model(name, self.dtype)
+            if name == "autoregressive":
+                m = self._maybe_apply_lora(m)
+            self._models[name] = m
         return self._models[name]
+
+    def _maybe_apply_lora(self, m):
+        """Runtime LoRA load + merge for the AR model (reference
+        inference.py:205-216 + lora_load_state_dict)."""
+        lcfg = self.cfg.lora
+        if lcfg is None:
+            return m
+        from dataclasses import replace as _dc_replace
+        from .models import LoadedModel
+        from .models.lora import init_lora, merge_lora
+        from .engine.state import unflatten_like
+        from .utils.io import load_state_dict, pick_path
+        path = Path(lcfg.path) if lcfg.path else pick_path(
+            self.cfg.ckpt_dir / lcfg.full_name /
+            f"lora.{self.cfg.weights_format}", ".sft", ".safetensors")
+        if not path.exists():
+            return m
+        import jax
+        lora = init_lora(jax.random.PRNGKey(0), m.params, rank=lcfg.rank)
+        lora = unflatten_like(lora, load_state_dict(path), strict=False)
+        merged = merge_lora(m.params, lora, lcfg.alpha, lcfg.rank)
+        _logger.info("merged LoRA %s into autoregressive", path)
+        return LoadedModel(m.name, m.module, m.config, merged, True)
 
     # ------------------------------------------------------------------
     def encode_text(self, text: str) -> np.ndarray:
@@ -154,9 +181,12 @@ class TTS:
                      seed: Optional[int] = None):
         if isinstance(paths, str):
             paths = [Path(p) for p in paths.split(";")]
-        # voice-latent cache: reference clips are reused across calls;
-        # the AR-conditioning crop is seeded so results stay reproducible
-        cache_key = (tuple(str(p) for p in paths), seed)
+        # voice-latent cache keyed by the reference clips (the original
+        # tortoise caches per-voice conditioning latents; the reference
+        # re-encodes per call — set cache_voice=False for that behavior).
+        # The AR-conditioning random crop is seeded for reproducibility.
+        cache_key = tuple(str(p) for p in paths) if self.cache_voice \
+            else (tuple(str(p) for p in paths), seed)
         if not hasattr(self, "_voice_cache"):
             self._voice_cache = {}
         if cache_key in self._voice_cache:
