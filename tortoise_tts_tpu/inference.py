@@ -174,6 +174,23 @@ class TTS:
         return LoadedModel(m.name, m.module, m.config, merged, True)
 
     # ------------------------------------------------------------------
+    def enable_lora(self, enabled: bool = True):
+        """Toggle the merged LoRA adapter (reference inference.py:99-104).
+
+        Merging is pure, so toggling just reloads the AR model with or
+        without the adapter applied."""
+        from .models import load_model
+        self._models.pop("autoregressive", None)
+        if enabled:
+            self._model("autoregressive")      # re-merges if cfg.lora
+        else:
+            self._models["autoregressive"] = load_model(
+                "autoregressive", self.dtype)
+
+    def disable_lora(self):
+        return self.enable_lora(False)
+
+    # ------------------------------------------------------------------
     def encode_text(self, text: str) -> np.ndarray:
         return np.asarray(self.tokenizer.encode(text), dtype=np.int32)
 
