@@ -311,3 +311,30 @@ def default_tokenizer() -> VoiceBpeTokenizer:
 
 def tokenize(text: str) -> List[int]:
     return default_tokenizer().encode(text)
+
+
+# ---------------------------------------------------------------------------
+# symmaps (reference data.py:276-327 API surface)
+# ---------------------------------------------------------------------------
+
+
+def get_phone_symmap() -> Dict[str, int]:
+    """Token->id map (data.py:276-277 get_phone_symmap)."""
+    return default_tokenizer().get_vocab()
+
+
+def get_lang_symmap() -> Dict[str, int]:
+    """Language symmap stub (data.py:289-295); en-only like the shipped
+    reference models."""
+    return {"en": 0}
+
+
+def get_tone_symmap() -> Dict[str, int]:
+    """Tone symmap stub (data.py:297-303)."""
+    return {"neutral": 0}
+
+
+def get_task_symmap() -> Dict[str, int]:
+    """Task symmap (data.py:305-327); tts is the only wired task."""
+    return {"tts": 0, "stt": 1, "ns": 2, "sr": 3, "tse": 4, "cse": 5,
+            "nse": 6}
