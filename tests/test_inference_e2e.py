@@ -200,3 +200,24 @@ def test_runtime_lora_merge(tiny_models, tmp_path, monkeypatch):
     assert not np.allclose(
         np.asarray(m.params["gpt"]["attn_qkv"]["w"]),
         np.asarray(ar.params["gpt"]["attn_qkv"]["w"]))
+
+
+def test_streaming_modes(tts, ref_wav):
+    """Windowed (fixed-shape) and growing (reference-exact) streaming
+    modes both produce sane audio of comparable duration."""
+    from tortoise_tts_tpu.ops.sampling import SamplingConfig
+    import jax
+    enc = tts.encode_audio(ref_wav, seed=0)
+    ar_latent = enc["latent"][0]
+    samp = SamplingConfig(greedy=True)
+    outs = {}
+    for mode in ("windowed", "growing"):
+        chunks = list(tts._stream_line("a streaming comparison",
+                                       ar_latent, samp, 24,
+                                       jax.random.PRNGKey(0), mode=mode))
+        wav = np.concatenate(chunks)
+        assert np.isfinite(wav).all()
+        outs[mode] = wav
+    ratio = outs["windowed"].shape[0] / max(outs["growing"].shape[0], 1)
+    assert 0.7 < ratio < 1.3, (outs["windowed"].shape,
+                               outs["growing"].shape)

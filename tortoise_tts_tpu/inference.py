@@ -522,15 +522,35 @@ class TTS:
         return np.asarray(wav[0, 0])
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _latents_to_samples(n: int) -> int:
+        """HiFiGAN sample count for n latents (double interpolation,
+        hifigan.py:283-293: n -> int(4n) -> int(*24000/22050) -> *256)."""
+        t1 = int(n * 1024 / 256)
+        t2 = int(t1 * 24000 / 22050)
+        return t2 * 256
+
     def _stream_line(self, line, ar_latent, sampling, max_ar_steps, key,
                      stream_chunk_size: int = 40, first_buffer: int = 60,
-                     overlap_wav_len: int = 1024) -> Iterator[np.ndarray]:
+                     overlap_wav_len: int = 1024,
+                     mode: str = "windowed") -> Iterator[np.ndarray]:
         """HiFiGAN TRUE streaming route (inference.py:250-329): the decode
         advances in 40-token chunks against a persistent on-device KV
         cache (60-token first buffer), vocoding + 1024-sample linear
         crossfade between chunks — audio is yielded while the AR decode
         of later chunks is still pending.
+
+        mode='windowed' (TPU default): each chunk vocodes a fixed
+        60-latent window ending at the decode position, so every step
+        reuses ONE compiled program (constant latency).  mode='growing'
+        reproduces the reference exactly: re-vocode the whole prefix per
+        chunk (O(n^2) audio work and one compile per chunk length).
         """
+        if mode == "windowed":
+            yield from self._stream_line_windowed(
+                line, ar_latent, sampling, max_ar_steps, key,
+                stream_chunk_size, first_buffer, overlap_wav_len)
+            return
         from .models.unified_voice import decode_chunk, decode_start
         ar = self._model("autoregressive")
         voc = self._model("hifigan")
@@ -575,5 +595,69 @@ class TTS:
             wav_overlap = wav_gen[-overlap_wav_len:]
             wav_gen_prev = wav_gen
             yield wav_chunk
+            if done:
+                break
+
+    def _stream_line_windowed(self, line, ar_latent, sampling, max_ar_steps,
+                              key, stream_chunk_size: int = 40,
+                              window: int = 60,
+                              overlap_wav_len: int = 1024
+                              ) -> Iterator[np.ndarray]:
+        """Fixed-window streaming: vocode the trailing `window` latents
+        (left context warms the vocoder's receptive field), emit the new
+        chunk with a linear crossfade at each seam.  All shapes static."""
+        from .models.unified_voice import decode_chunk, decode_start
+        ar = self._model("autoregressive")
+        voc = self._model("hifigan")
+        tokens = self._bucket_text(self.encode_text(line))[None]
+        lengths = np.asarray([min(len(self.encode_text(line)),
+                                  tokens.shape[1])])
+        lat = jnp.broadcast_to(jnp.asarray(ar_latent),
+                               (1, ar_latent.shape[-1]))
+        g = lat.astype(jnp.float32)
+
+        state = decode_start(ar.params, lat, jnp.asarray(tokens),
+                             jnp.asarray(lengths), key, ar.config,
+                             max_ar_steps)
+        emitted = 0          # latents already emitted as audio
+        wav_overlap = None
+        first = True
+        while True:
+            chunk = window if first else stream_chunk_size
+            first = False
+            state = decode_chunk(ar.params, state, ar.config, sampling,
+                                 max_ar_steps, chunk=chunk,
+                                 collect_latents=True)
+            pos = int(state.step)
+            n = int(np.asarray(state.lengths)[0])
+            done = bool(np.asarray(state.finished).all()) or \
+                pos >= max_ar_steps
+            upto = min(pos, n) if done else pos
+            if upto <= emitted:
+                if done:
+                    break
+                continue
+            # fixed 60-latent window ending at `upto` (left-pad by
+            # repeating the first latent when the prefix is short)
+            start = max(0, upto - window)
+            idx = np.clip(np.arange(upto - window, upto), 0, None)
+            win_lat = state.latents[0, jnp.asarray(idx)][None].astype(
+                jnp.float32)
+            wav_win = np.asarray(_jit_hifigan(
+                voc.params, win_lat, g, voc.config))[0, 0]
+            # samples for the new (upto-emitted) latents + crossfade lead-in
+            new_samples = (self._latents_to_samples(upto - start)
+                           - self._latents_to_samples(emitted - start))
+            take = min(new_samples + overlap_wav_len, wav_win.shape[-1])
+            piece = np.array(wav_win[-take:])
+            if wav_overlap is not None and piece.shape[0] > overlap_wav_len:
+                ramp = np.linspace(0.0, 1.0, overlap_wav_len,
+                                   dtype=np.float32)
+                piece[:overlap_wav_len] = (wav_overlap * ramp[::-1]
+                                           + piece[:overlap_wav_len] * ramp)
+            wav_overlap = piece[-overlap_wav_len:].copy() \
+                if piece.shape[0] >= overlap_wav_len else None
+            yield piece[:-overlap_wav_len] if not done else piece
+            emitted = upto
             if done:
                 break
