@@ -97,6 +97,73 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
     return y
 
 
+def conv1d_nhc(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
+               dilation: int = 1) -> jnp.ndarray:
+    """Channels-last conv: x (B, T, C_in) -> (B, T', C_out).
+
+    Same torch-layout weights as conv1d ((out, in, k)), transposed to
+    (k, in, out) at trace time.  On TPU, channels ride the lane dim —
+    dramatically better lowering for long-sequence small-channel convs
+    (the vocoder regime)."""
+    w = jnp.transpose(p["w"].astype(x.dtype), (2, 1, 0))
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(padding, padding)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)[None, None, :]
+    return y
+
+
+def conv_transpose1d_nhc(p: Params, x: jnp.ndarray, stride: int,
+                         padding: int = 0,
+                         output_padding: int = 0) -> jnp.ndarray:
+    """Channels-last ConvTranspose1d: x (B, T, C_in) -> (B, T', C_out).
+    Weight stored torch-layout (in, out, k); expressed as a zero-stuffed
+    forward conv with flipped kernel."""
+    w = p["w"].astype(x.dtype)              # (I, O, K)
+    k = w.shape[-1]
+    wf = jnp.transpose(w[:, :, ::-1], (2, 0, 1))   # (K, I, O)
+    y = lax.conv_general_dilated(
+        x, wf, window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding + output_padding)],
+        lhs_dilation=(stride,), dimension_numbers=("NHC", "HIO", "NHC"))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)[None, None, :]
+    return y
+
+
+def depthwise_lowpass_nhc(x: jnp.ndarray, filt: jnp.ndarray, stride: int,
+                          pad_left: int, pad_right: int,
+                          pad_mode: str = "edge") -> jnp.ndarray:
+    """Channels-last shared-filter FIR: x (B, T, C); filt (K,).
+    Natively depthwise via feature_group_count=C with a broadcast kernel
+    (K, 1, C) — channels stay on lanes."""
+    b, t, c = x.shape
+    x = jnp.pad(x, [(0, 0), (pad_left, pad_right), (0, 0)], mode=pad_mode)
+    w = jnp.broadcast_to(filt.astype(x.dtype)[:, None, None],
+                         (filt.shape[0], 1, c))
+    return lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c)
+
+
+def depthwise_upsample_nhc(x: jnp.ndarray, filt: jnp.ndarray, ratio: int,
+                           pad: int, pad_left: int,
+                           pad_right: int) -> jnp.ndarray:
+    """Channels-last BigVGAN UpSample1d."""
+    b, t, c = x.shape
+    k = filt.shape[0]
+    x = jnp.pad(x, [(0, 0), (pad, pad), (0, 0)], mode="edge")
+    w = jnp.broadcast_to(filt[::-1].astype(x.dtype)[:, None, None],
+                         (k, 1, c))
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(k - 1, k - 1)],
+        lhs_dilation=(ratio,), dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=c)
+    y = ratio * y
+    return y[:, pad_left:y.shape[1] - pad_right]
+
+
 def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int,
                      padding: int = 0, output_padding: int = 0) -> jnp.ndarray:
     """Torch ConvTranspose1d. Weight stored torch-layout (in, out, k)."""
