@@ -17,8 +17,8 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .common import (conv1d_nhc, conv_transpose1d_nhc,
-                     depthwise_lowpass_nhc, depthwise_upsample_nhc)
+from .common import (conv1d, conv_transpose1d, depthwise_lowpass,
+                     depthwise_upsample, reflect_pad_1d)
 
 Params = Dict[str, Any]
 
@@ -83,32 +83,32 @@ def kaiser_sinc_filter(cutoff: float, half_width: float,
 
 
 def _up2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
-    """UpSample1d(ratio) (bigvgan.py:112-135). x: (B, T, C)."""
+    """UpSample1d(ratio) (bigvgan.py:112-135)."""
     k = int(6 * ratio // 2) * 2
     pad = k // ratio - 1
     pad_left = pad * ratio + (k - ratio) // 2
     pad_right = pad * ratio + (k - ratio + 1) // 2
     filt = jnp.asarray(kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k))
-    return depthwise_upsample_nhc(x, filt, ratio, pad, pad_left, pad_right)
+    return depthwise_upsample(x, filt, ratio, pad, pad_left, pad_right)
 
 
 def _down2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
-    """DownSample1d(ratio) (bigvgan.py:137-152). x: (B, T, C)."""
+    """DownSample1d(ratio) (bigvgan.py:137-152)."""
     k = int(6 * ratio // 2) * 2
     even = k % 2 == 0
     pad_left = k // 2 - int(even)
     pad_right = k // 2
     filt = jnp.asarray(kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k))
-    return depthwise_lowpass_nhc(x, filt, ratio, pad_left, pad_right)
+    return depthwise_lowpass(x, filt, ratio, pad_left, pad_right)
 
 
 def _snake_act(p: Params, x: jnp.ndarray, logscale: bool,
                beta: bool) -> jnp.ndarray:
     """Activation1d(Snake/SnakeBeta): up2 -> snake -> down2
-    (bigvgan.py:158-271). x: (B, T, C)."""
+    (bigvgan.py:158-271)."""
     x = _up2(x)
-    a = p["alpha"][None, None, :].astype(x.dtype)
-    b = p["beta"][None, None, :].astype(x.dtype) if beta else a
+    a = p["alpha"][None, :, None].astype(x.dtype)
+    b = p["beta"][None, :, None].astype(x.dtype) if beta else a
     if logscale:
         a, b = jnp.exp(a), jnp.exp(b)
     x = x + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(x * a))
@@ -121,16 +121,16 @@ def _get_padding(k: int, d: int) -> int:
 
 def _amp_block1(p: Params, x: jnp.ndarray, k: int,
                 dilations: Tuple[int, ...], cfg: BigVGANConfig) -> jnp.ndarray:
-    """AMPBlock1 (bigvgan.py:306-364). x: (B, T, C)."""
+    """AMPBlock1 (bigvgan.py:306-364)."""
     beta = cfg.activation == "snakebeta"
     acts1 = p["activations"][::2]
     acts2 = p["activations"][1::2]
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], acts1, acts2,
                                  dilations):
         xt = _snake_act(a1, x, cfg.snake_logscale, beta)
-        xt = conv1d_nhc(c1, xt, padding=_get_padding(k, d), dilation=d)
+        xt = conv1d(c1, xt, padding=_get_padding(k, d), dilation=d)
         xt = _snake_act(a2, xt, cfg.snake_logscale, beta)
-        xt = conv1d_nhc(c2, xt, padding=_get_padding(k, 1))
+        xt = conv1d(c2, xt, padding=_get_padding(k, 1))
         x = xt + x
     return x
 
@@ -140,25 +140,20 @@ def _amp_block2(p: Params, x: jnp.ndarray, k: int,
     beta = cfg.activation == "snakebeta"
     for c, a, d in zip(p["convs"], p["activations"], dilations):
         xt = _snake_act(a, x, cfg.snake_logscale, beta)
-        xt = conv1d_nhc(c, xt, padding=_get_padding(k, d), dilation=d)
+        xt = conv1d(c, xt, padding=_get_padding(k, d), dilation=d)
         x = xt + x
     return x
 
 
 def forward(p: Params, mel: jnp.ndarray,
             cfg: BigVGANConfig = BigVGANConfig()) -> jnp.ndarray:
-    """mel: (B, 100, T) -> (B, 1, T*256). bigvgan.py:489-511.
-
-    Compute runs channels-last (NHC): long sequences with small channel
-    counts lower far better on TPU with channels on the lane dim."""
-    x = jnp.transpose(mel, (0, 2, 1))            # (B, T, C)
-    x = conv1d_nhc(p["conv_pre"], x, padding=3)
+    """mel: (B, 100, T) -> (B, 1, T*256). bigvgan.py:489-511."""
+    x = conv1d(p["conv_pre"], mel, padding=3)
     nk = len(cfg.resblock_kernel_sizes)
     block = _amp_block1 if cfg.resblock == "1" else _amp_block2
     for i, (u, k) in enumerate(zip(cfg.upsample_rates,
                                    cfg.upsample_kernel_sizes)):
-        x = conv_transpose1d_nhc(p["ups"][i], x, stride=u,
-                                 padding=(k - u) // 2)
+        x = conv_transpose1d(p["ups"][i], x, stride=u, padding=(k - u) // 2)
         xs = None
         for j in range(nk):
             y = block(p["resblocks"][i * nk + j], x,
@@ -168,8 +163,8 @@ def forward(p: Params, mel: jnp.ndarray,
         x = xs / nk
     x = _snake_act(p["activation_post"], x, cfg.snake_logscale,
                    cfg.activation == "snakebeta")
-    x = conv1d_nhc(p["conv_post"], x, padding=3)
-    return jnp.tanh(jnp.transpose(x, (0, 2, 1)))
+    x = conv1d(p["conv_post"], x, padding=3)
+    return jnp.tanh(x)
 
 
 def inference(p: Params, mel: jnp.ndarray,
