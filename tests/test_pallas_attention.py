@@ -38,3 +38,21 @@ def test_flash_no_mask():
     got = flash_attention(q, k, v, causal=True, block_q=64, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bias_matches_qkv_attention():
+    """flash_attention_bias vs the XLA qkv_attention path (diffusion
+    AttentionBlock semantics: softmax(qk/sqrt(d) + rel-pos bias))."""
+    from tortoise_tts_tpu.ops.attention import qkv_attention
+    from tortoise_tts_tpu.ops.pallas_attention import \
+        flash_attention_bias_cm
+    rng = np.random.RandomState(2)
+    b, h, t, d = 2, 4, 300, 64
+    qkv = jnp.asarray(rng.randn(b, h * 3 * d, t), dtype=jnp.float32)
+    bias = jnp.asarray(rng.randn(h, t, t) * 0.3, dtype=jnp.float32)
+    ref = qkv_attention(qkv, h, bias=bias)
+    q, k, v = jnp.split(qkv.reshape(b, h, 3 * d, t), 3, axis=2)
+    got = flash_attention_bias_cm(q, k, v, bias, interpret=True)
+    got = got.reshape(b, h * d, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

@@ -210,7 +210,56 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
 
     key_mask: (B, S) bool of *prefix validity* (text padding); positions
     >= pos are masked by the running-length check.
+
+    The cache rides the scan *carry* and is updated with one-position
+    dynamic_update_slice writes (in-place under the enclosing
+    while_loop); routing it through scan ys instead would rewrite the
+    entire (L,B,H,S,Dh) buffer every token (~100 MB of HBM writes per
+    step at decode shapes — measured ~0.2 ms/token on v5e).
     """
+    import os
+    if os.environ.get("TTS_DECODE_SCANYS") == "1":  # perf A/B fallback
+        return _gpt_decode_step_scanys(gpt, x, heads, cache, pos, key_mask)
+    b, _, d = x.shape
+    hd = d // heads
+    s = cache.k.shape[3]
+    valid = key_mask & (jnp.arange(s)[None, :] <= pos)  # (B, S)
+    mask = valid[:, None, None, :]
+    L = cache.k.shape[0]
+
+    def body(carry, layer):
+        x, ck, cv = carry
+        lp, li = layer
+        h = layer_norm(lp["ln_1"], x)
+        qkv = linear(lp["attn_qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)[None]
+        v = v.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)[None]
+        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                      (li, 0, 0, pos, 0))
+        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                      (li, 0, 0, pos, 0))
+        kc = lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+        vc = lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
+        a = mha(q, kc, vc, mask=mask)
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        x = x + linear(lp["attn_proj"], a)
+        h2 = layer_norm(lp["ln_2"], x)
+        x = x + linear(lp["mlp_proj"], gelu_new(linear(lp["mlp_fc"], h2)))
+        return (x, ck, cv), None
+
+    (x, nk, nv), _ = lax.scan(
+        body, (x, cache.k, cache.v),
+        (_layer_params(gpt), jnp.arange(L)))
+    return layer_norm(gpt["ln_f"], x), KVCache(nk, nv)
+
+
+def _gpt_decode_step_scanys(gpt: Params, x: jnp.ndarray, heads: int,
+                            cache: KVCache, pos: jnp.ndarray,
+                            key_mask: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, KVCache]:
+    """Former decode step (cache through scan ys) — kept for perf A/B."""
     b, _, d = x.shape
     hd = d // heads
     s = cache.k.shape[3]
@@ -377,6 +426,7 @@ class DecodeState(NamedTuple):
     lengths: jnp.ndarray
     rng: jax.Array
     key_mask: jnp.ndarray  # (B, cache_len) prefix-validity mask
+    mu: jnp.ndarray        # (B,) mirostat running max-surprise
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_length"))
@@ -422,7 +472,8 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
         jnp.zeros((), jnp.int32), cache, first_lat,
         jnp.full((b, max_length), cfg.stop_mel_token, jnp.int32), counts0,
         jnp.zeros((b, max_length, d), dtype), jnp.zeros((b,), bool),
-        jnp.full((b,), max_length, jnp.int32), key, key_mask)
+        jnp.full((b,), max_length, jnp.int32), key, key_mask,
+        jnp.zeros((b,), jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("cfg", "sampling", "max_length",
@@ -459,7 +510,25 @@ def decode_chunk(params: Params, state: DecodeState,
 
     def body_fn(c: DecodeState):
         rng, sub = jax.random.split(c.rng)
-        tok = sample_token(sub, logits_of(c.lat), sampling, c.counts)
+        logits = logits_of(c.lat)
+        if sampling.length_penalty != 1.0:
+            # stop-logit length penalty in the *sampled* path
+            # (reference samplers.py:35-40; HF only uses it in beams)
+            from ..ops.sampling import apply_length_penalty
+            sl = apply_length_penalty(logits[:, cfg.stop_mel_token],
+                                      c.step, sampling.length_penalty)
+            logits = logits.at[:, cfg.stop_mel_token].set(sl)
+        if sampling.mirostat_tau > 0:
+            from ..ops.sampling import (apply_repetition_penalty,
+                                        mirostat_step)
+            x = apply_repetition_penalty(logits, c.counts,
+                                         sampling.repetition_penalty)
+            mu0 = jnp.where(c.step == 0, 2.0 * sampling.mirostat_tau, c.mu)
+            tok, mu = mirostat_step(sub, x, mu0, sampling.mirostat_tau,
+                                    sampling.mirostat_eta)
+        else:
+            tok = sample_token(sub, logits, sampling, c.counts)
+            mu = c.mu
         tok = jnp.where(c.finished, cfg.stop_mel_token, tok)
         now_stop = (tok == cfg.stop_mel_token) & ~c.finished
         lengths = jnp.where(now_stop, c.step, c.lengths)
@@ -477,7 +546,7 @@ def decode_chunk(params: Params, state: DecodeState,
         h, cache = _gpt_decode_step(params["gpt"], emb.astype(dtype),
                                     cfg.heads, c.cache, pos, c.key_mask)
         return DecodeState(c.step + 1, cache, latent_of(h), tokens, counts,
-                           latents, finished, lengths, rng, c.key_mask)
+                           latents, finished, lengths, rng, c.key_mask, mu)
 
     return lax.while_loop(cond_fn, body_fn, state)
 

@@ -81,6 +81,17 @@ def qkv_attention(qkv: jnp.ndarray, n_heads: int,
     b, width, t = qkv.shape
     ch = width // (3 * n_heads)
     q, k, v = jnp.split(qkv.reshape(b, n_heads, 3 * ch, t), 3, axis=2)
+    import os
+    if (bias is not None and mask is None and t >= 256
+            and jax.default_backend() == "tpu"
+            and os.environ.get("TTS_FLASH_BIAS", "0") == "1"):
+        # Optional Pallas path keeping the (B,H,T,T) scores in VMEM.
+        # Off by default: measured on v5e at T=896/1024 the XLA
+        # materialised-scores path is faster (7.5 vs 9.7 ms/denoiser
+        # step) — XLA's softmax/matmul fusions win at these shapes.
+        from .pallas_attention import flash_attention_bias_cm
+        out = flash_attention_bias_cm(q, k, v, bias)
+        return out.reshape(b, n_heads * ch, t)
     scale = 1.0 / math.sqrt(math.sqrt(ch))
     # (B, H, Tq, Tk)
     dots = jnp.einsum("bhct,bhcs->bhts", q * scale, k * scale,

@@ -33,6 +33,85 @@ from .attention import NEG_INF, mha
 BLOCK_Q = 256
 
 
+# ---------------------------------------------------------------------------
+# Non-causal attention with additive (H, T, T) bias — the diffusion
+# denoiser's AttentionBlock path (reference arch_utils.py:59-133 with
+# RelativePositionBias).  The XLA fallback materialises the full
+# (B, H, T, T) fp32 score tensor in HBM; at T~900 that is ~100 MB per
+# block x 13 blocks per denoiser step, which dominates the step time.
+# This kernel keeps scores in VMEM: per (batch*head, q-block) grid step
+# it loads K/V once (~128 KB each) plus one (block_q, S) bias tile.
+# ---------------------------------------------------------------------------
+
+
+def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
+    """Channels-major block: q_ref: (1, D, bq); k_ref/v_ref: (1, D, S);
+    b_ref: (1, bq, S); o_ref: (1, D, bq).  Contractions run directly on
+    the channels axis so no layout transposes are needed around the
+    kernel (the model's tensors are (B, H*C, T) channels-major).
+
+    Matmul inputs stay in their storage dtype (bf16 in production) with
+    fp32 MXU accumulation — pre-casting inputs to fp32 would force the
+    slow multi-pass fp32 MXU mode; softmax runs in fp32."""
+    dots = jax.lax.dot_general(q_ref[0], k_ref[0], (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dots = dots * scale + b_ref[0].astype(jnp.float32)
+    p = jax.nn.softmax(dots, axis=-1).astype(v_ref.dtype)
+    o = jax.lax.dot_general(v_ref[0], p, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def flash_attention_bias_cm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            bias: jnp.ndarray, block_q: int = 512,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Non-causal attention with per-head additive bias, channels-major.
+
+    q,k,v: (B, H, D, T); bias: (H, T, T) fp32/bf16 (already scaled).
+    Returns (B, H, D, T).  Scores never touch HBM; scaling matches
+    qkv_attention: softmax(q.k/sqrt(D) + bias).
+    """
+    b, h, d, s = q.shape
+    if not _HAS_PLTPU and not interpret:
+        out = mha(jnp.swapaxes(q, -1, -2), jnp.swapaxes(k, -1, -2),
+                  jnp.swapaxes(v, -1, -2), bias=bias[None])
+        return jnp.swapaxes(out, -1, -2)
+
+    scale = 1.0 / math.sqrt(d)
+    sp = -(-s // 128) * 128
+    pad = sp - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)),
+                       constant_values=NEG_INF)
+    bq = sp if sp <= max(block_q, 128) else max(block_q, 128)
+    while sp % bq != 0:
+        bq //= 2
+
+    qf = q.reshape(b * h, d, sp)
+    kf = k.reshape(b * h, d, sp)
+    vf = v.reshape(b * h, d, sp)
+
+    grid = (b * h, sp // bq)
+    kernel = functools.partial(_attn_bias_kernel, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sp), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, bq), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, d, sp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, d, sp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, bq, sp), lambda i, j, h=h: (i % h, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, bq), lambda i, j: (i, 0, j)),
+        interpret=interpret,
+    )(qf, kf, vf, bias)
+    return out.reshape(b, h, d, sp)[..., :s]
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
                  causal: bool, block_q: int):
     """One (batch*head, q_block) grid step.
@@ -41,11 +120,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
     int32 validity of keys; o_ref: (1, block_q, D).
     """
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    dots = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    s = k.shape[0]
+    # inputs stay in storage dtype (bf16 on TPU) with fp32 MXU
+    # accumulation; pre-casting to fp32 would force the slow multi-pass
+    # fp32 MXU mode
+    dots = jax.lax.dot_general(q_ref[0], k_ref[0],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32) * scale
+    s = k_ref.shape[1]
     key_ok = mask_ref[0, 0, :] > 0
     valid = jnp.broadcast_to(key_ok[None, :], (block_q, s))
     if causal:
@@ -54,9 +135,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s), 1)
         valid = valid & (k_pos <= q_pos)
     dots = jnp.where(valid, dots, NEG_INF)
-    p = jax.nn.softmax(dots, axis=-1)
-    o = jax.lax.dot_general(p, v_ref[0].astype(jnp.float32),
-                            (((1,), (0,)), ((), ())),
+    p = jax.nn.softmax(dots, axis=-1).astype(v_ref.dtype)
+    o = jax.lax.dot_general(p, v_ref[0], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
 
