@@ -82,14 +82,31 @@ def kaiser_sinc_filter(cutoff: float, half_width: float,
     return filt.astype(np.float32)
 
 
+import os as _os
+
+# anti-alias resampler implementation: blocked (MXU matmul FIR, fastest
+# measured), poly (VPU slice sums), conv ((B*C,1,T) conv — the slowest;
+# 1-channel convs cannot use the MXU)
+_RESAMPLE = _os.environ.get("TTS_BV_RESAMPLE", "blocked")
+
+
 def _up2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
     """UpSample1d(ratio) (bigvgan.py:112-135)."""
     k = int(6 * ratio // 2) * 2
     pad = k // ratio - 1
     pad_left = pad * ratio + (k - ratio) // 2
     pad_right = pad * ratio + (k - ratio + 1) // 2
-    filt = jnp.asarray(kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k))
-    return depthwise_upsample(x, filt, ratio, pad, pad_left, pad_right)
+    filt = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k)
+    if _RESAMPLE == "blocked":
+        from .common import depthwise_upsample_blocked
+        return depthwise_upsample_blocked(x, filt, ratio, pad, pad_left,
+                                          pad_right)
+    if _RESAMPLE == "poly":
+        from .common import depthwise_upsample_poly
+        return depthwise_upsample_poly(x, jnp.asarray(filt), ratio, pad,
+                                       pad_left, pad_right)
+    return depthwise_upsample(x, jnp.asarray(filt), ratio, pad, pad_left,
+                              pad_right)
 
 
 def _down2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
@@ -98,8 +115,17 @@ def _down2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
     even = k % 2 == 0
     pad_left = k // 2 - int(even)
     pad_right = k // 2
-    filt = jnp.asarray(kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k))
-    return depthwise_lowpass(x, filt, ratio, pad_left, pad_right)
+    filt = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k)
+    if _RESAMPLE == "blocked":
+        from .common import depthwise_lowpass_blocked
+        return depthwise_lowpass_blocked(x, filt, ratio, pad_left,
+                                         pad_right)
+    if _RESAMPLE == "poly":
+        from .common import depthwise_lowpass_poly
+        return depthwise_lowpass_poly(x, jnp.asarray(filt), ratio,
+                                      pad_left, pad_right)
+    return depthwise_lowpass(x, jnp.asarray(filt), ratio, pad_left,
+                             pad_right)
 
 
 def _snake_act(p: Params, x: jnp.ndarray, logscale: bool,

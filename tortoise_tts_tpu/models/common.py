@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Params = Dict[str, Any]
@@ -162,6 +163,134 @@ def depthwise_upsample_nhc(x: jnp.ndarray, filt: jnp.ndarray, ratio: int,
         feature_group_count=c)
     y = ratio * y
     return y[:, pad_left:y.shape[1] - pad_right]
+
+
+def depthwise_lowpass_poly(x: jnp.ndarray, filt: jnp.ndarray, stride: int,
+                           pad_left: int, pad_right: int,
+                           pad_mode: str = "edge") -> jnp.ndarray:
+    """Shared-filter FIR as a sum of K strided slices (pure VPU
+    elementwise, one XLA fusion) — a 1-in/1-out-channel conv cannot use
+    the MXU and lowers to a scalar loop on TPU; this formulation is the
+    fast path for BigVGAN's anti-alias filters.  Matches
+    depthwise_lowpass exactly."""
+    b, c, t = x.shape
+    x = jnp.pad(x, [(0, 0), (0, 0), (pad_left, pad_right)], mode=pad_mode)
+    k = filt.shape[0]
+    t_out = (x.shape[-1] - k) // stride + 1
+    y = None
+    for j in range(k):
+        xj = lax.slice_in_dim(x, j, j + stride * (t_out - 1) + 1, stride,
+                              axis=2)
+        term = filt[j].astype(x.dtype) * xj
+        y = term if y is None else y + term
+    return y
+
+
+def depthwise_upsample_poly(x: jnp.ndarray, filt: jnp.ndarray, ratio: int,
+                            pad: int, pad_left: int,
+                            pad_right: int) -> jnp.ndarray:
+    """Polyphase zero-stuffed upsample matching depthwise_upsample:
+    y[ratio*s + p] = ratio * sum_m filt[ratio*m + p] * x_pad[s - m],
+    computed as per-phase tap sums (VPU) and interleaved."""
+    b, c, t = x.shape
+    k = filt.shape[0]
+    x = jnp.pad(x, [(0, 0), (0, 0), (pad, pad)], mode="edge")
+    tp = x.shape[-1]
+    # full output before trimming: length ratio*tp + k - ratio
+    # (conv with lhs_dilation=ratio, padding k-1, kernel k)
+    n_out = ratio * tp + k - ratio
+    s_len = (n_out + ratio - 1) // ratio
+    # pad x on the left so x_pad[s - m] is a plain slice, and on the
+    # right so every phase slice has s_len elements
+    taps = (k + ratio - 1) // ratio
+    xl = jnp.pad(x, [(0, 0), (0, 0), (taps - 1, s_len)])
+    phases = []
+    for p in range(ratio):
+        yp = None
+        for m in range(taps):
+            i = ratio * m + p
+            if i >= k:
+                continue
+            xs = lax.slice_in_dim(xl, taps - 1 - m, taps - 1 - m + s_len,
+                                  1, axis=2)
+            term = filt[i].astype(x.dtype) * xs
+            yp = term if yp is None else yp + term
+        phases.append(yp)
+    y = jnp.stack(phases, axis=-1).reshape(b, c, s_len * ratio)
+    y = (ratio * y)[..., :n_out]
+    return y[:, :, pad_left:n_out - pad_right]
+
+
+def _blocked_fir(x: jnp.ndarray, filt_np, stride: int, t_out: int,
+                 block: int = 128) -> jnp.ndarray:
+    """y[t] = sum_j filt[j] x[stride*t + j] for t < t_out, computed as a
+    single MXU matmul: frame x into overlapping (win = stride*(block-1)+k)
+    windows with hop stride*block (two reshapes + one concat — no
+    gather), then contract with a banded (win, block) tap matrix.  The
+    MXU-friendly form of a shared-filter FIR; 1-channel convs and
+    strided slice-sums both lose badly on TPU."""
+    filt_np = np.asarray(filt_np, np.float32)
+    k = filt_np.shape[0]
+    b, c, tp = x.shape
+    nblk = -(-t_out // block)
+    hop = stride * block
+    win = stride * (block - 1) + k
+    need = hop * (nblk - 1) + win
+    if tp < need:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, need - tp)])
+    halo = win - hop
+    main = x[..., : hop * nblk].reshape(b, c, nblk, hop)
+    if halo > 0:
+        ext = jnp.pad(x, [(0, 0), (0, 0), (0, hop)])[
+            ..., hop: hop + hop * nblk].reshape(b, c, nblk, hop)[..., :halo]
+        frames = jnp.concatenate([main, ext], axis=-1)
+    else:
+        frames = main[..., :win]
+    W = np.zeros((win, block), np.float32)
+    for u in range(block):
+        W[stride * u: stride * u + k, u] = filt_np
+    y = jnp.einsum("bcnw,wu->bcnu", frames, jnp.asarray(W, x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return y.reshape(b, c, nblk * block)[..., :t_out]
+
+
+def depthwise_lowpass_blocked(x: jnp.ndarray, filt, stride: int,
+                              pad_left: int, pad_right: int,
+                              pad_mode: str = "edge") -> jnp.ndarray:
+    """Blocked-matmul form of depthwise_lowpass (exact match)."""
+    filt_np = np.asarray(filt, np.float32)
+    k = filt_np.shape[0]
+    x = jnp.pad(x, [(0, 0), (0, 0), (pad_left, pad_right)], mode=pad_mode)
+    t_out = (x.shape[-1] - k) // stride + 1
+    return _blocked_fir(x, filt_np, stride, t_out)
+
+
+def depthwise_upsample_blocked(x: jnp.ndarray, filt, ratio: int,
+                               pad: int, pad_left: int,
+                               pad_right: int) -> jnp.ndarray:
+    """Blocked-matmul form of depthwise_upsample: per-phase forward FIR
+    via _blocked_fir(stride=1) + interleave (exact match)."""
+    filt_np = np.asarray(filt, np.float32)
+    b, c, t = x.shape
+    k = filt_np.shape[0]
+    x = jnp.pad(x, [(0, 0), (0, 0), (pad, pad)], mode="edge")
+    tp = x.shape[-1]
+    n_out = ratio * tp + k - ratio
+    s_len = (n_out + ratio - 1) // ratio
+    taps = (k + ratio - 1) // ratio
+    xl = jnp.pad(x, [(0, 0), (0, 0), (taps - 1, s_len)])
+    phases = []
+    for p in range(ratio):
+        # forward-FIR taps: h[j] = filt[ratio*(taps-1-j) + p]
+        h = np.zeros((taps,), np.float32)
+        for j in range(taps):
+            i = ratio * (taps - 1 - j) + p
+            if i < k:
+                h[j] = filt_np[i]
+        phases.append(_blocked_fir(xl, h, 1, s_len))
+    y = jnp.stack(phases, axis=-1).reshape(b, c, s_len * ratio)
+    y = (ratio * y)[..., :n_out]
+    return y[:, :, pad_left:n_out - pad_right]
 
 
 def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int,
