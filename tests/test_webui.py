@@ -63,3 +63,13 @@ def test_generate_roundtrip(server):
     assert m
     wav = urllib.request.urlopen(server + m.group(1), timeout=30).read()
     assert wav[:4] == b"RIFF" and len(wav) > 2000
+
+
+def test_stream_endpoint_yields_wav(server):
+    """/stream: chunked WAV streaming out of the UI (reference gradio
+    streaming=True capability)."""
+    url = server + "/stream?text=hi"
+    with urllib.request.urlopen(url, timeout=600) as r:
+        data = r.read()
+    assert data[:4] == b"RIFF" and b"WAVE" in data[:16]
+    assert len(data) > 44 + 1000   # contains real PCM

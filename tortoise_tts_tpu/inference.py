@@ -60,22 +60,30 @@ def _jit_latent_pass(params, cond, text, text_lengths, codes, wav_lengths,
 
 @partial(jax.jit, static_argnames=("dcfg", "steps", "sampler", "seq_len",
                                    "cond_free", "cond_free_k", "n_lat"))
-def _jit_diffusion(dparams, latents, diff_cond, noise, key, dcfg, steps,
-                   sampler, seq_len, cond_free, cond_free_k=2.0,
-                   n_lat=None, t_lat=None):
-    """timestep_independent + full DDIM/P scan in one compiled program.
+def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
+                   sampler, seq_len, cond_free, diffusion_temp=1.0,
+                   cond_free_k=2.0, n_lat=None, t_lat=None):
+    """timestep_independent + noise + full DDIM/P scan in one compiled
+    program (noise is generated in-graph — a host-side
+    jax.random.normal would be one extra eager dispatch through the
+    remote relay per utterance).
 
     When ``n_lat``/``t_lat`` are given, ``latents`` is the full
     (B, max_steps, D) device buffer from the latent pass and the
     calm-trim + edge-pad to ``n_lat`` frames happens here (dynamic
-    gather), avoiding a host roundtrip of the latents."""
+    gather), avoiding a host roundtrip of the latents.  ``t_lat`` may be
+    scalar or per-row (B,)."""
     sched = gaussian.get_schedule(steps=steps, cond_free=cond_free,
                                   cond_free_k=cond_free_k)
     b = latents.shape[0]
     if n_lat is not None:
-        idx = jnp.minimum(jnp.arange(n_lat), t_lat - 1)
-        latents = jnp.take(latents, idx, axis=1)
+        t = jnp.atleast_1d(t_lat)
+        idx = jnp.minimum(jnp.arange(n_lat)[None, :], t[:, None] - 1)
+        idx = jnp.broadcast_to(idx, (b, n_lat))
+        latents = jnp.take_along_axis(latents, idx[..., None], axis=1)
     latents = latents.astype(jnp.float32)
+    diff_cond = jnp.broadcast_to(diff_cond.astype(jnp.float32),
+                                 (b, diff_cond.shape[-1]))
     pre = _dtts.timestep_independent(dparams, latents, diff_cond, seq_len,
                                      dcfg)
     if cond_free:
@@ -98,7 +106,11 @@ def _jit_diffusion(dparams, latents, diff_cond, noise, key, dcfg, steps,
         return _dtts.forward(dparams, x.astype(pdt), ts, code_emb, dcfg,
                              rel_biases=rel_biases)
 
-    mel = gaussian.sample_loop(model_fn, noise, key, sched, sampler=sampler)
+    k_noise, k_samp = jax.random.split(key)
+    noise = jax.random.normal(k_noise, (b, 100, seq_len),
+                              jnp.float32) * diffusion_temp
+    mel = gaussian.sample_loop(model_fn, noise, k_samp, sched,
+                               sampler=sampler)
     return denormalize_tacotron_mel(mel)
 
 
@@ -125,6 +137,17 @@ def _jit_hifigan(params, latents, g, cfg):
 def _jit_clvp_scores(params, text, codes, cfg):
     from .models import clvp as _clvp
     return _clvp.forward(params, text, codes, cfg)
+
+
+def _host_keys(seed: int, n: int):
+    """n independent raw PRNG keys computed on the host.
+
+    jax.random.PRNGKey/split outside jit are each one eager dispatch
+    through the remote-compile relay (~10 ms of pure latency per call on
+    the axon platform); a raw (2,) uint32 array is a valid legacy
+    threefry key, so derive them with numpy's SeedSequence instead."""
+    ss = np.random.SeedSequence(int(seed))
+    return [np.asarray(s.generate_state(2), np.uint32) for s in ss.spawn(n)]
 
 
 class TTS:
@@ -245,22 +268,34 @@ class TTS:
         seed: Optional[int] = None,
         out_path: Optional[str | Path] = None,
         diffusion_pad_multiple: int = 0,
+        mirostat_tau: float = 0.0,
+        mirostat_eta: float = 0.1,
+        min_temperature: float = 0.0,
+        conditioning_latents: Optional[Tuple] = None,
     ) -> Tuple[np.ndarray, int]:
-        """Full pipeline; returns (wav float32 (T,), 24000)."""
+        """Full pipeline; returns (wav float32 (T,), 24000).
+
+        ``conditioning_latents``: explicit (ar_latent (1, 1024),
+        diff_latent (1, 2048)) pair, bypassing reference encoding — used
+        by training eval to condition on the eval sample's own latents
+        (reference train.py:99-213)."""
         seed = int(time.time()) if seed is None else seed
-        key = jax.random.PRNGKey(seed)
         sr = 24_000
 
         ar = self._model("autoregressive")
         # conditioning latents
-        if references is not None:
+        if conditioning_latents is not None:
+            ar_latent, diff_latent = conditioning_latents
+            ar_latent = np.atleast_2d(np.asarray(ar_latent))
+            diff_latent = np.atleast_2d(np.asarray(diff_latent))
+        elif references is not None:
             enc = self.encode_audio(references, seed=seed)
             ar_latent, diff_latent = enc["latent"]
         else:
             # voice-less generation via random-latent converters
             # (models/__init__.py:97-103 rlg_auto / rlg_diffuser)
             from .models import rlg as rlg_m
-            k1, k2, key = jax.random.split(key, 3)
+            k1, k2 = _host_keys(seed ^ 0x5F3C, 2)
             rga = self._model("rlg_auto")
             rgd = self._model("rlg_diffuser")
             ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
@@ -270,13 +305,15 @@ class TTS:
             temperature=ar_temp, top_k=top_k, top_p=top_p,
             typical_mass=typical_mass if typical_sampling else 0.0,
             repetition_penalty=repetition_penalty,
-            length_penalty=length_penalty, beam_width=beam_width)
+            length_penalty=length_penalty, beam_width=beam_width,
+            mirostat_tau=mirostat_tau, mirostat_eta=mirostat_eta,
+            min_temperature=min_temperature)
 
         wavs = []
-        for line in text.split("\n"):
+        for i, line in enumerate(text.split("\n")):
             if not line.strip():
                 continue
-            key, sub = jax.random.split(key)
+            (sub,) = _host_keys(seed * 1000003 + i, 1)
             if vocoder_type == "hifigan":
                 chunks = list(self._stream_line(
                     line, ar_latent, sampling, max_ar_steps, sub))
@@ -316,7 +353,6 @@ class TTS:
         over the whole batch; shard the batch over a mesh for multi-chip
         throughput).  Returns (list of wavs, sr)."""
         seed = int(time.time()) if seed is None else seed
-        key = jax.random.PRNGKey(seed)
         sr = 24_000
         ar = self._model("autoregressive")
         diffusion = self._model("diffusion")
@@ -326,7 +362,7 @@ class TTS:
             ar_latent, diff_latent = enc["latent"]
         else:
             from .models import rlg as rlg_m
-            k1, k2, key = jax.random.split(key, 3)
+            k1, k2 = _host_keys(seed ^ 0x5F3C, 2)
             rga, rgd = self._model("rlg_auto"), self._model("rlg_diffuser")
             ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
             diff_latent = rlg_m.sample(rgd.params, k2, 1, int(rgd.config))
@@ -340,9 +376,9 @@ class TTS:
         sampling = SamplingConfig(temperature=ar_temp, top_k=top_k,
                                   top_p=top_p,
                                   repetition_penalty=repetition_penalty)
-        k_ar, k_noise, k_diff, k_voc = jax.random.split(key, 4)
-        lat = jnp.broadcast_to(jnp.asarray(ar_latent),
-                               (b, ar_latent.shape[-1]))
+        k_ar, k_diff, k_voc = _host_keys(seed * 2654435761 + 17, 3)
+        lat = np.broadcast_to(np.asarray(ar_latent),
+                              (b, np.asarray(ar_latent).shape[-1]))
         res = inference_speech(ar.params, lat, jnp.asarray(tokens),
                                jnp.asarray(lengths), k_ar, ar.config,
                                sampling, max_length=max_ar_steps)
@@ -353,24 +389,22 @@ class TTS:
         pad_codes = np.pad(codes, ((0, 0), (0, max_ar_steps - L)),
                            constant_values=ar.config.stop_mel_token)
         wav_lengths = np.full((b,), L * ar.config.mel_length_compression)
+        # latents stay device-resident (B, max_ar_steps, D); the
+        # per-row trim + edge-pad happens inside _jit_diffusion
         latents = _jit_latent_pass(
-            ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
-            jnp.asarray(pad_codes), jnp.asarray(wav_lengths), ar.config)
-        latents = np.asarray(latents[:, :L].astype(jnp.float32))
+            ar.params, lat, tokens, lengths, pad_codes, wav_lengths,
+            ar.config)
 
+        row_lengths = np.minimum(np.asarray(res.lengths) + 1, L)
+        n_lat = L
         if diffusion_pad_multiple > 1:
-            pad_t = (-L) % diffusion_pad_multiple
-            if pad_t:
-                latents = np.concatenate(
-                    [latents, np.repeat(latents[:, -1:], pad_t, axis=1)], 1)
-        seq_len = latents.shape[1] * 4 * 24000 // 22050
-        noise = jax.random.normal(k_noise, (b, 100, seq_len)) * diffusion_temp
+            n_lat = L + ((-L) % diffusion_pad_multiple)
+        seq_len = n_lat * 4 * 24000 // 22050
         mel = _jit_diffusion(
-            diffusion.params, jnp.asarray(latents),
-            jnp.broadcast_to(jnp.asarray(diff_latent, dtype=jnp.float32),
-                             (b, diff_latent.shape[-1])),
-            noise, k_diff, diffusion.config, max_diffusion_steps,
-            diffusion_sampler, seq_len, cond_free)
+            diffusion.params, latents, np.asarray(diff_latent, np.float32),
+            k_diff, diffusion.config, max_diffusion_steps,
+            diffusion_sampler, seq_len, cond_free, diffusion_temp,
+            n_lat=n_lat, t_lat=row_lengths.astype(np.int32))
 
         voc = self._model("bigvgan" if vocoder_type == "bigvgan"
                           else "vocoder")
@@ -381,7 +415,6 @@ class TTS:
                                            voc.config))
         # trim each row to its own generated length
         out = []
-        row_lengths = np.minimum(np.asarray(res.lengths) + 1, L)
         for i in range(b):
             n = int(row_lengths[i] * 4 * 24000 // 22050) * 256
             out.append(wavs[i, 0, :n])
@@ -398,8 +431,11 @@ class TTS:
         lengths = np.minimum(
             np.full((tokens.shape[0],), len(self.encode_text(line))),
             tokens.shape[1])
-        lat = jnp.broadcast_to(jnp.asarray(ar_latent),
-                               (tokens.shape[0], ar_latent.shape[-1]))
+        # host-side broadcast: a jnp.broadcast_to here is an eager
+        # dispatch through the remote relay
+        lat = np.broadcast_to(np.asarray(ar_latent),
+                              (tokens.shape[0],
+                               np.asarray(ar_latent).shape[-1]))
         if sampling.beam_width > 1:
             res = inference_speech_beam(
                 ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
@@ -456,7 +492,8 @@ class TTS:
                     key, diffusion_pad_multiple) -> np.ndarray:
         ar = self._model("autoregressive")
         diffusion = self._model("diffusion")
-        k_ar, k_noise, k_diff, k_voc = jax.random.split(key, 4)
+        k_ar, k_diff, k_voc = _host_keys(
+            (int(key[0]) << 32) | int(key[1]), 3)
 
         res, tokens, text_lengths = self._decode_codes(
             line, ar_latent, sampling, max_ar_steps, k_ar,
@@ -483,12 +520,11 @@ class TTS:
         wav_lengths = np.full((codes.shape[0],),
                               L * ar.config.mel_length_compression)
         latents = _jit_latent_pass(
-            ar.params, jnp.broadcast_to(jnp.asarray(ar_latent),
-                                        (codes.shape[0],
-                                         ar_latent.shape[-1])),
-            jnp.asarray(tokens[:codes.shape[0]]),
-            jnp.asarray(text_lengths[:codes.shape[0]]),
-            jnp.asarray(pad_codes), jnp.asarray(wav_lengths), ar.config)
+            ar.params, np.broadcast_to(np.asarray(ar_latent),
+                                       (codes.shape[0],
+                                        np.asarray(ar_latent).shape[-1])),
+            tokens[:codes.shape[0]], text_lengths[:codes.shape[0]],
+            pad_codes, wav_lengths, ar.config)
         # latents stay on device; the calm-token trim point is decided
         # from the (small) codes array (inference.py:381-389 semantics)
         t_lat = self.calm_trim_point(codes[0], upto=L)
@@ -500,26 +536,23 @@ class TTS:
         output_seq_len = n_lat * 4 * 24000 // 22050
         exact_seq_len = t_lat * 4 * 24000 // 22050
 
-        b = codes.shape[0]
-        noise = jax.random.normal(
-            k_noise, (b, 100, output_seq_len)) * diffusion_temp
         mel = _jit_diffusion(
-            diffusion.params, latents,
-            jnp.broadcast_to(jnp.asarray(diff_latent, dtype=jnp.float32),
-                             (b, diff_latent.shape[-1])),
-            noise, k_diff, diffusion.config, max_diffusion_steps,
-            diffusion_sampler, output_seq_len, cond_free,
-            n_lat=n_lat, t_lat=jnp.asarray(t_lat))
-        mel = mel[:, :, :exact_seq_len]
+            diffusion.params, latents, np.asarray(diff_latent, np.float32),
+            k_diff, diffusion.config, max_diffusion_steps,
+            diffusion_sampler, output_seq_len, cond_free, diffusion_temp,
+            n_lat=n_lat, t_lat=np.int32(t_lat))
 
-        # vocoder (inference.py:415-417)
+        # vocoder (inference.py:415-417) — runs on the *padded* mel so
+        # the vocoder program is keyed by the bucketed length (an exact
+        # slice here would both add an eager dispatch and recompile the
+        # vocoder per utterance length); the host trims the wav instead
         voc = self._model("bigvgan" if vocoder_type == "bigvgan"
                           else "vocoder")
         if vocoder_type == "bigvgan":
             wav = _jit_bigvgan(voc.params, mel, voc.config)
         else:
             wav = _jit_univnet(voc.params, mel, k_voc, voc.config)
-        return np.asarray(wav[0, 0])
+        return np.asarray(wav)[0, 0, : exact_seq_len * 256]
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -529,6 +562,32 @@ class TTS:
         t1 = int(n * 1024 / 256)
         t2 = int(t1 * 24000 / 22050)
         return t2 * 256
+
+    def stream(self, text: str,
+               references: Optional[str | Sequence[str | Path]] = None,
+               max_ar_steps: int = 500, ar_temp: float = 0.8,
+               top_p: float = 1.0, top_k: int = 0,
+               seed: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Public streaming API (HiFiGAN route, reference
+        inference.py:250-329): yields 24 kHz float32 chunks as the AR
+        decode advances."""
+        seed = int(time.time()) if seed is None else seed
+        if references is not None:
+            enc = self.encode_audio(references, seed=seed)
+            ar_latent, _ = enc["latent"]
+        else:
+            from .models import rlg as rlg_m
+            (k1,) = _host_keys(seed ^ 0x5F3C, 1)
+            rga = self._model("rlg_auto")
+            ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
+        sampling = SamplingConfig(temperature=ar_temp, top_k=top_k,
+                                  top_p=top_p)
+        for i, line in enumerate(text.split("\n")):
+            if not line.strip():
+                continue
+            (sub,) = _host_keys(seed * 1000003 + i, 1)
+            yield from self._stream_line(line, ar_latent, sampling,
+                                         max_ar_steps, sub)
 
     def _stream_line(self, line, ar_latent, sampling, max_ar_steps, key,
                      stream_chunk_size: int = 40, first_buffer: int = 60,

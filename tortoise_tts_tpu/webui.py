@@ -63,8 +63,15 @@ label{{display:block;margin-top:.6em}}input,select,textarea{{width:100%%}}
 <div><label>seed <input name="seed" value=""></label></div>
 </div>
 <div class="row">
+<div><label>beam width <input name="beam_width" value="1"></label></div>
+<div><label>length penalty <input name="length_penalty" value="1.0"></label></div>
+<div><label>candidates <input name="candidates" value="1"></label></div>
+<div><label>typical <select name="typical_sampling">
+<option>false</option><option>true</option></select></label></div>
+</div>
+<div class="row">
 <div><label>Sampler <select name="diffusion_sampler">
-<option>ddim</option><option>p</option></select></label></div>
+<option>ddim</option><option>p</option><option>dpm++</option></select></label></div>
 <div><label>Vocoder <select name="vocoder_type">
 <option>bigvgan</option><option>vocoder</option><option>hifigan</option>
 </select></label></div>
@@ -90,6 +97,42 @@ def _make_handler(tts):
             self.wfile.write(body.encode())
 
         def do_GET(self):
+            if self.path.startswith("/stream"):
+                # chunked streaming audio out of the UI (reference
+                # webui.py:237 gradio streaming=True): HiFiGAN route,
+                # WAV header with unknown length + PCM chunks as the
+                # decode advances
+                q = urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query)
+                text = q.get("text", [random_prompt()])[0]
+                refs = q.get("references", [None])[0]
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data + b"\r\n")
+
+                try:
+                    import numpy as _np
+                    import struct
+                    sr = 24_000
+                    maxlen = 0xFFFFFFFF
+                    hdr = (b"RIFF" + struct.pack("<I", maxlen) + b"WAVE"
+                           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1,
+                                                   sr, sr * 2, 2, 16)
+                           + b"data" + struct.pack("<I", maxlen))
+                    chunk(hdr)
+                    for wav in tts.stream(text, refs):
+                        pcm = _np.clip(_np.asarray(wav), -1, 1)
+                        chunk((pcm * 32767).astype("<i2").tobytes())
+                    chunk(b"")
+                    self.wfile.write(b"\r\n")
+                except Exception:
+                    _logger.exception("streaming failed")
+                return
             if self.path.startswith("/audio/"):
                 p = Path("/tmp/tortoise_tpu_webui") / Path(self.path).name
                 if p.exists():
@@ -125,6 +168,11 @@ def _make_handler(tts):
                     top_p=get("top_p", 1.0, float),
                     top_k=get("top_k", 0, int),
                     repetition_penalty=get("repetition_penalty", 1.0, float),
+                    beam_width=get("beam_width", 1, int),
+                    length_penalty=get("length_penalty", 1.0, float),
+                    candidates=get("candidates", 1, int),
+                    typical_sampling=get("typical_sampling",
+                                         "false") == "true",
                     diffusion_sampler=get("diffusion_sampler", "ddim"),
                     cond_free=get("cond_free", "true") == "true",
                     vocoder_type=get("vocoder_type", "bigvgan"),
