@@ -166,6 +166,70 @@ def make_dvae_train_step(cfg, tx, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_vocoder_train_step(gen_cfg, tx_g, tx_d, disc_cfg=None,
+                            mel_weight: float = 45.0, donate: bool = True):
+    """BigVGAN adversarial training (reference bigvgan.py:543-762 +
+    upstream BigVGAN train recipe): alternating discriminator /
+    generator updates in one jitted call.
+
+    State: one TrainState whose ``params`` = {"generator",
+    "discriminator"} and ``opt_state`` = {"g", "d"}.
+    Batch: {"wav": (B, T) 24 kHz segments, T a multiple of 256}.
+    Losses: LSGAN adv + feature matching (x2) + ``mel_weight`` x mel L1.
+    """
+    from ..models import bigvgan as bv
+    from ..models import bigvgan_disc as bvd
+    if disc_cfg is None:
+        disc_cfg = bvd.DiscriminatorConfig()
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Metrics]:
+        wav = batch["wav"]
+        if wav.ndim == 2:
+            wav = wav[:, None]                      # (B, 1, T)
+        mel = bvd.training_mel(wav[:, 0])
+
+        gen_params = state.params["generator"]
+        fake_detached = jax.lax.stop_gradient(
+            bv.forward(gen_params, mel, gen_cfg))
+
+        def d_loss_fn(dp):
+            rs, _ = bvd.discriminate(dp, wav, disc_cfg)
+            fs, _ = bvd.discriminate(dp, fake_detached, disc_cfg)
+            return bvd.discriminator_loss(rs, fs)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+            state.params["discriminator"])
+        d_updates, d_opt = tx_d.update(d_grads, state.opt_state["d"],
+                                       state.params["discriminator"])
+        disc_params = optax.apply_updates(state.params["discriminator"],
+                                          d_updates)
+
+        def g_loss_fn(gp):
+            fake = bv.forward(gp, mel, gen_cfg)
+            _, real_f = bvd.discriminate(disc_params, wav, disc_cfg)
+            fake_s, fake_f = bvd.discriminate(disc_params, fake, disc_cfg)
+            adv = bvd.generator_loss(fake_s)
+            fm = bvd.feature_loss(real_f, fake_f)
+            ml = bvd.mel_loss(wav[:, 0], fake[:, 0])
+            return adv + fm + mel_weight * ml, (adv, fm, ml)
+
+        (g_loss, (adv, fm, ml)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(gen_params)
+        g_updates, g_opt = tx_g.update(g_grads, state.opt_state["g"],
+                                       gen_params)
+        gen_params2 = optax.apply_updates(gen_params, g_updates)
+
+        new = TrainState(
+            {"generator": gen_params2, "discriminator": disc_params},
+            {"g": g_opt, "d": d_opt}, state.step + 1,
+            state.samples_processed + wav.shape[0],
+            state.tokens_processed)
+        return new, {"loss": g_loss, "loss.disc": d_loss,
+                     "loss.adv": adv, "loss.fm": fm, "loss.mel": ml}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_clvp_train_step(cfg, tx, donate: bool = True):
     """CLVP InfoNCE training (clvp.py:138-141)."""
     from ..models import clvp as clvp_m
