@@ -1,0 +1,210 @@
+"""Config-driven multi-engine training (engine/factory.py) — the
+reference load_engines capability (engines/__init__.py:40-338): one YAML
+trains AR+diffusion together, checkpoints and resumes both; vocoder GAN
+training (bigvgan.py:543-762) decreases its mel loss."""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tortoise_tts_tpu.models as models_pkg
+from tortoise_tts_tpu.config import Config
+from tortoise_tts_tpu.data import Dataset
+from tortoise_tts_tpu.engine.factory import load_engines
+from tortoise_tts_tpu.models import LoadedModel
+from tortoise_tts_tpu.models import diffusion as diff_m
+from tortoise_tts_tpu.models import dvae as dvae_m
+from tortoise_tts_tpu.models import unified_voice as uv_m
+
+AR_CFG = uv_m.UnifiedVoiceConfig(layers=2, model_dim=64, heads=4,
+                                 max_text_tokens=40, max_mel_tokens=48)
+DIFF_CFG = diff_m.DiffusionConfig(model_channels=64, num_layers=2,
+                                  in_latent_channels=64, num_heads=4)
+DVAE_CFG = dvae_m.DVAEConfig(codebook_dim=32, hidden_dim=32)
+
+
+def _small_load_model(name, dtype="float32", seed=0):
+    key = jax.random.PRNGKey(hash(name) % (2 ** 31))
+    if name == "autoregressive":
+        return LoadedModel(name, uv_m, AR_CFG, uv_m.init(key, AR_CFG), False)
+    if name == "diffusion":
+        return LoadedModel(name, diff_m, DIFF_CFG,
+                           diff_m.init(key, DIFF_CFG), False)
+    if name == "dvae":
+        return LoadedModel(name, dvae_m, DVAE_CFG,
+                           dvae_m.init(key, DVAE_CFG), False)
+    raise KeyError(name)
+
+
+def _write_artifact(path: Path, n_codes=30, n_text=12, seed=0, dim=64):
+    rng = np.random.RandomState(seed)
+    artifact = {
+        "codes": rng.randint(0, 8192, (n_codes,)).astype(np.uint16),
+        "conds": (rng.randn(1, 1, 80, 100).astype(np.float32),
+                  rng.randn(1, 1, 100, 100).astype(np.float32)),
+        "latent": (rng.randn(1, dim).astype(np.float32),
+                   rng.randn(1, 2 * dim).astype(np.float32)),
+        "text": rng.randint(3, 255, (n_text,)).astype(np.uint8),
+        "mel": (rng.randn(80, n_codes * 4) * 0.1).astype(np.float16),
+        "mel_diff": np.clip(rng.randn(100, n_codes * 4) * 0.3, -1, 1
+                            ).astype(np.float16),
+        "metadata": {"original_length": n_codes * 1024,
+                     "sample_rate": 22050,
+                     "duration": n_codes * 1024 / 22050,
+                     "text": "hello"},
+    }
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        np.save(f, artifact)
+
+
+YAML = """
+models:
+- name: autoregressive
+  training: true
+- name: diffusion
+  training: true
+hyperparameters:
+  batch_size: 2
+  gradient_accumulation_steps: 1
+  learning_rate: 1.0e-4
+  optimizer: AdamW
+trainer:
+  save_frequency: 0
+  iterations: 4
+  gradient_checkpointing: false
+dataset:
+  training: [{data_dir}]
+  validate: false
+  text_bucket: 40
+  mel_bucket: 48
+  load_mels: true
+"""
+
+
+@pytest.fixture()
+def train_env(tmp_path, monkeypatch):
+    d = tmp_path / "data" / "group" / "speaker"
+    for i in range(6):
+        _write_artifact(d / f"utt{i:03d}.mel", n_codes=20 + i, seed=i)
+    (tmp_path / "cfg.yaml").write_text(
+        YAML.format(data_dir=str(tmp_path / "data")))
+    monkeypatch.setattr(models_pkg, "load_model", _small_load_model)
+    return tmp_path
+
+
+def test_yaml_trains_ar_and_diffusion_together(train_env):
+    cfg = Config.load(train_env / "cfg.yaml")
+    assert len(cfg.models) == 2 and all(m.training for m in cfg.models)
+    engines = load_engines(cfg, training=True)
+    assert set(engines.names()) == {"autoregressive", "diffusion"}
+
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+    batch = next(ds.batches())
+    assert "mel_diff" in batch
+
+    m1 = engines.step(batch)
+    m2 = engines.step(batch)
+    for k in ("autoregressive.loss", "diffusion.loss", "loss"):
+        assert np.isfinite(m1[k]) and np.isfinite(m2[k]), k
+    assert engines.global_step == 2
+    assert "autoregressive.elapsed_time" in m1
+    assert "diffusion.loss.mse" in m1
+
+    # joint checkpoint + resume (both engines)
+    engines.save_checkpoint(cfg.ckpt_dir)
+    engines2 = load_engines(cfg, training=True)
+    assert engines2.global_step == 2
+    for name in ("autoregressive", "diffusion"):
+        assert int(engines2[name].step) == 2
+
+
+def test_set_lr_scales_updates(train_env):
+    from tortoise_tts_tpu.engine.optim import get_lr_scale
+    cfg = Config.load(train_env / "cfg.yaml")
+    engines = load_engines(cfg, training=True)
+    engines.set_lr(5e-5)   # base 1e-4 -> scale 0.5
+    for name in engines.names():
+        assert abs(get_lr_scale(engines[name].opt_state) - 0.5) < 1e-6
+
+
+def test_missing_mels_raises_actionable_error(train_env, tmp_path):
+    cfg = Config.load(train_env / "cfg.yaml")
+    engines = load_engines(cfg, training=True)
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+    batch = dict(next(ds.batches()))
+    batch.pop("mel_diff")
+    with pytest.raises(KeyError, match="store_mels"):
+        engines._engines["diffusion"]["select"](batch)
+
+
+def test_vocoder_gan_training_decreases_mel_loss():
+    """make_vocoder_train_step: D/G alternation drives the generator's
+    mel loss down on a fixed batch (bigvgan.py:543-762 training side)."""
+    import optax
+    from tortoise_tts_tpu.engine import state as st
+    from tortoise_tts_tpu.engine import train_step as ts
+    from tortoise_tts_tpu.models import bigvgan_disc as bvd
+    from tortoise_tts_tpu.models import _bigvgan_random
+    from tortoise_tts_tpu.models.bigvgan import BigVGANConfig
+
+    gen_cfg = BigVGANConfig(upsample_initial_channel=64)
+    disc_cfg = bvd.DiscriminatorConfig(periods=(2, 3),
+                                       resolutions=((512, 128, 512),))
+    key = jax.random.PRNGKey(0)
+    gen = _bigvgan_random(key, gen_cfg)
+    disc = bvd.init(jax.random.PRNGKey(1), disc_cfg)
+    tx_g = optax.adam(2e-4)
+    tx_d = optax.adam(2e-4)
+    step = ts.make_vocoder_train_step(gen_cfg, tx_g, tx_d, disc_cfg,
+                                      donate=False)
+    state = st.TrainState({"generator": gen, "discriminator": disc},
+                          {"g": tx_g.init(gen), "d": tx_d.init(disc)},
+                          jnp.zeros((), jnp.int32),
+                          jnp.zeros((), jnp.int32),
+                          jnp.zeros((), jnp.int32))
+    rng = np.random.RandomState(0)
+    t = np.linspace(0, 1, 4096)
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)
+           + 0.05 * rng.randn(4096)).astype(np.float32)
+    batch = {"wav": jnp.asarray(wav[None])}
+
+    first = None
+    for i in range(8):
+        state, m = step(state, batch)
+        assert np.isfinite(m["loss"]) and np.isfinite(m["loss.disc"])
+        if first is None:
+            first = float(m["loss.mel"])
+    assert float(m["loss.mel"]) < first
+    assert int(state.step) == 8
+
+
+def test_trainer_repl_deferred_events_and_lr(train_env, monkeypatch):
+    """train_engines REPL: deferred `cmd@step` events fire at their
+    step; `lr <x>` is applied live (reference trainer.py:196-292)."""
+    from tortoise_tts_tpu.data import Dataset
+    from tortoise_tts_tpu.engine.optim import get_lr_scale
+    from tortoise_tts_tpu.utils import trainer as tr
+
+    cfg = Config.load(train_env / "cfg.yaml")
+    engines = load_engines(cfg, training=True)
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+
+    commands = iter(["", "lr 2e-5", "save@3", "", "", ""])  # first read is the pre-loop poll
+    monkeypatch.setattr(tr, "_non_blocking_input",
+                        lambda: next(commands, ""))
+    saved = []
+    engines = tr.train_engines(
+        cfg, ds, engines,
+        save_fn=lambda es, step: saved.append(step),
+        max_iterations=4)
+    # lr 2e-5 over base 1e-4 -> scale 0.2 on every engine
+    for name in engines.names():
+        assert abs(get_lr_scale(engines[name].opt_state) - 0.2) < 1e-6
+    assert 3 in saved

@@ -51,6 +51,15 @@ class ModelConfig:
     """One named model in the pipeline (reference config.py Model)."""
     name: str = "autoregressive"
     training: bool = False
+    # explicit weights path (reference model.config.path,
+    # engines/__init__.py:66-68)
+    path: Optional[str] = None
+    # teacher models are loaded frozen for distillation
+    # (engines/__init__.py:49; engines/base.py:518-543)
+    teacher: bool = False
+    # per-model hyperparameter overrides merged over the global
+    # Hyperparameters (optimizer/learning_rate/... per engine)
+    hyperparameters: Optional[dict] = None
     # TPU additions
     dtype: str = "bfloat16"
 
@@ -180,6 +189,8 @@ class DatasetConfig:
     text_bucket: int = 256       # fixed text length for training batches
     mel_bucket: int = 512        # fixed mel-code length for training batches
     use_melbin: bool = False     # native C++ packed-dataset loader
+    load_mels: bool = False      # load mel/mel_diff training targets
+                                 # (artifacts written with store_mels)
 
 
 @dataclass(frozen=True)

@@ -8,6 +8,7 @@ export — the reference's dict-of-engines behavior over pure states.
 from __future__ import annotations
 
 import logging
+import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -17,6 +18,19 @@ from .state import TrainState, export_weights, load_checkpoint, \
     save_checkpoint
 
 _logger = logging.getLogger(__name__)
+
+
+def _all_ranks_agree_oom(local_oom: bool) -> bool:
+    """All-rank OOM vote (reference engines/base.py:541-597): every rank
+    must learn whether *any* rank OOM'd so they all skip the same batch.
+    psum over hosts via multihost_utils; single-process is a no-op."""
+    import jax
+    if jax.process_count() <= 1:
+        return local_oom
+    from jax.experimental import multihost_utils
+    votes = multihost_utils.process_allgather(
+        np.asarray([1 if local_oom else 0], np.int32))
+    return bool(np.asarray(votes).sum() > 0)
 
 
 class Engines:
@@ -50,19 +64,96 @@ class Engines:
 
     def step(self, batch) -> Dict[str, float]:
         """Step every engine on (its view of) the batch; metrics are
-        namespaced `engine.metric` plus flat averages
-        (engines/base.py:508-656)."""
+        namespaced `engine.metric` plus flat averages, with per-engine
+        elapsed time and grad-norm aggregation
+        (engines/base.py:508-656).
+
+        OOM semantics (engines/base.py:541-597): a RESOURCE_EXHAUSTED
+        during an engine's forward/step raises a local OOM flag; all
+        ranks vote, and on agreement the batch is skipped for that
+        engine (metrics mark ``skipped``) instead of aborting training.
+        """
         metrics: Dict[str, float] = {}
+        grad_norms = []
         for name, e in self._engines.items():
-            state, m = e["step"](e["state"], e["select"](batch))
+            t0 = time.time()
+            oom = False
+            try:
+                state, m = e["step"](e["state"], e["select"](batch))
+            except Exception as exc:
+                msg = str(exc)
+                if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                    oom = True
+                    m = {}
+                else:
+                    raise
+            if _all_ranks_agree_oom(oom):
+                _logger.error("OOM during %s step — skipping batch", name)
+                metrics[f"{name}.skipped"] = 1.0
+                continue
             e["state"] = state
             for k, v in m.items():
                 metrics[f"{name}.{k}"] = float(v)
+            metrics[f"{name}.elapsed_time"] = time.time() - t0
+            if "grad_norm" in m:
+                grad_norms.append(float(m["grad_norm"]))
+            if e.get("wandb") is not None:
+                try:
+                    e["wandb"].log({k: float(v) for k, v in m.items()},
+                                   step=int(e["state"].step))
+                except Exception:
+                    pass
         # averaged top-level loss across engines
         losses = [v for k, v in metrics.items() if k.endswith(".loss")]
         if losses:
             metrics["loss"] = float(np.mean(losses))
+        if grad_norms:
+            metrics["grad_norm"] = float(np.mean(grad_norms))
         return metrics
+
+    def set_lr(self, rate: float):
+        """Apply `lr <x>` (reference engines.set_lr via trainer REPL):
+        rewrites every engine's mutable LR scale so the *effective* LR
+        becomes ``rate`` (exact for constant-LR configs; proportional
+        scale under schedules)."""
+        from .optim import set_lr_scale
+        for name, e in self._engines.items():
+            base = e["config"].get("base_lr")
+            if not base:
+                _logger.warning("%s: no base_lr recorded; skipping", name)
+                continue
+            s = e["state"]
+            e["state"] = TrainState(s.params,
+                                    set_lr_scale(s.opt_state, rate / base),
+                                    s.step, s.samples_processed,
+                                    s.tokens_processed)
+            _logger.info("%s: lr -> %g (scale %.4g)", name, rate,
+                         rate / base)
+
+    def attach_wandb(self, project_prefix: str = "", wandb_params=None):
+        """Per-engine wandb runs (reference engines/__init__.py:308-338
+        incl. DDP run grouping)."""
+        try:
+            import wandb
+        except ImportError:
+            _logger.info("wandb not installed; logging disabled")
+            return
+        import jax
+        for name, e in self._engines.items():
+            kwargs = {"id": f"{project_prefix}{name}-run",
+                      "resume": "allow",
+                      "config": dict(e["config"])}
+            if jax.process_count() > 1:
+                kwargs["id"] = f"{project_prefix}{name}-run-" \
+                               f"{jax.process_index()}"
+                kwargs["group"] = "DDP-run"
+            if wandb_params:
+                kwargs.update(wandb_params)
+            try:
+                e["wandb"] = wandb.init(project=name, **kwargs)
+            except Exception as exc:
+                _logger.warning("wandb init failed for %s: %s", name, exc)
+                e["wandb"] = None
 
     def save_checkpoint(self, ckpt_dir: Path, keep_last: int = 0,
                         is_leader: bool = True):
@@ -81,10 +172,12 @@ class Engines:
             except FileNotFoundError:
                 pass
 
-    def export(self, ckpt_dir: Path, weights_format: str = "sft"):
+    def export(self, ckpt_dir: Path, weights_format: str = "sft",
+               userdata: Optional[dict] = None):
         """Deployable fp32 export per engine (engines/base.py:356-400)."""
         for name, e in self._engines.items():
             export_weights(e["state"].params,
                            Path(ckpt_dir) / name / f"fp32.{weights_format}",
                            config={"name": name, **e["config"]},
-                           stats={"step": int(e["state"].step)})
+                           stats={"step": int(e["state"].step)},
+                           userdata=userdata)

@@ -161,19 +161,22 @@ def load_checkpoint(ckpt_dir: Path, name: str, state: TrainState,
 
 def export_weights(params, path: Path, config: Optional[dict] = None,
                    stats: Optional[dict] = None,
+                   userdata: Optional[dict] = None,
                    lora_split: bool = False) -> None:
-    """Deployable fp32 export (engines/base.py:356-400, export.py)."""
+    """Deployable fp32 export (engines/base.py:356-400, export.py).
+    ``userdata`` mirrors the reference's embedded userdata (e.g. the
+    phone symmap, engines/base.py:380-400)."""
     flat = flatten_tree(jax.tree_util.tree_map(
         lambda x: np.asarray(x, dtype=np.float32)
         if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x),
         params))
+    meta = {"config": config or {}, "stats": stats or {},
+            "userdata": userdata or {}}
     if lora_split:
         lora = {k: v for k, v in flat.items() if "lora" in k}
         rest = {k: v for k, v in flat.items() if "lora" not in k}
-        save_state_dict(rest, path, metadata={"config": config or {},
-                                              "stats": stats or {}})
+        save_state_dict(rest, path, metadata=meta)
         if lora:
             save_state_dict(lora, path.parent / f"lora.{path.suffix[1:]}")
     else:
-        save_state_dict(flat, path, metadata={"config": config or {},
-                                              "stats": stats or {}})
+        save_state_dict(flat, path, metadata=meta)

@@ -40,18 +40,20 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
              base_params=None, max_samples: int = 4) -> dict:
     """Generative round-trip eval (reference run_eval, train.py:65-256).
 
-    For a few val samples: AR decode with the current params -> diffusion
-    (30-step P sampler, cond_free off — train.py:77) -> vocoder, then a
-    mel-spectral distance between hyp audio and the reference audio
-    reconstructed from the sample's DVAE codes.  Wavs are dumped under
-    logs/<step>/ for listening.
+    For a few val samples: AR decode with the current params,
+    **conditioned on the eval sample's own reference latents** (the
+    artifact carries both the AR and diffusion conditioning latents;
+    reference train.py:99-213 conditions on the sample's audio) ->
+    diffusion (30-step P sampler, cond_free off — train.py:77) ->
+    vocoder, then a mel-spectral distance between hyp audio and the
+    reference audio reconstructed from the sample's DVAE codes.  Wavs
+    are dumped under logs/<step>/ for listening.
     """
     import jax
     import jax.numpy as jnp
     from .inference import TTS
     from .models import load_model
     from .models.lora import apply_lora
-    from .ops.stft import denormalize_tacotron_mel
     from .utils.io import write_wav
 
     step = int(state.step)
@@ -87,6 +89,8 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
         try:
             hyp_wav, _ = tts.inference(
                 text or "evaluation sample", None,
+                conditioning_latents=(batch["latents"][:1],
+                                      batch["diffusion_latents"][:1]),
                 max_ar_steps=int(ek.get("max_steps",
                                         min(200, n * 2 + 16))),
                 ar_temp=float(ek.get("ar_temp", 0.8)),
@@ -123,75 +127,68 @@ def main(argv=None):
     import jax
     from .config import Config
     from .data import create_train_val_dataloader
-    from .engine import optim, state as st, train_step as ts
+    from .engine.factory import load_engines
     from .models import load_model
-    from .models.lora import init_lora
     from .parallel import mesh as pmesh
-    from .utils.trainer import train
+    from .utils.trainer import train_engines
 
     cfg = Config.load(args.yaml)
-    hp = cfg.hyperparameters
 
     train_ds, val_ds = create_train_val_dataloader(
         cfg, jax.process_index(), jax.process_count())
 
-    ar = load_model("autoregressive", cfg.trainer.weight_dtype)
-    tx = optim.make_optimizer(hp)
     mesh = pmesh.make_mesh(*cfg.trainer.mesh_shape) \
         if len(cfg.trainer.mesh_shape) == 2 else pmesh.make_mesh()
 
-    lora_cfg = cfg.lora
-    if lora_cfg is not None and lora_cfg.training:
-        lora = init_lora(jax.random.PRNGKey(0), ar.params,
-                         rank=lora_cfg.rank)
-        state = st.init_state(lora, tx)
-        step_fn = ts.make_ar_train_step(
-            ar.config, tx, remat=cfg.trainer.gradient_checkpointing,
-            lora_cfg=lora_cfg, base_params=ar.params)
-        ckpt_name = lora_cfg.full_name
-    else:
-        state = st.init_state(ar.params, tx)
-        step_fn = ts.make_ar_train_step(
-            ar.config, tx, remat=cfg.trainer.gradient_checkpointing)
-        ckpt_name = cfg.model.full_name
+    # one engine per cfg.models entry (reference load_engines,
+    # engines/__init__.py:40-338) — AR / diffusion / DVAE / CLVP /
+    # BigVGAN, each with its own optimizer and feeder
+    engines = load_engines(cfg, training=True)
+    _logger.info("engines: %s (resumed at step %d)",
+                 engines.names(), engines.global_step)
+    train_ds.load_state(cfg.ckpt_dir /
+                        f"sampler.{jax.process_index()}.state")
 
-    # resume
-    try:
-        state = st.load_checkpoint(cfg.ckpt_dir, ckpt_name, state,
-                                   strict=cfg.trainer.strict_loading)
-        _logger.info("resumed from step %d", int(state.step))
-        train_ds.load_state(cfg.ckpt_dir / ckpt_name /
-                            f"sampler.{jax.process_index()}.state")
-    except FileNotFoundError:
-        pass
-
-    def save_fn(s, step):
-        st.save_checkpoint(cfg.ckpt_dir, ckpt_name, s, step,
+    def save_fn(es, step):
+        es.save_checkpoint(cfg.ckpt_dir,
                            keep_last=cfg.trainer.keep_last_checkpoints,
                            is_leader=pmesh.is_leader())
-        train_ds.save_state(cfg.ckpt_dir / ckpt_name /
+        train_ds.save_state(cfg.ckpt_dir /
                             f"sampler.{jax.process_index()}.state")
-        if cfg.trainer.export_on_save and pmesh.is_leader():
-            st.export_weights(s.params,
-                              cfg.ckpt_dir / ckpt_name / "fp32.sft",
-                              config={"name": ckpt_name})
 
-    def prepare(batch):
-        batch = {k: v for k, v in batch.items()
-                 if k in ("latents", "text", "text_lengths", "codes",
-                          "wav_lengths")}
-        return pmesh.shard_batch(mesh, batch)
+    ar_engine_name = (cfg.lora.full_name
+                      if cfg.lora is not None and cfg.lora.training
+                      else "autoregressive")
 
-    def wrapped_step(s, batch):
-        return step_fn(s, prepare(batch))
+    def eval_fn(es):
+        if ar_engine_name not in es:
+            return
+        lora_cfg = cfg.lora if cfg.lora is not None and \
+            cfg.lora.training else None
+        base = (load_model("autoregressive",
+                           cfg.trainer.weight_dtype).params
+                if lora_cfg else None)
+        run_eval(cfg, es[ar_engine_name], val_ds, log_dir,
+                 lora_cfg=lora_cfg, base_params=base,
+                 max_samples=cfg.evaluation.size)
+
+    class ShardedBatches:
+        """DP-shard each host batch over the mesh before engines.step."""
+        def __len__(self):
+            return len(train_ds)
+
+        def batches(self):
+            for batch in train_ds.batches():
+                yield pmesh.shard_batch(mesh, batch)
 
     log_dir = cfg.log_dir / time.strftime("%Y%m%d_%H%M%S")
     log_dir.mkdir(parents=True, exist_ok=True)
 
-    state = train(cfg, train_ds, wrapped_step, state,
-                  save_fn=save_fn, log_path=log_dir / "log.txt",
-                  max_iterations=args.iterations)
-    return state
+    engines = train_engines(cfg, ShardedBatches(), engines,
+                            eval_fn=eval_fn, save_fn=save_fn,
+                            log_path=log_dir / "log.txt",
+                            max_iterations=args.iterations)
+    return engines
 
 
 if __name__ == "__main__":

@@ -53,6 +53,149 @@ def _non_blocking_input() -> str:
     return result
 
 
+def train_engines(cfg: Config,
+                  dataset,
+                  engines,
+                  eval_fn: Optional[Callable] = None,
+                  save_fn: Optional[Callable] = None,
+                  log_path: Optional[Path] = None,
+                  max_iterations: Optional[int] = None):
+    """Engines-based training loop (reference trainer.py:133-292).
+
+    Full stdin REPL: ``save``, ``quit``, ``eval``, ``export``,
+    ``lr <x>``, ``time [to N]``, deferred ``<cmd>@<step>`` events,
+    ``event show`` / ``event clear``.  Commands are read on the leader
+    and broadcast to all hosts; deferred events fire when the global
+    step reaches their trigger.  ``loss_scale`` is accepted and noted
+    (bf16 training has no loss scale — reference uses it for fp16).
+    """
+    tcfg = cfg.trainer
+    it = max_iterations if max_iterations is not None else tcfg.iterations
+    log_f = open(log_path, "a") if (log_path and is_leader()) else None
+
+    if tcfg.wandb:
+        engines.attach_wandb()
+
+    events: list = []
+    last_save_step = engines.global_step
+    last_eval_step = -1
+    start = time.time()
+
+    def do_save():
+        if save_fn:
+            save_fn(engines, engines.global_step)
+
+    def do_export():
+        from ..tokenizer import get_phone_symmap
+        engines.export(cfg.ckpt_dir, cfg.weights_format,
+                       userdata={"symmap": get_phone_symmap()})
+
+    # pre-loop command (reference trainer.py:161-166)
+    pre = _non_blocking_input()
+    if pre in ("eval", "eval_quit") and eval_fn:
+        eval_fn(engines)
+    if pre in ("quit", "eval_quit"):
+        return engines
+
+    try:
+        for batch in dataset.batches():
+            if engines.global_step >= it:
+                break
+            step_start = time.time()
+            metrics = engines.step(batch)
+            step = engines.global_step
+            elapsed = time.time() - step_start
+            metrics.update({
+                "it": step,
+                "epoch": step * cfg.hyperparameters.batch_size
+                / max(1, len(dataset)),
+                "elapsed_time": elapsed,
+            })
+            line = json.dumps(metrics)
+            if is_leader():
+                _logger.info(line)
+                if log_f:
+                    log_f.write(line + "\n")
+                    log_f.flush()
+
+            command = _non_blocking_input()
+            # deferred events: `<cmd>@<step>` (trainer.py:198-207)
+            if "@" in command:
+                what, _, when = command.rpartition("@")
+                try:
+                    events.append((what, int(when)))
+                    _logger.info("event %s registered", command)
+                except ValueError as e:
+                    _logger.error("bad event %r: %s", command, e)
+                command = ""
+
+            events = [e for e in events if e[1] >= step]
+            commands = [command] + [e[0] for e in events if e[1] == step]
+
+            for command in commands:
+                if not command:
+                    continue
+                if command in ("event show", "event"):
+                    _logger.info("events:\n%s", "\n".join(
+                        f"{w}@{s}" for w, s in events))
+                elif command == "event clear":
+                    events.clear()
+                elif command.startswith("time"):
+                    # remaining-time estimate (trainer.py:218-227)
+                    target = it
+                    if " to " in command:
+                        try:
+                            target = int(command.split(" to ")[-1])
+                        except ValueError:
+                            pass
+                    rem = max(0, target - step + 1) * elapsed
+                    _logger.info("est. remaining: %.1f h (%.0f s)",
+                                 rem / 3600, rem)
+                elif command.startswith("lr "):
+                    try:
+                        engines.set_lr(float(command.split()[-1]))
+                    except (ValueError, IndexError) as e:
+                        _logger.warning("bad lr command: %s", e)
+                elif command.startswith("loss_scale"):
+                    _logger.info("bf16 training has no loss scale; noted")
+                elif command == "export":
+                    do_save()
+                    last_save_step = step
+                    if is_leader():
+                        do_export()
+                elif command == "save":
+                    do_save()
+                    last_save_step = step
+                elif command == "eval" and eval_fn:
+                    last_eval_step = step
+                    eval_fn(engines)
+                elif command == "quit":
+                    if tcfg.save_on_quit:
+                        do_save()
+                    return engines
+
+            save_every = tcfg.save_frequency or cfg.evaluation.frequency
+            if (step != last_save_step and save_every
+                    and step % save_every == 0):
+                do_save()
+                last_save_step = step
+                if tcfg.export_on_save and is_leader():
+                    do_export()
+            if (eval_fn and cfg.evaluation.frequency
+                    and step % cfg.evaluation.frequency == 0
+                    and step != last_eval_step):
+                last_eval_step = step
+                eval_fn(engines)
+    except KeyboardInterrupt:
+        if tcfg.save_on_quit:
+            do_save()
+    finally:
+        if log_f:
+            log_f.close()
+    _logger.info("training done in %.1fs", time.time() - start)
+    return engines
+
+
 def train(cfg: Config,
           dataset,
           step_fn: Callable,
