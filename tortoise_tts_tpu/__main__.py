@@ -26,7 +26,13 @@ def main(argv=None):
     parser.add_argument("--length-penalty", type=float, default=1.0)
     parser.add_argument("--beam-width", type=int, default=1)
     parser.add_argument("--diffusion-sampler", type=str, default="ddim",
-                        choices=["ddim", "p"])
+                        choices=["ddim", "p", "dpm++"])
+    parser.add_argument("--typical-sampling", action="store_true")
+    parser.add_argument("--typical-mass", type=float, default=0.9)
+    parser.add_argument("--mirostat-tau", type=float, default=0.0)
+    parser.add_argument("--mirostat-eta", type=float, default=0.1)
+    parser.add_argument("--min-temperature", type=float, default=0.0,
+                        help="enable entropy-scaled dynamic temperature")
     parser.add_argument("--cond-free", action="store_true", default=True)
     parser.add_argument("--no-cond-free", dest="cond_free",
                         action="store_false")
@@ -51,6 +57,10 @@ def main(argv=None):
         length_penalty=args.length_penalty, beam_width=args.beam_width,
         diffusion_sampler=args.diffusion_sampler, cond_free=args.cond_free,
         vocoder_type=args.vocoder, candidates=args.candidates,
+        typical_sampling=args.typical_sampling,
+        typical_mass=args.typical_mass,
+        mirostat_tau=args.mirostat_tau, mirostat_eta=args.mirostat_eta,
+        min_temperature=args.min_temperature,
         seed=args.seed, out_path=args.out_path)
     print(f"wrote {args.out_path} ({wav.shape[-1] / sr:.2f}s @ {sr}Hz)")
 

@@ -30,6 +30,12 @@ class SamplingConfig:
     beam_width: int = 1
     length_penalty: float = 1.0
     greedy: bool = False
+    # entropy-scaled dynamic temperature (samplers.py:78-91): active when
+    # 0 < min_temperature < temperature
+    min_temperature: float = 0.0
+    # mirostat v1 (samplers.py:117-157): active when tau > 0
+    mirostat_tau: float = 0.0
+    mirostat_eta: float = 0.1
 
 
 def apply_repetition_penalty(logits: jnp.ndarray,
@@ -108,7 +114,11 @@ def warp_logits(logits: jnp.ndarray, cfg: SamplingConfig,
     if token_counts is not None:
         x = apply_repetition_penalty(x, token_counts, cfg.repetition_penalty)
     x = apply_typical(x, cfg.typical_mass)
-    x = apply_temperature(x, cfg.temperature)
+    if 0.0 < cfg.min_temperature < cfg.temperature:
+        x = apply_dynamic_temperature(x, cfg.temperature,
+                                      cfg.min_temperature)
+    else:
+        x = apply_temperature(x, cfg.temperature)
     x = apply_top_k(x, cfg.top_k)
     x = apply_top_p(x, cfg.top_p)
     return x
