@@ -23,7 +23,9 @@ _logger = logging.getLogger(__name__)
 
 
 def create_dataset_metadata(cfg: Config) -> int:
-    """Per-speaker metadata JSONs with durations (data.py:1014-1086)."""
+    """Per-speaker metadata JSONs with durations + similar lists
+    (data.py:1014-1086; 'similar' copied from artifact metadata,
+    data.py:976-978)."""
     n = 0
     for root in cfg.dataset.training + cfg.dataset.validation:
         root = Path(root)
@@ -37,10 +39,13 @@ def create_dataset_metadata(cfg: Config) -> int:
             md = art.get("metadata", {})
             dur = md.get("duration") or (
                 md.get("original_length", 0) / md.get("sample_rate", 1))
-            speakers[spk][mel.stem] = {
+            entry = {
                 "duration": float(dur or 0.0),
                 "text": md.get("text", ""),
             }
+            if "similar" in md:
+                entry["similar"] = md["similar"]
+            speakers[spk][mel.stem] = entry
         for spk, entries in speakers.items():
             rel = spk.relative_to(root)
             out = cfg.metadata_dir / rel
@@ -48,6 +53,49 @@ def create_dataset_metadata(cfg: Config) -> int:
             (out / "metadata.json").write_text(json.dumps(entries, indent=1))
             n += len(entries)
     _logger.info("wrote metadata for %d utterances", n)
+    return n
+
+
+def compute_similar_utterances(cfg: Config, top_k: int = 8) -> int:
+    """Top-k similar utterances per speaker by AR conditioning-latent
+    cosine similarity, written into the per-speaker metadata JSONs
+    (capability of reference 'similar' metadata, data.py:738-763 —
+    the reference relies on an external similarity pass; here the
+    artifact's own 1024-d speaker latent is the embedding)."""
+    n = 0
+    for root in cfg.dataset.training + cfg.dataset.validation:
+        root = Path(root)
+        if not root.is_dir():
+            continue
+        speakers = {}
+        for mel in sorted(root.rglob("*.mel")):
+            speakers.setdefault(mel.parent, []).append(mel)
+        for spk, mels in speakers.items():
+            if len(mels) < 2:
+                continue
+            lats = []
+            for m in mels:
+                art = load_artifact(m)
+                lats.append(np.asarray(art["latent"][0],
+                                       np.float32).reshape(-1))
+            L = np.stack(lats)
+            L = L / (np.linalg.norm(L, axis=1, keepdims=True) + 1e-8)
+            sim = L @ L.T
+            np.fill_diagonal(sim, -np.inf)
+            order = np.argsort(-sim, axis=1)[:, :top_k]
+
+            rel = spk.relative_to(root)
+            meta_path = cfg.metadata_dir / rel / "metadata.json"
+            entries = (json.loads(meta_path.read_text())
+                       if meta_path.exists() else {})
+            for i, m in enumerate(mels):
+                entry = entries.setdefault(m.stem, {})
+                entry["similar"] = [mels[j].stem for j in order[i]
+                                    if np.isfinite(sim[i, j])]
+                n += 1
+            meta_path.parent.mkdir(parents=True, exist_ok=True)
+            meta_path.write_text(json.dumps(entries, indent=1))
+    _logger.info("computed similar lists for %d utterances", n)
     return n
 
 
@@ -74,6 +122,9 @@ def create_hdf5(cfg: Config) -> int:
                                  data=np.asarray(art["latent"][0]))
                 g.create_dataset("latent_diff",
                                  data=np.asarray(art["latent"][1]))
+                for mk in ("mel", "mel_diff"):   # training-mel targets
+                    if mk in art:
+                        g.create_dataset(mk, data=np.asarray(art[mk]))
                 g.attrs["metadata"] = json.dumps(
                     art.get("metadata", {}), default=str)
                 n += 1
@@ -136,14 +187,17 @@ def main(argv=None):
     parser = argparse.ArgumentParser("tortoise_tts_tpu.data")
     parser.add_argument("--yaml", type=Path, required=True)
     parser.add_argument("--action", type=str, default="metadata",
-                        choices=["metadata", "hdf5", "validate", "sample",
-                                 "melbin"])
+                        choices=["metadata", "similar", "hdf5", "validate",
+                                 "sample", "melbin"])
     parser.add_argument("--out", type=Path, default=Path("data/samples"))
+    parser.add_argument("--top-k", type=int, default=8)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     cfg = Config.load(args.yaml)
     if args.action == "metadata":
         create_dataset_metadata(cfg)
+    elif args.action == "similar":
+        compute_similar_utterances(cfg, top_k=args.top_k)
     elif args.action == "hdf5":
         create_hdf5(cfg)
     elif args.action == "validate":

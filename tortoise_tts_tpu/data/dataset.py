@@ -34,6 +34,25 @@ def load_artifact(path: str | Path) -> Dict[str, Any]:
     return np.load(path, allow_pickle=True)[()]
 
 
+def _interleaved_reorder(items, key):
+    """Round-robin across key groups (reference _interleaved_reorder,
+    utils/utils.py — one item per speaker in turn)."""
+    groups: Dict[Any, list] = {}
+    for it in items:
+        groups.setdefault(key(it), []).append(it)
+    out = []
+    i = 0
+    while True:
+        added = False
+        for g in groups.values():
+            if i < len(g):
+                out.append(g[i])
+                added = True
+        if not added:
+            return out
+        i += 1
+
+
 class Dataset:
     def __init__(self, cfg: Config, paths: Sequence[str | Path],
                  training: bool = True,
@@ -60,12 +79,28 @@ class Dataset:
 
         all_paths = (self._gather_h5() if self._h5 is not None
                      else self._gather(paths))
+        metadata = self._load_metadata(all_paths)
+
+        # speaker pruning by minimum utterances (data.py:487-489)
+        if training and self.dcfg.min_utterances > 1:
+            per_speaker: Dict[str, int] = {}
+            for p in all_paths:
+                per_speaker[self._speaker_of(p)] = \
+                    per_speaker.get(self._speaker_of(p), 0) + 1
+            pruned = [s for s, n in per_speaker.items()
+                      if n < self.dcfg.min_utterances]
+            if pruned:
+                _logger.info("pruning %d speakers with <%d utterances",
+                             len(pruned), self.dcfg.min_utterances)
+                all_paths = [p for p in all_paths
+                             if self._speaker_of(p) not in set(pruned)]
+
         # host shard (data.py:496-497)
         if training and process_count > 1:
             all_paths = [p for i, p in enumerate(all_paths)
                          if i % process_count == process_index]
-        metadata = self._load_metadata(all_paths)
-        # duration validation (data.py:487-489 / duration_range)
+
+        # duration validation (data.py duration_range)
         lo, hi = self.dcfg.duration_range
         for p in all_paths:
             dur = metadata.get(str(p), {}).get("duration", 0.0)
@@ -76,21 +111,65 @@ class Dataset:
 
         order = self.dcfg.sample_order
         if training and order == "duration":
-            idx = np.argsort(self.durations)
-            self.paths = [self.paths[i] for i in idx]
-            self.durations = [self.durations[i] for i in idx]
+            # duration buckets, sorted within, interleaved by speaker
+            # across the bucket (data.py:499-530)
+            buckets: Dict[int, list] = {}
+            for p, d in zip(self.paths, self.durations):
+                buckets.setdefault(int(round(d)), []).append((p, d))
+            pairs = []
+            for b in sorted(buckets):
+                items = sorted(buckets[b], key=lambda x: x[1])
+                pairs.extend(_interleaved_reorder(
+                    items, lambda x: self._speaker_of(x[0])))
+            self.paths = [p for p, _ in pairs]
+            self.durations = [d for _, d in pairs]
+        elif training and order == "interleaved":
+            # plain speaker interleave (data.py:533-535)
+            pairs = _interleaved_reorder(
+                list(zip(self.paths, self.durations)),
+                lambda x: self._speaker_of(x[0]))
+            self.paths = [p for p, _ in pairs]
+            self.durations = [d for _, d in pairs]
+
+        # per-utterance similar lists for prompt sampling
+        # (data.py:738-763 get_similar_utterance)
+        self._similar = {str(p): metadata.get(str(p), {}).get("similar", [])
+                         for p in self.paths}
+        self._by_key = {self._utt_key(p): i
+                        for i, p in enumerate(self.paths)}
+        self._rng = np.random.RandomState(0)
 
         self.sampler = self._make_sampler()
 
+    def _speaker_of(self, p) -> str:
+        return str(Path(str(p)).parent)
+
+    def _utt_key(self, p) -> str:
+        q = Path(str(p))
+        return f"{q.parent.name}/{q.stem}"
+
     def _gather(self, roots) -> List[Path]:
         out = []
-        for root in roots:
-            root = Path(root)
+        self._roots = [Path(r) for r in roots]
+        for root in self._roots:
             if root.is_dir():
                 out.extend(sorted(root.rglob("*.mel")))
             elif root.exists():
                 out.append(root)
         return out
+
+    def _metadata_json_for(self, p: Path) -> Optional[Path]:
+        """Per-speaker metadata JSON written by --action=metadata
+        (reference data.py:347-412 reads cfg.metadata_dir JSONs)."""
+        for root in getattr(self, "_roots", []):
+            try:
+                rel = Path(str(p)).parent.relative_to(root)
+            except ValueError:
+                continue
+            cand = self.cfg.metadata_dir / rel / "metadata.json"
+            if cand.exists():
+                return cand
+        return None
 
     def _gather_h5(self) -> List[str]:
         keys: List[str] = []
@@ -105,7 +184,7 @@ class Dataset:
         if self._h5 is not None:
             g = self._h5[str(path)]
             meta = json.loads(g.attrs.get("metadata", "{}"))
-            return {
+            out = {
                 "codes": np.asarray(g["codes"]),
                 "text": np.asarray(g["text"]) if "text" in g else
                 np.zeros((0,), np.int32),
@@ -113,6 +192,10 @@ class Dataset:
                            np.asarray(g["latent_diff"])),
                 "metadata": meta,
             }
+            for mk in ("mel", "mel_diff"):
+                if mk in g:
+                    out[mk] = np.asarray(g[mk])
+            return out
         return load_artifact(path)
 
     def _load_metadata(self, paths) -> Dict[str, dict]:
@@ -128,14 +211,36 @@ class Dataset:
             except Exception:
                 pass
         meta = {}
+        json_cache: Dict[str, Optional[dict]] = {}
         for p in paths:
+            # prefer the per-speaker metadata JSON (duration + similar
+            # lists) over opening every artifact (data.py:347-412)
+            mj = self._metadata_json_for(p) if self.dcfg.use_metadata \
+                else None
+            if mj is not None:
+                key = str(mj)
+                if key not in json_cache:
+                    try:
+                        json_cache[key] = json.loads(mj.read_text())
+                    except Exception:
+                        json_cache[key] = None
+                entries = json_cache[key]
+                stem = Path(str(p)).stem
+                if entries and stem in entries:
+                    e = entries[stem]
+                    meta[str(p)] = {
+                        "duration": float(e.get("duration", 0.0)),
+                        "similar": e.get("similar", []),
+                    }
+                    continue
             try:
                 art = self._load(p)
                 md = art.get("metadata", {})
                 dur = md.get("duration")
                 if dur is None and "original_length" in md:
                     dur = md["original_length"] / md.get("sample_rate", 1)
-                meta[str(p)] = {"duration": float(dur or 0.0)}
+                meta[str(p)] = {"duration": float(dur or 0.0),
+                                "similar": md.get("similar", [])}
             except Exception as e:
                 _logger.warning("bad artifact %s: %s", p, e)
                 meta[str(p)] = {"duration": 0.0}
@@ -159,6 +264,17 @@ class Dataset:
     def __len__(self):
         return len(self.paths)
 
+    def get_similar_utterance(self, i: int) -> Optional[int]:
+        """Index of a similar utterance of the same speaker, if the
+        metadata has one (reference data.py:738-763)."""
+        sims = self._similar.get(str(self.paths[i])) or []
+        spk = Path(str(self.paths[i])).parent.name
+        for stem in sims:
+            j = self._by_key.get(f"{spk}/{stem}")
+            if j is not None and j != i:
+                return j
+        return None
+
     def __getitem__(self, i: int) -> Dict[str, Any]:
         """One sample -> fixed-shape arrays (data.py:766-853)."""
         art = self._load(self.paths[i])
@@ -168,6 +284,18 @@ class Dataset:
         lat_diff = np.asarray(art["latent"][1]).reshape(-1).astype(np.float32)
         wav_length = int(art["metadata"]["original_length"])
 
+        # conditioning prompt from a *similar* utterance with probability
+        # prompt_similar_p (reference data.py:738-763 + __getitem__ use)
+        if (self.training and self.dcfg.prompt_similar_p > 0
+                and self._rng.rand() < self.dcfg.prompt_similar_p):
+            j = self.get_similar_utterance(i)
+            if j is not None:
+                sim = self._load(self.paths[j])
+                lat_ar = np.asarray(
+                    sim["latent"][0]).reshape(-1).astype(np.float32)
+                lat_diff = np.asarray(
+                    sim["latent"][1]).reshape(-1).astype(np.float32)
+
         tb, mb = self.dcfg.text_bucket, self.dcfg.mel_bucket
         text_len = min(len(text), tb)
         ncodes = min(len(codes), mb)
@@ -176,7 +304,7 @@ class Dataset:
         out_codes = np.zeros((mb,), np.int32)
         out_codes[:ncodes] = codes[:ncodes]
         wav_length = min(wav_length, ncodes * 1024)
-        return {
+        out = {
             "text": out_text,
             "text_lengths": np.int32(text_len),
             "codes": out_codes,
@@ -184,6 +312,36 @@ class Dataset:
             "latents": lat_ar,
             "diffusion_latents": lat_diff,
         }
+        if self.dcfg.load_mels and "mel" in art:
+            mel = np.asarray(art["mel"], np.float32)
+            mel = mel[0] if mel.ndim == 3 else mel
+            mf = self.mel_frames
+            n1 = min(mel.shape[-1], mf)
+            m = np.zeros((mel.shape[0], mf), np.float32)
+            m[:, :n1] = mel[:, :n1]
+            out["mel"] = m
+            out["mel_lengths"] = np.int32(n1)
+            md = np.asarray(art["mel_diff"], np.float32)
+            md = md[0] if md.ndim == 3 else md
+            df = self.diff_frames
+            n2 = min(md.shape[-1], df)
+            d = np.zeros((md.shape[0], df), np.float32)
+            d[:, :n2] = md[:, :n2]
+            out["mel_diff"] = d
+            out["mel_diff_lengths"] = np.int32(n2)
+        return out
+
+    @property
+    def mel_frames(self) -> int:
+        """Fixed 80-mel frame bucket (4 frames per DVAE code)."""
+        return self.dcfg.mel_bucket * 4
+
+    @property
+    def diff_frames(self) -> int:
+        """Fixed diffusion-mel frame bucket (22.05k->24k frame ratio,
+        rounded up to 64)."""
+        f = int(self.dcfg.mel_bucket * 4 * 24000 / 22050)
+        return ((f + 63) // 64) * 64
 
     def collate(self, items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         return {k: np.stack([it[k] for it in items]) for k in items[0]}

@@ -80,8 +80,15 @@ def format_diffusion_conditioning(wav22: np.ndarray) -> jnp.ndarray:
 
 
 def encode(wav: np.ndarray, sr: int, dtype: str = "float32",
-           rng: Optional[np.random.RandomState] = None) -> Dict:
-    """Full encode (emb/mel.py:82-109). wav: (T,) or (1, T) float."""
+           rng: Optional[np.random.RandomState] = None,
+           return_mels: bool = False) -> Dict:
+    """Full encode (emb/mel.py:82-109). wav: (T,) or (1, T) float.
+
+    ``return_mels`` additionally returns the full-utterance training
+    mels: ``mel`` (80-bin 22.05 kHz DVAE/AR space) and ``mel_diff``
+    (100-bin 24 kHz tacotron-normalized — the diffusion x_start space),
+    which the trainer's diffusion/DVAE/vocoder engines consume.
+    """
     wav = np.atleast_2d(np.asarray(wav, dtype=np.float32))
     wav_length = wav.shape[-1]
     wav22 = np.asarray(stft.resample(jnp.asarray(wav), sr, 22050))
@@ -101,7 +108,7 @@ def encode(wav: np.ndarray, sr: int, dtype: str = "float32",
     ar_latent = _jit_ar_conditioning(ar.params, ar_conds, ar.config)
     diff_latent = _jit_diff_conditioning(diff.params, diff_conds,
                                          diff.config)
-    return {
+    out = {
         "codes": codes,
         "conds": (ar_conds, diff_conds),
         "latent": (ar_latent, diff_latent),
@@ -111,6 +118,12 @@ def encode(wav: np.ndarray, sr: int, dtype: str = "float32",
             "duration": wav_length / sr,
         },
     }
+    if return_mels:
+        wav24 = stft.resample(jnp.asarray(wav22), 22050, 24000)
+        out["mel"] = mel_full
+        out["mel_diff"] = stft.normalize_tacotron_mel(
+            stft.mel_diffusion(wav24))
+    return out
 
 
 def encode_from_files(paths: Sequence[str | Path], dtype: str = "float32",

@@ -31,8 +31,9 @@ _logger = logging.getLogger(__name__)
 
 def process_job(outpath: Path, wav: np.ndarray, sample_rate: int,
                 text: Optional[str] = None, language: str = "en",
-                dtype: str = "float32") -> bool:
-    state = emb_mel.encode(wav, sample_rate, dtype=dtype)
+                dtype: str = "float32", store_mels: bool = True) -> bool:
+    state = emb_mel.encode(wav, sample_rate, dtype=dtype,
+                           return_mels=store_mels)
     codes = np.asarray(state["codes"])
     if np.count_nonzero(codes) == 0:
         _logger.warning("quantization returned zero'd tensor: %s", outpath)
@@ -45,6 +46,11 @@ def process_job(outpath: Path, wav: np.ndarray, sample_rate: int,
                    np.asarray(state["latent"][1], dtype=np.float32)),
         "metadata": dict(state["metadata"]),
     }
+    if store_mels:
+        # training-mel targets for the diffusion/DVAE/vocoder engines
+        artifact["mel"] = np.asarray(state["mel"], dtype=np.float16)
+        artifact["mel_diff"] = np.asarray(state["mel_diff"],
+                                          dtype=np.float16)
     if text:
         text = text.strip()
         artifact["text"] = np.array(default_tokenizer().encode(text),
