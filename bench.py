@@ -22,6 +22,7 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("TORTOISE_TPU_OFFLINE", "1")  # zero-egress box
 
 import numpy as np
 

@@ -13,6 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# never attempt weight downloads from tests (zero-egress environment)
+os.environ.setdefault("TORTOISE_TPU_OFFLINE", "1")
 
 import jax  # noqa: E402
 

@@ -190,3 +190,36 @@ def test_legacy_transformer_tower_parity():
                                     jnp.asarray(mask.numpy()), heads=4,
                                     dim_head=16))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_weight_downloader_file_url(tmp_path, monkeypatch):
+    """download_model (reference models/__init__.py:49-87): URL table +
+    cache + atomic write + graceful offline fallback, driven through a
+    file:// mirror."""
+    from tortoise_tts_tpu import models as M
+    src = tmp_path / "mirror" / "autoregressive.pth"
+    src.parent.mkdir(parents=True)
+    src.write_bytes(b"\x00" * 128)
+    monkeypatch.setenv("TORTOISE_TPU_URL_AUTOREGRESSIVE",
+                       src.as_uri())
+    M._download_failed.clear()
+    dest = M.download_model("autoregressive.pth",
+                            dest_dir=tmp_path / "cache")
+    assert dest is not None and dest.read_bytes() == b"\x00" * 128
+    # second call returns the cached file without re-fetching
+    src.unlink()
+    again = M.download_model("autoregressive.pth",
+                             dest_dir=tmp_path / "cache")
+    assert again == dest
+
+    # offline fallback: bad URL -> None, no partial files
+    monkeypatch.setenv("TORTOISE_TPU_URL_DIFFUSION",
+                       (tmp_path / "nope.pth").as_uri())
+    M._download_failed.clear()
+    out = M.download_model("diffusion.pth", dest_dir=tmp_path / "cache2")
+    assert out is None
+    assert not list((tmp_path / "cache2").glob("*.part")) if \
+        (tmp_path / "cache2").exists() else True
+    # negative cache: second attempt short-circuits
+    assert M.download_model("diffusion.pth",
+                            dest_dir=tmp_path / "cache2") is None

@@ -48,7 +48,80 @@ WEIGHT_FILES = {
 }
 
 
-def find_weight_file(name: str) -> Optional[Path]:
+# Acquisition table mirroring reference models/__init__.py:23-44 —
+# original TorToiSe-v2 weights + ecker's BigVGAN + HiFiGAN mirrors.
+# Overridable per-file via TORTOISE_TPU_URL_<FILENAME-STEM> (any urllib
+# scheme, incl. file:// for offline mirrors/tests).
+DEFAULT_MODEL_URLS = {
+    "autoregressive.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/main/.models/autoregressive.pth",
+    "classifier.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/main/.models/classifier.pth",
+    "clvp2.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/main/.models/clvp2.pth",
+    "diffusion.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/main/.models/diffusion_decoder.pth",
+    "vocoder.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/main/.models/vocoder.pth",
+    "dvae.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/3704aea61678e7e468a06d8eea121dba368a798e/.models/dvae.pth",
+    "rlg_auto.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/main/.models/rlg_auto.pth",
+    "rlg_diffuser.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/main/.models/rlg_diffuser.pth",
+    "mel_norms.pth": "https://huggingface.co/jbetker/tortoise-tts-v2/resolve/main/data/mel_norms.pth",
+    "bigvgan_24khz_100band.pth": "https://huggingface.co/ecker/tortoise-tts-models/resolve/main/models/bigvgan_24khz_100band.pth",
+    "bigvgan_24khz_100band.json": "https://huggingface.co/ecker/tortoise-tts-models/resolve/main/models/bigvgan_24khz_100band.json",
+    "hifigan.pth": "https://huggingface.co/Manmay/tortoise-tts/resolve/main/hifidecoder.pth",
+}
+
+
+_download_failed: set = set()     # one attempt per file per process
+
+
+def download_model(fname: str, dest_dir: Optional[Path] = None,
+                   timeout: float = 10.0) -> Optional[Path]:
+    """Fetch one weight file into the model cache (reference
+    download_model, models/__init__.py:49-87).
+
+    Graceful offline fallback: any failure (no egress, 404, timeout)
+    logs and returns None so callers fall back to random init.  URL per
+    file overridable via ``TORTOISE_TPU_URL_<STEM>`` env (e.g.
+    ``TORTOISE_TPU_URL_AUTOREGRESSIVE=file:///mirror/ar.pth``) —
+    file:// schemes make the path testable without network.
+    """
+    if fname in _download_failed:
+        return None
+    env_key = "TORTOISE_TPU_URL_" + \
+        Path(fname).stem.upper().replace("-", "_").replace(".", "_")
+    url = os.environ.get(env_key) or DEFAULT_MODEL_URLS.get(fname)
+    if url is None:
+        _logger.warning("no download URL for %s", fname)
+        return None
+    dest_dir = dest_dir or next(
+        (d for d in DEFAULT_MODEL_DIRS
+         if d is not None and os.access(d.parent if not d.exists() else d,
+                                        os.W_OK)),
+        Path.home() / ".cache" / "tortoise_tts_tpu")
+    dest = Path(dest_dir) / fname
+    if dest.exists():
+        return dest
+    import urllib.request
+    tmp = dest.with_suffix(dest.suffix + ".part")
+    try:
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        with urllib.request.urlopen(url, timeout=timeout) as r, \
+                open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        tmp.rename(dest)        # atomic: interrupted downloads never land
+        _logger.info("downloaded %s -> %s", url, dest)
+        return dest
+    except Exception as e:
+        _logger.warning("download of %s failed (%s); offline fallback",
+                        fname, e)
+        _download_failed.add(fname)
+        tmp.unlink(missing_ok=True)
+        return None
+
+
+def find_weight_file(name: str, allow_download: bool = True
+                     ) -> Optional[Path]:
     fname, _ = WEIGHT_FILES.get(name, (None, None))
     if fname is None:
         return None
@@ -61,6 +134,8 @@ def find_weight_file(name: str) -> Optional[Path]:
         p = pick_path(p, ".sft", ".safetensors")
         if p.exists():
             return p
+    if allow_download and os.environ.get("TORTOISE_TPU_OFFLINE") != "1":
+        return download_model(fname)
     return None
 
 
