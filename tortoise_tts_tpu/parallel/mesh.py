@@ -83,6 +83,31 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, s), batch)
 
 
+def opt_state_shardings(mesh: Mesh, opt_state, params):
+    """ZeRO-1-equivalent optimizer-state sharding: every opt-state
+    subtree that mirrors the parameter pytree (Adam mu/nu, momentum,
+    Apollo moments...) inherits the parameter shardings; scalars and
+    counters are replicated.  The DeepSpeed-ZeRO-stage-1 role of the
+    reference's config (config.py:533-545) expressed as GSPMD layout.
+    """
+    pspecs = param_shardings(mesh, params)
+    ptree = jax.tree_util.tree_structure(params)
+    rep = NamedSharding(mesh, P())
+
+    def rec(s):
+        if jax.tree_util.tree_structure(s) == ptree:
+            return pspecs
+        if isinstance(s, tuple) and hasattr(s, "_fields"):
+            return type(s)(*[rec(x) for x in s])
+        if isinstance(s, (tuple, list)):
+            return type(s)(rec(x) for x in s)
+        if isinstance(s, dict):
+            return {k: rec(v) for k, v in s.items()}
+        return jax.tree_util.tree_map(lambda _: rep, s)
+
+    return rec(opt_state)
+
+
 def is_leader() -> bool:
     """Reference is_global_leader (utils/distributed.py:63-100)."""
     return jax.process_index() == 0
