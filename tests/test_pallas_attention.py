@@ -56,3 +56,17 @@ def test_flash_bias_matches_qkv_attention():
     got = got.reshape(b, h * d, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bias_fused_qkv_matches():
+    from tortoise_tts_tpu.ops.attention import qkv_attention
+    from tortoise_tts_tpu.ops.pallas_attention import \
+        flash_attention_bias_qkv
+    rng = np.random.RandomState(3)
+    b, h, t, d = 2, 4, 300, 64
+    qkv = jnp.asarray(rng.randn(b, h * 3 * d, t), dtype=jnp.float32)
+    bias = jnp.asarray(rng.randn(h, t, t) * 0.3, dtype=jnp.float32)
+    ref = qkv_attention(qkv, h, bias=bias)
+    got = flash_attention_bias_qkv(qkv, bias, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

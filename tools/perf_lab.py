@@ -99,7 +99,11 @@ def bench_decode():
     cond = jnp.zeros((b, cfg.model_dim), jnp.bfloat16)
     text = jnp.zeros((b, tt), jnp.int32)
     tl = jnp.full((b,), tt, jnp.int32)
-    samp = SamplingConfig(temperature=0.8, top_p=0.9)
+    if os.environ.get("TTS_DECODE_GREEDY") == "1":
+        samp = SamplingConfig(greedy=True)
+        print("decode: greedy (no warp chain)")
+    else:
+        samp = SamplingConfig(temperature=0.8, top_p=0.9)
     st = uv.decode_start(p, cond, text, tl, jax.random.PRNGKey(0), cfg,
                          max_len)
     jax.block_until_ready(st)
@@ -117,6 +121,17 @@ def bench_vocoder():
 
     from tortoise_tts_tpu.models import bigvgan as bv
     from tortoise_tts_tpu.models import _bigvgan_random
+    if os.environ.get("TTS_ABLATE_BV") == "plain":
+        # isolate resampler cost: plain snake, no anti-alias up/down
+        def plain_snake(p, x, logscale, beta):
+            import jax.numpy as jnp
+            a = p["alpha"][None, :, None].astype(x.dtype)
+            b = p["beta"][None, :, None].astype(x.dtype) if beta else a
+            if logscale:
+                a, b = jnp.exp(a), jnp.exp(b)
+            return x + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(x * a))
+        bv._snake_act = plain_snake
+        print("ablate_bv: plain snake (no up/down)")
     cfg = bv.BigVGANConfig()
     p = _bigvgan_random(jax.random.PRNGKey(0), cfg)
     p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)

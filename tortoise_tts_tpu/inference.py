@@ -490,6 +490,19 @@ class TTS:
                     max_ar_steps, max_diffusion_steps, diffusion_temp,
                     diffusion_sampler, cond_free, vocoder_type, candidates,
                     key, diffusion_pad_multiple) -> np.ndarray:
+        import os
+        timing = os.environ.get("TTS_STAGE_TIMING") == "1"
+
+        def tick(name, out=None):
+            if not timing:
+                return
+            if out is not None:   # force completion of this stage
+                np.asarray(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[:1])
+            now = time.perf_counter()
+            _logger.info("stage %-12s %.3f s", name, now - tick.t0)
+            tick.t0 = now
+        tick.t0 = time.perf_counter()
+
         ar = self._model("autoregressive")
         diffusion = self._model("diffusion")
         k_ar, k_diff, k_voc = _host_keys(
@@ -501,6 +514,7 @@ class TTS:
         codes = self.cleanup_codes(np.asarray(res.codes),
                                    np.asarray(res.lengths),
                                    ar.config.stop_mel_token)
+        tick("ar_decode")
         L = codes.shape[1]
 
         # CLVP rerank (inference.py:392-396)
@@ -525,6 +539,7 @@ class TTS:
                                         np.asarray(ar_latent).shape[-1])),
             tokens[:codes.shape[0]], text_lengths[:codes.shape[0]],
             pad_codes, wav_lengths, ar.config)
+        tick("latent_pass", latents)
         # latents stay on device; the calm-token trim point is decided
         # from the (small) codes array (inference.py:381-389 semantics)
         t_lat = self.calm_trim_point(codes[0], upto=L)
@@ -541,6 +556,7 @@ class TTS:
             k_diff, diffusion.config, max_diffusion_steps,
             diffusion_sampler, output_seq_len, cond_free, diffusion_temp,
             n_lat=n_lat, t_lat=np.int32(t_lat))
+        tick(f"diffusion_{output_seq_len}", mel)
 
         # vocoder (inference.py:415-417) — runs on the *padded* mel so
         # the vocoder program is keyed by the bucketed length (an exact
@@ -552,7 +568,9 @@ class TTS:
             wav = _jit_bigvgan(voc.params, mel, voc.config)
         else:
             wav = _jit_univnet(voc.params, mel, k_voc, voc.config)
-        return np.asarray(wav)[0, 0, : exact_seq_len * 256]
+        out = np.asarray(wav)[0, 0, : exact_seq_len * 256]
+        tick("vocoder")
+        return out
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -80,22 +80,27 @@ def qkv_attention(qkv: jnp.ndarray, n_heads: int,
     """
     b, width, t = qkv.shape
     ch = width // (3 * n_heads)
-    q, k, v = jnp.split(qkv.reshape(b, n_heads, 3 * ch, t), 3, axis=2)
     import os
     if (bias is not None and mask is None and t >= 256
             and jax.default_backend() == "tpu"
             and os.environ.get("TTS_FLASH_BIAS", "0") == "1"):
-        # Optional Pallas path keeping the (B,H,T,T) scores in VMEM.
-        # Off by default: measured on v5e at T=896/1024 the XLA
-        # materialised-scores path is faster (7.5 vs 9.7 ms/denoiser
-        # step) — XLA's softmax/matmul fusions win at these shapes.
-        from .pallas_attention import flash_attention_bias_cm
-        out = flash_attention_bias_cm(q, k, v, bias)
-        return out.reshape(b, n_heads * ch, t)
+        # Optional Pallas path keeping the (B,H,T,T) scores in VMEM,
+        # fed the fused qkv tensor directly (no split copies).
+        from .pallas_attention import flash_attention_bias_qkv
+        return flash_attention_bias_qkv(qkv, bias, n_heads)
+    q, k, v = jnp.split(qkv.reshape(b, n_heads, 3 * ch, t), 3, axis=2)
     scale = 1.0 / math.sqrt(math.sqrt(ch))
+    # Reduced-precision scores when the model itself runs bf16 (the
+    # production autocast-equivalent mode): halves the dominant
+    # (B,H,T,T) HBM traffic of this materialised-scores path — measured
+    # 7.54 -> 5.39 ms per denoiser step on v5e.  fp32 params (the
+    # CPU-parity mode) keep fp32 scores; TTS_ATTN_BF16=0 forces fp32.
+    bf16_scores = (os.environ.get("TTS_ATTN_BF16", "1") != "0"
+                   and qkv.dtype == jnp.bfloat16)
+    acc = jnp.bfloat16 if bf16_scores else jnp.float32
     # (B, H, Tq, Tk)
     dots = jnp.einsum("bhct,bhcs->bhts", q * scale, k * scale,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=acc)
     if bias is not None:          # precomputed (H, T, T), already scaled
         dots = dots + bias[None].astype(dots.dtype)
     elif rel_pos_w is not None:
@@ -103,7 +108,11 @@ def qkv_attention(qkv: jnp.ndarray, n_heads: int,
         dots = dots + rel[None].astype(dots.dtype) * rel_pos_scale
     if mask is not None:
         dots = jnp.where(mask[:, None, None, :], dots, NEG_INF)
-    w = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+    if bf16_scores:
+        w = jax.nn.softmax(dots, axis=-1)
+    else:
+        w = jax.nn.softmax(dots.astype(jnp.float32),
+                           axis=-1).astype(qkv.dtype)
     out = jnp.einsum("bhts,bhcs->bhct", w, v)
     return out.reshape(b, n_heads * ch, t)
 

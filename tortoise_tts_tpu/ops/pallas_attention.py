@@ -76,40 +76,84 @@ def flash_attention_bias_cm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out = mha(jnp.swapaxes(q, -1, -2), jnp.swapaxes(k, -1, -2),
                   jnp.swapaxes(v, -1, -2), bias=bias[None])
         return jnp.swapaxes(out, -1, -2)
+    return _bias_cm_call(
+        q.reshape(b * h, d, s), k.reshape(b * h, d, s),
+        v.reshape(b * h, d, s), bias, b, h, d, s, block_q, interpret
+    ).reshape(b, h, d, -1)[..., :s]
 
+
+def flash_attention_bias_qkv(qkv: jnp.ndarray, bias: jnp.ndarray,
+                             n_heads: int, block_q: int = 512,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Same kernel, fed the *fused* channels-major qkv tensor
+    (B, H*3*D, T) with per-head [q;k;v] interleave (the AttentionBlock
+    conv output, arch_utils.py:76-79) — q/k/v are sliced by BlockSpec
+    index maps into the same buffer, so no split/copies materialise.
+    Returns (B, H*D, T)."""
+    b, width, s = qkv.shape
+    d = width // (3 * n_heads)
+    if not _HAS_PLTPU and not interpret:
+        from .attention import qkv_attention
+        return qkv_attention(qkv, n_heads, bias=bias)
+    f = qkv.reshape(b * n_heads * 3, d, s)
+    out = _bias_cm_call(f, None, None, bias, b, n_heads, d, s, block_q,
+                        interpret, fused=True)
+    return out.reshape(b, n_heads * d, -1)[..., :s]
+
+
+def _bias_cm_call(qf, kf, vf, bias, b, h, d, s, block_q, interpret,
+                  fused: bool = False):
     scale = 1.0 / math.sqrt(d)
+    # one grid step per (batch, head) with the full sequence in VMEM
+    # when it fits (dots fp32 sp^2 + bias tile); otherwise block queries.
     sp = -(-s // 128) * 128
+    bq = sp if sp <= max(block_q, 1024) else max(block_q, 128)
+    sp = -(-sp // bq) * bq
     pad = sp - s
     if pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        padw = ((0, 0), (0, 0), (0, pad))
+        qf = jnp.pad(qf, padw)
+        if not fused:
+            kf = jnp.pad(kf, padw)
+            vf = jnp.pad(vf, padw)
         bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)),
                        constant_values=NEG_INF)
-    bq = sp if sp <= max(block_q, 128) else max(block_q, 128)
-    while sp % bq != 0:
-        bq //= 2
-
-    qf = q.reshape(b * h, d, sp)
-    kf = k.reshape(b * h, d, sp)
-    vf = v.reshape(b * h, d, sp)
 
     grid = (b * h, sp // bq)
     kernel = functools.partial(_attn_bias_kernel, scale=scale)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, d, sp), q.dtype),
-        grid=grid,
-        in_specs=[
+    if fused:
+        in_specs = [
+            pl.BlockSpec((1, d, bq), lambda i, j: (3 * i, 0, j)),
+            pl.BlockSpec((1, d, sp), lambda i, j: (3 * i + 1, 0, 0)),
+            pl.BlockSpec((1, d, sp), lambda i, j: (3 * i + 2, 0, 0)),
+            pl.BlockSpec((1, bq, sp), lambda i, j, h=h: (i % h, j, 0)),
+        ]
+        args = (qf, qf, qf, bias)
+    else:
+        in_specs = [
             pl.BlockSpec((1, d, bq), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, d, sp), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, d, sp), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, bq, sp), lambda i, j, h=h: (i % h, j, 0)),
-        ],
+        ]
+        args = (qf, kf, vf, bias)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        flops = 2 * 2 * sp * sp * d * (b * h)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=flops, transcendentals=sp * sp * b * h,
+            bytes_accessed=(3 * b * h * d * sp + h * sp * sp) * 2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sp), qf.dtype),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, d, bq), lambda i, j: (i, 0, j)),
         interpret=interpret,
-    )(qf, kf, vf, bias)
-    return out.reshape(b, h, d, sp)[..., :s]
+        **kwargs,
+    )(*args)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
