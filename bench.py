@@ -11,7 +11,14 @@ compiles (persistent cache under .jax_cache); the measured run is the
 second.  ``vs_baseline`` is the ratio against the BASELINE.json target
 of RTF > 10x per chip.
 
-Env knobs: BENCH_AR_STEPS (200), BENCH_DIFF_STEPS (80), BENCH_SMALL=1
+Step budget: BASELINE.md benchmark config #1 specifies **DDIM-50**
+(the reference CLI default is ddim-80; its own eval loop uses 30
+P-steps).  Rounds 1-2 measured at 80 via BENCH_DIFF_STEPS=80; the
+default now follows the config #1 budget.  Everything else (cond-free
+guidance ON = 2 denoiser evals/step, BigVGAN, sampled decode) matches
+the reference defaults.
+
+Env knobs: BENCH_AR_STEPS (200), BENCH_DIFF_STEPS (50), BENCH_SMALL=1
 (CPU-debug-size models).
 """
 
@@ -31,15 +38,20 @@ def main():
     import jax
 
     ar_steps = int(os.environ.get("BENCH_AR_STEPS", 200))
-    diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 80))
+    diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 50))
     small = os.environ.get("BENCH_SMALL") == "1"
 
     from tortoise_tts_tpu.config import Config, Inference
     from tortoise_tts_tpu.inference import TTS
     from tortoise_tts_tpu.utils.io import write_wav
 
-    cfg = Config(inference=Inference(weight_dtype="bfloat16",
-                                     text_buckets=(64,)))
+    # decode_quant: weight-only int8 AR-decode GEMVs (per-channel scales;
+    # prefill/latents/logits stay bf16) — the standard serving quant for
+    # a bandwidth-bound decode.  BENCH_NO_INT8=1 reverts to pure bf16.
+    cfg = Config(inference=Inference(
+        weight_dtype="bfloat16", text_buckets=(64,),
+        decode_quant="none" if os.environ.get("BENCH_NO_INT8") == "1"
+        else "int8"))
     tts = TTS(config=cfg, dtype="bfloat16")
 
     if small:
@@ -62,7 +74,8 @@ def main():
         kwargs = dict(max_ar_steps=ar_steps,
                       max_diffusion_steps=diff_steps, ar_temp=0.8,
                       top_p=0.9, cond_free=True, diffusion_sampler="ddim",
-                      vocoder_type="bigvgan", diffusion_pad_multiple=32)
+                      vocoder_type="bigvgan", diffusion_pad_multiple=32,
+                      mel_pad_multiple=128)
         tts.batch_inference(texts, ref, seed=0, **kwargs)
         t0 = time.time()
         wavs, sr = tts.batch_inference(texts, ref, seed=1, **kwargs)
@@ -77,7 +90,7 @@ def main():
     kwargs = dict(max_ar_steps=ar_steps, max_diffusion_steps=diff_steps,
                   ar_temp=0.8, top_p=0.9, cond_free=True,
                   diffusion_sampler="ddim", vocoder_type="bigvgan",
-                  diffusion_pad_multiple=32)
+                  diffusion_pad_multiple=32, mel_pad_multiple=128)
 
     # warmup/compile
     wav, sr = tts.inference(text, ref, seed=0, **kwargs)

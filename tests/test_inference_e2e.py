@@ -108,6 +108,19 @@ def test_e2e_bigvgan(tts, ref_wav, tmp_path):
     assert out.exists() and out.stat().st_size > 1000
 
 
+def test_e2e_mel_pad_alignment(tts, ref_wav):
+    """mel_pad_multiple runs the denoiser/vocoder at an MXU-aligned
+    length but the returned wav is trimmed to the exact same length as
+    the unpadded path (the pad region is edge-repeated calm)."""
+    kw = dict(max_ar_steps=24, max_diffusion_steps=4, seed=0,
+              vocoder_type="bigvgan", diffusion_pad_multiple=8)
+    wav_a, _ = tts.inference("hello world", ref_wav, **kw)
+    wav_b, sr = tts.inference("hello world", ref_wav,
+                              mel_pad_multiple=64, **kw)
+    _check(wav_b, sr)
+    assert wav_a.shape == wav_b.shape
+
+
 def test_e2e_univnet(tts, ref_wav):
     wav, sr = tts.inference("hi there", ref_wav, max_ar_steps=16,
                             max_diffusion_steps=4, seed=1,

@@ -51,18 +51,23 @@ def bench_denoiser():
     p = diff_m.init(jax.random.PRNGKey(0), cfg)
     p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
     N = 20
-    for T in (896, 1024):
+    Ts = tuple(int(t) for t in os.environ.get(
+        "TTS_DENOISER_T", "896,1024").split(","))
+    for T in Ts:
         x = jnp.zeros((2, 100, T), jnp.bfloat16)
         ts = jnp.zeros((2,), jnp.int32)
         ce = jnp.zeros((2, cfg.model_channels, T), jnp.bfloat16)
         biases = diff_m.precompute_rel_biases(p, T, cfg, jnp.bfloat16)
 
+        vary_ts = os.environ.get("TTS_VARY_TS") == "1"
+
         @partial(jax.jit, static_argnames=())
         def loop(p, x, ts, ce, rb):
-            def body(h, _):
-                out = diff_m.forward(p, h, ts, ce, cfg, rel_biases=rb)
+            def body(h, t):
+                tt = jnp.full_like(ts, t) if vary_ts else ts
+                out = diff_m.forward(p, h, tt, ce, cfg, rel_biases=rb)
                 return out[:, :100].astype(h.dtype), None
-            h, _ = jax.lax.scan(body, x, None, length=N)
+            h, _ = jax.lax.scan(body, x, jnp.arange(N), length=N)
             return h
 
         dt = timeit(loop, p, x, ts, ce, biases, n=3, warmup=1) / N
@@ -116,6 +121,100 @@ def bench_decode():
           f"= {dt/max_len*1e3:.2f} ms/token")
 
 
+def bench_decode_roof():
+    """Pure weight-streaming roof for the decode step: the 4 GEMVs per
+    layer (+ logits head), no attention/cache/sampling.  The gap between
+    this and bench_decode is cache+attention+bookkeeping cost; the gap to
+    772 MB / 819 GB/s = 0.94 ms is XLA GEMV streaming efficiency."""
+    from functools import partial
+
+    from tortoise_tts_tpu.models import unified_voice as uv
+    from tortoise_tts_tpu.models.common import gelu_new, linear
+    cfg = uv.UnifiedVoiceConfig()
+    p = uv.init(jax.random.PRNGKey(0), cfg)
+    p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+    N = 200
+
+    @jax.jit
+    def loop(p):
+        lp = uv._layer_params(p["gpt"])
+        x0 = jnp.ones((1, 1, cfg.model_dim), jnp.bfloat16)
+
+        def token(x, _):
+            def layer(h, w):
+                qkv = linear(w["attn_qkv"], h)
+                q = jnp.split(qkv, 3, axis=-1)[0]
+                h = h + linear(w["attn_proj"], q)
+                h = h + linear(w["mlp_proj"],
+                               gelu_new(linear(w["mlp_fc"], h)))
+                return h, None
+            h, _ = jax.lax.scan(layer, x, lp,
+                                unroll=int(os.environ.get(
+                                    "TTS_DECODE_UNROLL", "1")))
+            lg = linear(p["mel_head"], h[:, -1]).astype(jnp.float32)
+            # feed a data dependency back so steps serialize
+            return h + lg[..., :1].astype(h.dtype) * 0, None
+        h, _ = jax.lax.scan(token, x0, None, length=N)
+        return h
+
+    dt = timeit(loop, p, n=3, warmup=1) / N
+    print(f"decode_roof unroll={os.environ.get('TTS_DECODE_UNROLL','1')}: "
+          f"{dt*1e3:.2f} ms/token")
+
+
+def bench_decode_roof_int8():
+    """Weight-only int8 variant of the roof: per-output-channel scales,
+    dequant fused into the dot by XLA (weight HBM traffic halves if the
+    convert fuses; this measures whether it does)."""
+    from tortoise_tts_tpu.models import unified_voice as uv
+    from tortoise_tts_tpu.models.common import gelu_new
+    cfg = uv.UnifiedVoiceConfig()
+    p = uv.init(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda x: x, uv._layer_params(p["gpt"]))
+
+    def quant(w):     # (..., in, out) -> int8 + (..., out) scale
+        s = jnp.max(jnp.abs(w), axis=-2) / 127.0 + 1e-12
+        return (jnp.round(w / s[..., None, :]).astype(jnp.int8),
+                s.astype(jnp.bfloat16))
+
+    names = ("attn_qkv", "attn_proj", "mlp_fc", "mlp_proj")
+    q = {n: (quant(lp[n]["w"])) for n in names}
+    b = {n: lp[n].get("b") for n in names}
+    qlp = {n: {"wq": q[n][0], "s": q[n][1],
+               "b": (jnp.zeros(q[n][1].shape, jnp.bfloat16)
+                     if b[n] is None else b[n].astype(jnp.bfloat16))}
+           for n in names}
+    mh_q, mh_s = quant(p["mel_head"]["w"])
+    N = 200
+
+    def lin(w, x):
+        y = jnp.dot(x, w["wq"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        return (y * w["s"].astype(jnp.float32)).astype(jnp.bfloat16) \
+            + w["b"]
+
+    @jax.jit
+    def loop(qlp, mh_q, mh_s):
+        x0 = jnp.ones((1, 1, cfg.model_dim), jnp.bfloat16)
+
+        def token(x, _):
+            def layer(h, w):
+                qkv = lin(w["attn_qkv"], h)
+                qh = jnp.split(qkv, 3, axis=-1)[0]
+                h = h + lin(w["attn_proj"], qh)
+                h = h + lin(w["mlp_proj"], gelu_new(lin(w["mlp_fc"], h)))
+                return h, None
+            h, _ = jax.lax.scan(layer, x, qlp)
+            lg = jnp.dot(h[:, -1], mh_q.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) * mh_s
+            return h + lg[..., :1].astype(h.dtype)[None] * 0, None
+        h, _ = jax.lax.scan(token, x0, None, length=N)
+        return h
+
+    dt = timeit(loop, qlp, mh_q, mh_s, n=3, warmup=1) / N
+    print(f"decode_roof_int8: {dt*1e3:.2f} ms/token")
+
+
 def bench_vocoder():
     from functools import partial
 
@@ -135,20 +234,96 @@ def bench_vocoder():
     cfg = bv.BigVGANConfig()
     p = _bigvgan_random(jax.random.PRNGKey(0), cfg)
     p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
-    T = 896
     N = 10
-    mel = jnp.zeros((1, 100, T), jnp.bfloat16)
+    Ts = tuple(int(t) for t in os.environ.get(
+        "TTS_VOCODER_T", "896").split(","))
+    for T in Ts:
+        mel = jnp.zeros((1, 100, T), jnp.bfloat16)
 
-    @jax.jit
-    def loop(p, m):
-        def body(c, _):
-            w = bv.forward(p, m * c, cfg)
-            return jnp.mean(w).astype(m.dtype), None
-        c, _ = jax.lax.scan(body, jnp.ones((), mel.dtype), None, length=N)
-        return c
+        @jax.jit
+        def loop(p, m):
+            def body(c, _):
+                w = bv.forward(p, m * c, cfg)
+                return jnp.mean(w).astype(m.dtype), None
+            c, _ = jax.lax.scan(body, jnp.ones((), mel.dtype), None,
+                                length=N)
+            return c
 
-    dt = timeit(loop, p, mel, n=3, warmup=1) / N
-    print(f"bigvgan T={T}: {dt*1e3:.1f} ms")
+        dt = timeit(loop, p, mel, n=3, warmup=1) / N
+        print(f"bigvgan T={T} poly={os.environ.get('TTS_BV_POLY','?')}:"
+              f" {dt*1e3:.1f} ms")
+
+
+def bench_diffusion_program():
+    """Full _jit_diffusion program (timestep_independent + DDIM scan +
+    denorm + dispatch/sync) vs the bare denoiser loop — isolates the
+    sampler/cond/dispatch overhead the e2e stage carries."""
+    from tortoise_tts_tpu.inference import _jit_diffusion
+    from tortoise_tts_tpu.models import diffusion as diff_m
+    cfg = diff_m.DiffusionConfig()
+    p = diff_m.init(jax.random.PRNGKey(0), cfg)
+    p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+    steps = int(os.environ.get("TTS_DIFF_STEPS", "80"))
+    n_lat, t_lat = 224, 224
+    latents = jnp.zeros((1, 500, 1024), jnp.float32)
+    cond = jnp.zeros((1, 2048), jnp.float32)
+    key = jnp.zeros((2,), jnp.uint32)
+    seq = n_lat * 4 * 24000 // 22050
+    for pad in (None, 1024):
+        def run():
+            return _jit_diffusion(p, latents, cond, key, cfg, steps,
+                                  "ddim", seq, True, 1.0, 2.0,
+                                  n_lat=n_lat, t_lat=jnp.int32(t_lat),
+                                  pad_seq_len=pad)
+        dt = timeit(lambda: run(), n=3, warmup=1)
+        print(f"diffusion_program steps={steps} seq={seq} pad={pad}: "
+              f"{dt*1e3:.0f} ms ({dt/steps*1e3:.2f} ms/step incl overhead)")
+
+
+def bench_latent_pass():
+    """_jit_latent_pass warm-call cost (the e2e stage showed 74 ms for a
+    ~2 ms-of-FLOPs forward — decompose dispatch/arg-transfer vs exec)."""
+    from tortoise_tts_tpu.inference import _jit_latent_pass
+    from tortoise_tts_tpu.models import unified_voice as uv
+    cfg = uv.UnifiedVoiceConfig()
+    p = uv.init(jax.random.PRNGKey(0), cfg)
+    p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+    b, tt, ml = 1, 64, 200
+    cond = np.zeros((b, cfg.model_dim), np.float32)
+    text = np.zeros((b, tt), np.int32)
+    tl = np.full((b,), tt, np.int32)
+    codes = np.zeros((b, ml), np.int32)
+    wl = np.full((b,), ml * cfg.mel_length_compression, np.int32)
+    # host-numpy args every call (as the pipeline does)
+    dt = timeit(lambda: _jit_latent_pass(p, cond, text, tl, codes, wl, cfg),
+                n=5, warmup=2)
+    print(f"latent_pass host-args: {dt*1e3:.1f} ms")
+    # device-resident args
+    dargs = [jnp.asarray(a) for a in (cond, text, tl, codes, wl)]
+    dt = timeit(lambda: _jit_latent_pass(p, *dargs, cfg), n=5, warmup=2)
+    print(f"latent_pass dev-args:  {dt*1e3:.1f} ms")
+
+
+def bench_vocoder_transfer():
+    """Vocoder program + FULL wav device->host transfer (what the e2e
+    stage pays), fp32 vs int16 payload."""
+    from tortoise_tts_tpu.inference import _jit_bigvgan
+    from tortoise_tts_tpu.models import bigvgan as bv
+    from tortoise_tts_tpu.models import _bigvgan_random
+    cfg = bv.BigVGANConfig()
+    p = _bigvgan_random(jax.random.PRNGKey(0), cfg)
+    p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+    for T in (975, 1024):
+        mel = jnp.zeros((1, 100, T), jnp.bfloat16)
+        for i16 in (False, True):
+            def run():
+                return np.asarray(_jit_bigvgan(p, mel, cfg, as_i16=i16))
+            run(); run()
+            t0 = time.perf_counter()
+            for _ in range(3):
+                run()
+            dt = (time.perf_counter() - t0) / 3
+            print(f"bigvgan+transfer T={T} i16={i16}: {dt*1e3:.0f} ms")
 
 
 if __name__ == "__main__":
@@ -160,5 +335,15 @@ if __name__ == "__main__":
         bench_denoiser()
     if "decode" in which:
         bench_decode()
+    if "roof" in which:
+        bench_decode_roof()
+    if "roof8" in which:
+        bench_decode_roof_int8()
     if "vocoder" in which:
         bench_vocoder()
+    if "diffprog" in which:
+        bench_diffusion_program()
+    if "latent" in which:
+        bench_latent_pass()
+    if "voctransfer" in which:
+        bench_vocoder_transfer()

@@ -150,6 +150,10 @@ class Inference:
     # static decode buckets (SURVEY §7 'fixed shapes under jit')
     text_buckets: Tuple[int, ...] = (64, 128, 256, 402)
     mel_frame_bucket: int = 256   # diffusion length rounding, frames
+    # weight-only int8 AR-decode GEMVs ("int8" | "none"); halves the
+    # decode loop's HBM weight traffic (models/unified_voice.py
+    # quantize_decode_weights).  Prefill/latents/logits stay bf16.
+    decode_quant: str = "none"
 
     def dtype(self):
         import jax.numpy as jnp

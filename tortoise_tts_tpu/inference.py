@@ -59,10 +59,12 @@ def _jit_latent_pass(params, cond, text, text_lengths, codes, wav_lengths,
 
 
 @partial(jax.jit, static_argnames=("dcfg", "steps", "sampler", "seq_len",
-                                   "cond_free", "cond_free_k", "n_lat"))
+                                   "cond_free", "cond_free_k", "n_lat",
+                                   "pad_seq_len"))
 def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
                    sampler, seq_len, cond_free, diffusion_temp=1.0,
-                   cond_free_k=2.0, n_lat=None, t_lat=None):
+                   cond_free_k=2.0, n_lat=None, t_lat=None,
+                   pad_seq_len=None):
     """timestep_independent + noise + full DDIM/P scan in one compiled
     program (noise is generated in-graph — a host-side
     jax.random.normal would be one extra eager dispatch through the
@@ -72,7 +74,15 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
     (B, max_steps, D) device buffer from the latent pass and the
     calm-trim + edge-pad to ``n_lat`` frames happens here (dynamic
     gather), avoiding a host roundtrip of the latents.  ``t_lat`` may be
-    scalar or per-row (B,)."""
+    scalar or per-row (B,).
+
+    ``pad_seq_len``: run the denoiser at this MXU-aligned length (e.g.
+    the 128-multiple above ``seq_len``).  The code embedding is first
+    interpolated to ``seq_len`` with the reference's exact latent->mel
+    ratio, then edge-padded — identical semantics to edge-repeating calm
+    latents, but the hot attention/conv shapes stay tile-aligned
+    (T=975 -> 1024 measured well over 1 ms/step cheaper on v5e).  The
+    caller trims the vocoded wav to the exact length as before."""
     sched = gaussian.get_schedule(steps=steps, cond_free=cond_free,
                                   cond_free_k=cond_free_k)
     b = latents.shape[0]
@@ -84,10 +94,13 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
     latents = latents.astype(jnp.float32)
     diff_cond = jnp.broadcast_to(diff_cond.astype(jnp.float32),
                                  (b, diff_cond.shape[-1]))
+    T = seq_len if pad_seq_len is None else max(pad_seq_len, seq_len)
     pre = _dtts.timestep_independent(dparams, latents, diff_cond, seq_len,
                                      dcfg)
+    if T > seq_len:
+        pre = jnp.pad(pre, ((0, 0), (0, 0), (0, T - seq_len)), mode="edge")
     if cond_free:
-        uncond = _dtts.unconditioned_embedding(dparams, b, seq_len)
+        uncond = _dtts.unconditioned_embedding(dparams, b, T)
         code_emb = jnp.concatenate([pre.astype(jnp.float32),
                                     uncond.astype(jnp.float32)], axis=0)
     else:
@@ -100,25 +113,32 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
     code_emb = code_emb.astype(pdt)
     # timestep-invariant rel-pos biases hoisted out of the scan (~70% of
     # per-step cost when gathered inside the loop)
-    rel_biases = _dtts.precompute_rel_biases(dparams, seq_len, dcfg, pdt)
+    rel_biases = _dtts.precompute_rel_biases(dparams, T, dcfg, pdt)
 
     def model_fn(x, ts):
         return _dtts.forward(dparams, x.astype(pdt), ts, code_emb, dcfg,
                              rel_biases=rel_biases)
 
     k_noise, k_samp = jax.random.split(key)
-    noise = jax.random.normal(k_noise, (b, 100, seq_len),
+    noise = jax.random.normal(k_noise, (b, 100, T),
                               jnp.float32) * diffusion_temp
     mel = gaussian.sample_loop(model_fn, noise, k_samp, sched,
                                sampler=sampler)
     return denormalize_tacotron_mel(mel)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _jit_bigvgan(params, mel, cfg):
+@partial(jax.jit, static_argnames=("cfg", "as_i16"))
+def _jit_bigvgan(params, mel, cfg, as_i16=False):
     from .models import bigvgan as _bv
     pdt = jnp.asarray(params["conv_pre"]["w"]).dtype
-    return _bv.inference(params, mel.astype(pdt), cfg).astype(jnp.float32)
+    wav = _bv.inference(params, mel.astype(pdt), cfg).astype(jnp.float32)
+    if as_i16:
+        # device-side 16-bit PCM quantization: the delivered artifact is
+        # a 16-bit WAV anyway (utils/io.write_wav), and the int16 payload
+        # halves the device->host transfer through the relay (~1 MB of
+        # fp32 wav costs ~75 ms of wall at relay bandwidth)
+        return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+    return wav
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -173,6 +193,17 @@ class TTS:
             self._models[name] = m
         return self._models[name]
 
+    def _ar_qgpt(self):
+        """Cached int8 decode weights when decode_quant='int8'
+        (unified_voice.quantize_decode_weights)."""
+        if self.cfg.inference.decode_quant != "int8":
+            return None
+        if not hasattr(self, "_qgpt"):
+            from .models.unified_voice import quantize_decode_weights
+            ar = self._model("autoregressive")
+            self._qgpt = jax.jit(quantize_decode_weights)(ar.params)
+        return self._qgpt
+
     def _maybe_apply_lora(self, m):
         """Runtime LoRA load + merge for the AR model (reference
         inference.py:205-216 + lora_load_state_dict)."""
@@ -204,6 +235,7 @@ class TTS:
         without the adapter applied."""
         from .models import load_model
         self._models.pop("autoregressive", None)
+        self.__dict__.pop("_qgpt", None)   # int8 cache follows the weights
         if enabled:
             self._model("autoregressive")      # re-merges if cfg.lora
         else:
@@ -268,6 +300,7 @@ class TTS:
         seed: Optional[int] = None,
         out_path: Optional[str | Path] = None,
         diffusion_pad_multiple: int = 0,
+        mel_pad_multiple: int = 0,
         mirostat_tau: float = 0.0,
         mirostat_eta: float = 0.1,
         min_temperature: float = 0.0,
@@ -323,7 +356,7 @@ class TTS:
                     line, ar_latent, diff_latent, sampling, max_ar_steps,
                     max_diffusion_steps, diffusion_temp, diffusion_sampler,
                     cond_free, vocoder_type, candidates, sub,
-                    diffusion_pad_multiple)
+                    diffusion_pad_multiple, mel_pad_multiple)
             wavs.append(wav)
 
         wav = np.concatenate(wavs, axis=-1)
@@ -348,6 +381,7 @@ class TTS:
         vocoder_type: str = "bigvgan",
         seed: Optional[int] = None,
         diffusion_pad_multiple: int = 32,
+        mel_pad_multiple: int = 0,
     ) -> Tuple[list, int]:
         """Batched multi-utterance inference (one jitted program per stage
         over the whole batch; shard the batch over a mesh for multi-chip
@@ -381,7 +415,8 @@ class TTS:
                               (b, np.asarray(ar_latent).shape[-1]))
         res = inference_speech(ar.params, lat, jnp.asarray(tokens),
                                jnp.asarray(lengths), k_ar, ar.config,
-                               sampling, max_length=max_ar_steps)
+                               sampling, max_length=max_ar_steps,
+                               qgpt=self._ar_qgpt())
         codes = self.cleanup_codes(np.asarray(res.codes),
                                    np.asarray(res.lengths),
                                    ar.config.stop_mel_token)
@@ -400,16 +435,22 @@ class TTS:
         if diffusion_pad_multiple > 1:
             n_lat = L + ((-L) % diffusion_pad_multiple)
         seq_len = n_lat * 4 * 24000 // 22050
+        pad_seq_len = None
+        if mel_pad_multiple > 1:
+            pad_seq_len = seq_len + ((-seq_len) % mel_pad_multiple)
         mel = _jit_diffusion(
             diffusion.params, latents, np.asarray(diff_latent, np.float32),
             k_diff, diffusion.config, max_diffusion_steps,
             diffusion_sampler, seq_len, cond_free, diffusion_temp,
-            n_lat=n_lat, t_lat=row_lengths.astype(np.int32))
+            n_lat=n_lat, t_lat=row_lengths.astype(np.int32),
+            pad_seq_len=pad_seq_len)
 
         voc = self._model("bigvgan" if vocoder_type == "bigvgan"
                           else "vocoder")
         if vocoder_type == "bigvgan":
-            wavs = np.asarray(_jit_bigvgan(voc.params, mel, voc.config))
+            wavs = np.asarray(_jit_bigvgan(voc.params, mel, voc.config,
+                                           as_i16=True))
+            wavs = wavs.astype(np.float32) / 32767.0
         else:
             wavs = np.asarray(_jit_univnet(voc.params, mel, k_voc,
                                            voc.config))
@@ -446,7 +487,8 @@ class TTS:
         return inference_speech(
             ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths), key,
             ar.config, sampling, max_length=max_ar_steps,
-            collect_latents=collect_latents), tokens, lengths
+            collect_latents=collect_latents,
+            qgpt=self._ar_qgpt()), tokens, lengths
 
     @staticmethod
     def cleanup_codes(codes: np.ndarray, lengths: np.ndarray,
@@ -489,7 +531,8 @@ class TTS:
     def _infer_line(self, line, ar_latent, diff_latent, sampling,
                     max_ar_steps, max_diffusion_steps, diffusion_temp,
                     diffusion_sampler, cond_free, vocoder_type, candidates,
-                    key, diffusion_pad_multiple) -> np.ndarray:
+                    key, diffusion_pad_multiple,
+                    mel_pad_multiple: int = 0) -> np.ndarray:
         import os
         timing = os.environ.get("TTS_STAGE_TIMING") == "1"
 
@@ -550,13 +593,17 @@ class TTS:
             n_lat = t_lat + ((-t_lat) % diffusion_pad_multiple)
         output_seq_len = n_lat * 4 * 24000 // 22050
         exact_seq_len = t_lat * 4 * 24000 // 22050
+        pad_seq_len = None
+        if mel_pad_multiple > 1:
+            pad_seq_len = output_seq_len + \
+                ((-output_seq_len) % mel_pad_multiple)
 
         mel = _jit_diffusion(
             diffusion.params, latents, np.asarray(diff_latent, np.float32),
             k_diff, diffusion.config, max_diffusion_steps,
             diffusion_sampler, output_seq_len, cond_free, diffusion_temp,
-            n_lat=n_lat, t_lat=np.int32(t_lat))
-        tick(f"diffusion_{output_seq_len}", mel)
+            n_lat=n_lat, t_lat=np.int32(t_lat), pad_seq_len=pad_seq_len)
+        tick(f"diffusion_{pad_seq_len or output_seq_len}", mel)
 
         # vocoder (inference.py:415-417) — runs on the *padded* mel so
         # the vocoder program is keyed by the bucketed length (an exact
@@ -565,10 +612,12 @@ class TTS:
         voc = self._model("bigvgan" if vocoder_type == "bigvgan"
                           else "vocoder")
         if vocoder_type == "bigvgan":
-            wav = _jit_bigvgan(voc.params, mel, voc.config)
+            wav = _jit_bigvgan(voc.params, mel, voc.config, as_i16=True)
+            out = np.asarray(wav)[0, 0, : exact_seq_len * 256]
+            out = out.astype(np.float32) / 32767.0
         else:
             wav = _jit_univnet(voc.params, mel, k_voc, voc.config)
-        out = np.asarray(wav)[0, 0, : exact_seq_len * 256]
+            out = np.asarray(wav)[0, 0, : exact_seq_len * 256]
         tick("vocoder")
         return out
 
@@ -649,7 +698,8 @@ class TTS:
             first = False
             state = decode_chunk(ar.params, state, ar.config, sampling,
                                  max_ar_steps, chunk=chunk,
-                                 collect_latents=True)
+                                 collect_latents=True,
+                                 qgpt=self._ar_qgpt())
             pos = int(state.step)
             n = int(np.asarray(state.lengths)[0])
             done = bool(np.asarray(state.finished).all()) or \
@@ -704,7 +754,8 @@ class TTS:
             first = False
             state = decode_chunk(ar.params, state, ar.config, sampling,
                                  max_ar_steps, chunk=chunk,
-                                 collect_latents=True)
+                                 collect_latents=True,
+                                 qgpt=self._ar_qgpt())
             pos = int(state.step)
             n = int(np.asarray(state.lengths)[0])
             done = bool(np.asarray(state.finished).all()) or \

@@ -197,6 +197,12 @@ def sample_loop(model_fn: ModelFn, noise: jnp.ndarray, key: jax.Array,
                  * jnp.sqrt(1 - abar / abar_prev))
         mean_pred = (xstart * jnp.sqrt(abar_prev)
                      + jnp.sqrt(1 - abar_prev - sigma ** 2) * eps)
+        if eta == 0.0:
+            # deterministic DDIM: sigma == 0, so skip the per-step
+            # threefry normal entirely (XLA cannot always fold
+            # 0 * normal(...) away, and the RNG is ~1 ms/step of pure
+            # VPU work at mel shapes)
+            return (mean_pred, k), None
         k, sub = jax.random.split(k)
         nz = (t != 0).astype(x.dtype)
         x = mean_pred + nz * sigma * jax.random.normal(sub, x.shape, x.dtype)
