@@ -134,7 +134,7 @@ def test_ddim_loop_parity(ref_model, params, cond_free):
     else:
         code_emb = pre_j
 
-    def model_fn(x, ts):
+    def model_fn(x, ts, t_idx=None):
         return dtts.forward(params, x, ts, code_emb, CFG)
 
     got = np.asarray(gaussian.sample_loop(
@@ -164,7 +164,7 @@ def test_p_mean_variance_parity(ref_model, params):
     pre_j = dtts.timestep_independent(
         params, jnp.asarray(lat.numpy()), jnp.asarray(cond.numpy()), t_out, CFG)
 
-    def model_fn(xx, ts):
+    def model_fn(xx, ts, t_idx=None):
         return dtts.forward(params, xx, ts, pre_j, CFG)
 
     mean, logvar, xstart = gaussian.p_mean_variance(
@@ -183,7 +183,7 @@ def test_dpmpp_recovers_x0_with_exact_eps_model():
     x0_true = jnp.asarray(rng.randn(1, 100, 32).astype(np.float32)) * 0.5
     sch = gaussian.get_schedule(steps=12, cond_free=False)
 
-    def oracle(x, ts_orig):
+    def oracle(x, ts_orig, t_idx=None):
         # map original-timestep values back to respaced indices
         tmap = np.asarray(sch.timestep_map)
         idx = jnp.argmax(jnp.asarray(tmap)[None, :] == ts_orig[:, None],
@@ -219,7 +219,7 @@ def test_dpmpp_on_denoiser_finite(ref_model, params):
     code_emb = jnp.concatenate([pre, uncond], axis=0)
     noise = jnp.asarray(rng.randn(b, 100, t_out), dtype=jnp.float32)
     out = gaussian.sample_loop(
-        lambda x, ts: dtts.forward(params, x, ts, code_emb, CFG),
+        lambda x, ts, t_idx=None: dtts.forward(params, x, ts, code_emb, CFG),
         noise, jax.random.PRNGKey(0), sch, sampler="dpm++")
     assert np.isfinite(np.asarray(out)).all()
 

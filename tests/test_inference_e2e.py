@@ -234,3 +234,53 @@ def test_streaming_modes(tts, ref_wav):
     ratio = outs["windowed"].shape[0] / max(outs["growing"].shape[0], 1)
     assert 0.7 < ratio < 1.3, (outs["windowed"].shape,
                                outs["growing"].shape)
+
+
+def test_device_cleanup_trim_matches_host(tts):
+    """_jit_cleanup_latents (the single-fetch device path) reproduces
+    cleanup_codes + calm_trim_point + the latent pass exactly."""
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.inference import (TTS, _jit_cleanup_latents,
+                                            _jit_latent_pass, CALM_TOKEN)
+    ar = tts._model("autoregressive")
+    stop = ar.config.stop_mel_token
+    n = 48
+    rng = np.random.default_rng(0)
+    cases = [
+        # stop mid-way, then garbage
+        np.concatenate([rng.integers(0, 8192, 20), [stop],
+                        rng.integers(0, 8192, n - 21)]),
+        # no stop at all
+        rng.integers(0, 8192, n),
+        # long calm run to trigger the trim point
+        np.concatenate([rng.integers(0, 8192, 10),
+                        np.full(20, CALM_TOKEN), [stop],
+                        rng.integers(0, 8192, n - 31)]),
+        # stop early (L >= 3: the host tail write needs 3 columns)
+        np.concatenate([[5, 6, 7, stop], rng.integers(0, 8192, n - 4)]),
+    ]
+    for raw in cases:
+        codes = raw[None].astype(np.int32)
+        lengths = np.asarray([min(int(np.nonzero(raw == stop)[0][0])
+                                  if (raw == stop).any() else n, n - 1)])
+        cond = np.zeros((1, ar.config.model_dim), np.float32)
+        text = np.full((1, 8), 3, np.int32)
+        tl = np.asarray([8])
+
+        # host reference
+        host_codes = TTS.cleanup_codes(codes.copy(), lengths, stop)
+        L = host_codes.shape[1]
+        pad_codes = np.pad(host_codes, ((0, 0), (0, n - L)),
+                           constant_values=stop)
+        wav_lengths = np.full((1,), L * ar.config.mel_length_compression)
+        ref_lat = _jit_latent_pass(ar.params, cond, text, tl, pad_codes,
+                                   wav_lengths, ar.config)
+        ref_t = TTS.calm_trim_point(host_codes[0], upto=L)
+
+        got_lat, got_t = _jit_cleanup_latents(
+            ar.params, cond, text, tl, jnp.asarray(codes),
+            jnp.asarray(lengths), ar.config)
+        assert int(got_t[0]) == ref_t, (int(got_t[0]), ref_t)
+        np.testing.assert_allclose(np.asarray(got_lat),
+                                   np.asarray(ref_lat),
+                                   atol=1e-5, rtol=1e-5)

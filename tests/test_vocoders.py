@@ -143,3 +143,33 @@ def test_univnet_inference_pad_trim():
                                   noise=jnp.asarray(z.numpy()), cfg=cfg))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_pallas_snake_kernel_parity():
+    """ops/pallas_snake.snake_resample2 (interpret mode) and the
+    elementwise polyphase XLA form both match the blocked up2->snake->
+    down2 reference path exactly, including the interleaved-edge-pad
+    boundary columns and block-boundary halos."""
+    from tortoise_tts_tpu.ops.pallas_snake import snake_resample2
+    key = jax.random.PRNGKey(0)
+    old = bv._RESAMPLE
+    try:
+        for (b, c, t) in ((1, 5, 224), (2, 24, 900), (1, 3, 513),
+                          (1, 8, 8), (1, 8, 1025)):
+            x = jax.random.normal(key, (b, c, t), jnp.float32)
+            p = {"alpha": jax.random.normal(jax.random.PRNGKey(1),
+                                            (c,)) * 0.3,
+                 "beta": jax.random.normal(jax.random.PRNGKey(2),
+                                           (c,)) * 0.3}
+            bv._RESAMPLE = "blocked"
+            ref = bv._snake_act(p, x, True, True)
+            a = jnp.exp(p["alpha"])
+            ib = 1.0 / (jnp.exp(p["beta"]) + 1e-9)
+            got = snake_resample2(x, a, ib, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-5)
+            got2 = bv._snake_act_fused(p, x, True, True)
+            np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-5)
+    finally:
+        bv._RESAMPLE = old

@@ -313,9 +313,13 @@ def bench_vocoder_transfer():
     cfg = bv.BigVGANConfig()
     p = _bigvgan_random(jax.random.PRNGKey(0), cfg)
     p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
-    for T in (975, 1024):
+    Ts = tuple(int(t) for t in os.environ.get(
+        "TTS_VOCTRANS_T", "1024").split(","))
+    for T in Ts:
         mel = jnp.zeros((1, 100, T), jnp.bfloat16)
-        for i16 in (False, True):
+        modes = ((False, True) if os.environ.get("TTS_VOCTRANS_F32")
+                 else (True,))
+        for i16 in modes:
             def run():
                 return np.asarray(_jit_bigvgan(p, mel, cfg, as_i16=i16))
             run(); run()
@@ -324,6 +328,72 @@ def bench_vocoder_transfer():
                 run()
             dt = (time.perf_counter() - t0) / 3
             print(f"bigvgan+transfer T={T} i16={i16}: {dt*1e3:.0f} ms")
+
+
+def bench_snake():
+    """Per-stage cost of one snake activation: pallas kernel vs the
+    blocked-matmul XLA path, at BigVGAN's (C, T) stage shapes for 896
+    mel frames."""
+    import tortoise_tts_tpu.models.bigvgan as bv
+    shapes = [(768, 3584), (384, 14336), (192, 28672), (96, 57344),
+              (48, 114688), (24, 229376)]
+    N = 20
+    for mode in ("pallas", "blocked"):
+        tot = 0.0
+        for C, T in shapes:
+            x = jnp.zeros((1, C, T), jnp.bfloat16)
+            p = {"alpha": jnp.full((C,), 0.1), "beta": jnp.full((C,), 0.2)}
+            bv._RESAMPLE = mode
+
+            @jax.jit
+            def loop(p, x):
+                def body(c, _):
+                    y = bv._snake_act(p, x * c, True, True)
+                    return jnp.max(y).astype(x.dtype), None
+                c, _ = jax.lax.scan(body, jnp.ones((), x.dtype), None,
+                                    length=N)
+                return c
+
+            dt = timeit(loop, p, x, n=3, warmup=1) / N
+            tot += dt
+            print(f"snake {mode} C={C} T={T}: {dt*1e6:.0f} us")
+        print(f"snake {mode} total/act-sweep: {tot*1e3:.2f} ms")
+    bv._RESAMPLE = "auto"
+
+
+def bench_diffparts():
+    """Decompose the diffusion program intercept: rel-bias precompute,
+    timestep_independent, and the latent trim-gather, each as its own
+    program at production shapes."""
+    from functools import partial
+
+    from tortoise_tts_tpu.models import diffusion as diff_m
+    cfg = diff_m.DiffusionConfig()
+    p = diff_m.init(jax.random.PRNGKey(0), cfg)
+    p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+    T = 1024
+
+    relb = jax.jit(lambda pp: diff_m.precompute_rel_biases(
+        pp, T, cfg, jnp.bfloat16))
+    dt = timeit(relb, p, n=3, warmup=1)
+    print(f"rel_biases T={T}: {dt*1e3:.1f} ms")
+
+    lat = jnp.zeros((1, 224, 1024), jnp.float32)
+    cond = jnp.zeros((1, 2048), jnp.float32)
+    tsi = jax.jit(partial(diff_m.timestep_independent, seq_len=975,
+                          cfg=cfg))
+    dt = timeit(lambda: tsi(p, lat, cond), n=3, warmup=1)
+    print(f"timestep_independent seq=975: {dt*1e3:.1f} ms")
+
+    full_lat = jnp.zeros((1, 500, 1024), jnp.float32)
+
+    @jax.jit
+    def trim(x):
+        idx = jnp.minimum(jnp.arange(224)[None, :], 199)
+        return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+    dt = timeit(trim, full_lat, n=3, warmup=1)
+    print(f"latent trim-gather: {dt*1e3:.1f} ms")
 
 
 if __name__ == "__main__":
@@ -341,6 +411,10 @@ if __name__ == "__main__":
         bench_decode_roof_int8()
     if "vocoder" in which:
         bench_vocoder()
+    if "snake" in which:
+        bench_snake()
+    if "diffparts" in which:
+        bench_diffparts()
     if "diffprog" in which:
         bench_diffusion_program()
     if "latent" in which:

@@ -58,6 +58,46 @@ def _jit_latent_pass(params, cond, text, text_lengths, codes, wav_lengths,
                       cfg, return_latent=True)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_cleanup_latents(params, cond, text, text_lengths, codes, lengths,
+                         cfg):
+    """Device-side stop-token cleanup + calm-trim + latent pass in ONE
+    program — the vectorized equivalent of ``TTS.cleanup_codes`` +
+    ``TTS.calm_trim_point`` (reference inference.py:353-389) followed by
+    the return_latent forward.
+
+    Keeping this on device matters enormously here: through the remote
+    relay every device->host fetch costs ~50-100 ms of round-trip
+    latency, and the host path fetches codes AND lengths before it can
+    dispatch the latent pass.  Returns (latents (B, N, D), t_lat (B,)).
+    """
+    b, n = codes.shape
+    idx = jnp.arange(n)[None, :]
+    lv = jnp.minimum(jnp.max(lengths) + 1, n)          # scalar, traced
+    in_range = idx < lv
+    stop_mask = (codes == cfg.stop_mel_token) & in_range
+    has_stop = jnp.any(stop_mask, axis=1, keepdims=True)
+    fs = jnp.min(jnp.where(stop_mask, idx, n), axis=1, keepdims=True)
+    cleaned = jnp.where(has_stop & (idx >= fs), CALM_TOKEN, codes)
+    off = idx - (lv - 3)                               # 0,1,2 at the tail
+    tails = jnp.asarray(TAIL_TOKENS, codes.dtype)[jnp.clip(off, 0, 2)]
+    cleaned = jnp.where(has_stop & (off >= 0) & in_range, tails, cleaned)
+    # region past lv = stop token (the host path pads codes with it)
+    cleaned = jnp.where(in_range, cleaned, cfg.stop_mel_token)
+
+    wav_lengths = jnp.full((b,), 1, jnp.int32) * lv * \
+        cfg.mel_length_compression
+    latents = uv_forward(params, cond, text, text_lengths, cleaned,
+                         wav_lengths, cfg, return_latent=True)
+
+    # first index where >8 consecutive calm tokens begin, else lv
+    is_calm = (cleaned == CALM_TOKEN) & in_range
+    nc = jnp.where(~is_calm, idx, -1)
+    run = idx - jax.lax.cummax(nc, axis=1)
+    t_lat = jnp.min(jnp.where((run > 8) & in_range, idx, lv), axis=1)
+    return latents, t_lat.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("dcfg", "steps", "sampler", "seq_len",
                                    "cond_free", "cond_free_k", "n_lat",
                                    "pad_seq_len"))
@@ -115,7 +155,11 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
     # per-step cost when gathered inside the loop)
     rel_biases = _dtts.precompute_rel_biases(dparams, T, dcfg, pdt)
 
-    def model_fn(x, ts):
+    # Note: hoisting the conditioning_timestep_integrator out of the
+    # scan (batched over all S steps via forward_trunk) was measured at
+    # parity — the in-scan B=2/T=1024 matmuls are already MXU-efficient,
+    # and the (S, B, C, T) precompute adds ~400 MB of HBM round-trip.
+    def model_fn(x, ts, t_idx=None):
         return _dtts.forward(dparams, x.astype(pdt), ts, code_emb, dcfg,
                              rel_biases=rel_biases)
 
@@ -128,7 +172,7 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
 
 
 @partial(jax.jit, static_argnames=("cfg", "as_i16"))
-def _jit_bigvgan(params, mel, cfg, as_i16=False):
+def _jit_bigvgan(params, mel, cfg, as_i16=False, prefix=None):
     from .models import bigvgan as _bv
     pdt = jnp.asarray(params["conv_pre"]["w"]).dtype
     wav = _bv.inference(params, mel.astype(pdt), cfg).astype(jnp.float32)
@@ -137,7 +181,15 @@ def _jit_bigvgan(params, mel, cfg, as_i16=False):
         # a 16-bit WAV anyway (utils/io.write_wav), and the int16 payload
         # halves the device->host transfer through the relay (~1 MB of
         # fp32 wav costs ~75 ms of wall at relay bandwidth)
-        return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+        wav = jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+        if prefix is not None:
+            # pack small per-row scalars (e.g. the device-computed calm
+            # trim point) into the wav payload so the host needs only
+            # ONE fetch for the whole utterance (each fetch is a
+            # ~50-100 ms relay round trip)
+            pre = prefix.astype(jnp.int16)[:, None, None]
+            pre = jnp.broadcast_to(pre, (wav.shape[0], wav.shape[1], 1))
+            wav = jnp.concatenate([pre, wav], axis=2)
     return wav
 
 
@@ -417,23 +469,21 @@ class TTS:
                                jnp.asarray(lengths), k_ar, ar.config,
                                sampling, max_length=max_ar_steps,
                                qgpt=self._ar_qgpt())
-        codes = self.cleanup_codes(np.asarray(res.codes),
-                                   np.asarray(res.lengths),
-                                   ar.config.stop_mel_token)
-        L = codes.shape[1]
-        pad_codes = np.pad(codes, ((0, 0), (0, max_ar_steps - L)),
-                           constant_values=ar.config.stop_mel_token)
-        wav_lengths = np.full((b,), L * ar.config.mel_length_compression)
-        # latents stay device-resident (B, max_ar_steps, D); the
-        # per-row trim + edge-pad happens inside _jit_diffusion
-        latents = _jit_latent_pass(
-            ar.params, lat, tokens, lengths, pad_codes, wav_lengths,
+        # Device-resident handoff: cleanup + per-row calm trim + latent
+        # pass in one program, per-row trim points packed into the wav
+        # payload -> a single device->host fetch for the whole batch
+        # (every relay fetch is a ~50-100 ms round trip).
+        latents, t_lat = _jit_cleanup_latents(
+            ar.params, lat, tokens, lengths, res.codes, res.lengths,
             ar.config)
 
-        row_lengths = np.minimum(np.asarray(res.lengths) + 1, L)
-        n_lat = L
+        if max_ar_steps <= 256:
+            n_lat = max_ar_steps
+        else:
+            n_lat = min(int(np.asarray(res.lengths).max()) + 1,
+                        max_ar_steps)
         if diffusion_pad_multiple > 1:
-            n_lat = L + ((-L) % diffusion_pad_multiple)
+            n_lat += (-n_lat) % diffusion_pad_multiple
         seq_len = n_lat * 4 * 24000 // 22050
         pad_seq_len = None
         if mel_pad_multiple > 1:
@@ -442,16 +492,17 @@ class TTS:
             diffusion.params, latents, np.asarray(diff_latent, np.float32),
             k_diff, diffusion.config, max_diffusion_steps,
             diffusion_sampler, seq_len, cond_free, diffusion_temp,
-            n_lat=n_lat, t_lat=row_lengths.astype(np.int32),
-            pad_seq_len=pad_seq_len)
+            n_lat=n_lat, t_lat=t_lat, pad_seq_len=pad_seq_len)
 
         voc = self._model("bigvgan" if vocoder_type == "bigvgan"
                           else "vocoder")
         if vocoder_type == "bigvgan":
-            wavs = np.asarray(_jit_bigvgan(voc.params, mel, voc.config,
-                                           as_i16=True))
-            wavs = wavs.astype(np.float32) / 32767.0
+            arr = np.asarray(_jit_bigvgan(voc.params, mel, voc.config,
+                                          as_i16=True, prefix=t_lat))
+            row_lengths = arr[:, 0, 0].astype(np.int64)
+            wavs = arr[..., 1:].astype(np.float32) / 32767.0
         else:
+            row_lengths = np.asarray(t_lat).astype(np.int64)
             wavs = np.asarray(_jit_univnet(voc.params, mel, k_voc,
                                            voc.config))
         # trim each row to its own generated length
@@ -554,6 +605,57 @@ class TTS:
         res, tokens, text_lengths = self._decode_codes(
             line, ar_latent, sampling, max_ar_steps, k_ar,
             candidates=candidates)
+
+        # Single-fetch device-resident path: for the plain 1-candidate
+        # BigVGAN route the ONLY device->host transfer of the whole
+        # utterance is the final packed wav (each relay fetch costs
+        # ~50-100 ms; the host path below does three).  Cleanup, calm
+        # trim, latent pass, diffusion and vocoding all stay on device;
+        # the trim point rides back inside the wav payload.
+        if (candidates == 1 and vocoder_type == "bigvgan"
+                and os.environ.get("TTS_HOST_TRIM") != "1"):
+            tick("ar_decode")
+            lat_b = np.broadcast_to(
+                np.asarray(ar_latent),
+                (1, np.asarray(ar_latent).shape[-1]))
+            latents, t_lat_d = _jit_cleanup_latents(
+                ar.params, lat_b, tokens, text_lengths, res.codes,
+                res.lengths, ar.config)
+            tick("latent_pass", latents)
+            # Small decode budgets: size the diffusion/vocoder programs
+            # by the budget itself (zero mid-pipeline fetches).  Large
+            # budgets: spend ONE cheap lengths fetch (~55 ms) so a short
+            # utterance doesn't pay for a max_ar_steps-sized diffusion.
+            if max_ar_steps <= 256:
+                n_lat = max_ar_steps
+            else:
+                n_lat = min(int(np.asarray(res.lengths).max()) + 1,
+                            max_ar_steps)
+            if diffusion_pad_multiple > 1:
+                n_lat += (-n_lat) % diffusion_pad_multiple
+            output_seq_len = n_lat * 4 * 24000 // 22050
+            pad_seq_len = None
+            if mel_pad_multiple > 1:
+                pad_seq_len = output_seq_len + \
+                    ((-output_seq_len) % mel_pad_multiple)
+            mel = _jit_diffusion(
+                diffusion.params, latents,
+                np.asarray(diff_latent, np.float32), k_diff,
+                diffusion.config, max_diffusion_steps, diffusion_sampler,
+                output_seq_len, cond_free, diffusion_temp,
+                n_lat=n_lat, t_lat=t_lat_d, pad_seq_len=pad_seq_len)
+            tick(f"diffusion_{pad_seq_len or output_seq_len}", mel)
+            voc = self._model("bigvgan")
+            wav = _jit_bigvgan(voc.params, mel, voc.config, as_i16=True,
+                               prefix=t_lat_d)
+            arr = np.asarray(wav)          # the one device->host fetch
+            t_lat = int(arr[0, 0, 0])
+            exact_seq_len = t_lat * 4 * 24000 // 22050
+            out = arr[0, 0, 1:1 + exact_seq_len * 256]
+            out = out.astype(np.float32) / 32767.0
+            tick("vocoder")
+            return out
+
         codes = self.cleanup_codes(np.asarray(res.codes),
                                    np.asarray(res.lengths),
                                    ar.config.stop_mel_token)

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,10 +85,24 @@ def kaiser_sinc_filter(cutoff: float, half_width: float,
 
 import os as _os
 
-# anti-alias resampler implementation: blocked (MXU matmul FIR, fastest
-# measured), poly (VPU slice sums), conv ((B*C,1,T) conv — the slowest;
-# 1-channel convs cannot use the MXU)
-_RESAMPLE = _os.environ.get("TTS_BV_RESAMPLE", "blocked")
+# anti-alias resampler implementation for the Snake activation:
+#   pallas  — fused up2->snake->down2 VMEM kernel (ops/pallas_snake.py);
+#             TPU only, the fastest by far
+#   blocked — MXU matmul FIR (fastest XLA form; the off-TPU default)
+#   fused   — elementwise polyphase XLA form (slower: lane-shifted
+#             operands materialize)
+#   poly    — VPU slice sums;  conv — (B*C,1,T) conv (slowest)
+# "auto" picks pallas on TPU, blocked elsewhere.
+_RESAMPLE = _os.environ.get("TTS_BV_RESAMPLE", "auto")
+
+
+def _resample_mode() -> str:
+    mode = _RESAMPLE
+    if mode == "auto":
+        import jax as _jax
+        mode = ("pallas" if _jax.default_backend() == "tpu"
+                else "blocked")
+    return mode
 
 
 def _up2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
@@ -97,7 +112,7 @@ def _up2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
     pad_left = pad * ratio + (k - ratio) // 2
     pad_right = pad * ratio + (k - ratio + 1) // 2
     filt = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k)
-    if _RESAMPLE == "blocked":
+    if _resample_mode() not in ("poly", "conv"):
         from .common import depthwise_upsample_blocked
         return depthwise_upsample_blocked(x, filt, ratio, pad, pad_left,
                                           pad_right)
@@ -116,7 +131,7 @@ def _down2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
     pad_left = k // 2 - int(even)
     pad_right = k // 2
     filt = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, k)
-    if _RESAMPLE == "blocked":
+    if _resample_mode() not in ("poly", "conv"):
         from .common import depthwise_lowpass_blocked
         return depthwise_lowpass_blocked(x, filt, ratio, pad_left,
                                          pad_right)
@@ -128,10 +143,99 @@ def _down2(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
                              pad_right)
 
 
+def _shift_views(x: jnp.ndarray, lo: int, hi: int):
+    """{s: x[..., t+s] edge-clamped} for s in [lo, hi] — one edge pad,
+    then static slices (slices fuse into elementwise consumers; per-shift
+    concatenates would each materialize a full copy)."""
+    T = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(-lo, hi)], mode="edge")
+    return {s: jax.lax.slice_in_dim(xp, s - lo, s - lo + T, axis=-1)
+            for s in range(lo, hi + 1)}
+
+
+def _snake_act_fused(p: Params, x: jnp.ndarray, logscale: bool,
+                     beta: bool) -> jnp.ndarray:
+    """up2 -> snake -> down2 as one elementwise polyphase pass.
+
+    Algebraically identical to `_up2`/snake/`_down2` for ratio 2
+    (k=12 kaiser filters, edge padding), but expressed as shifted-sum
+    polyphase FIRs over even/odd streams E[t]=u[2t], O[t]=u[2t+1]:
+
+        E[t] = 2*(f1 x[t+2] + f3 x[t+1] + f5 x[t]
+                  + f7 x[t-1] + f9 x[t-2] + f11 x[t-3])
+        O[t] = 2*(f0 x[t+3] + f2 x[t+2] + f4 x[t+1]
+                  + f6 x[t]  + f8 x[t-1] + f10 x[t-2])
+        y[t] = g1 E[t-2] + g3 E[t-1] + g5 E[t] + g7 E[t+1]
+             + g9 E[t+2] + g11 E[t+3]
+             + g0 O[t-3] + g2 O[t-2] + g4 O[t-1] + g6 O[t]
+             + g8 O[t+1] + g10 O[t+2]
+
+    Everything is elementwise (no framing/matmul/interleave), so XLA
+    fuses the whole activation into one HBM pass — the up-sampled 2T
+    intermediate never exists in memory.  The three boundary columns on
+    each side (where the reference's edge padding interleaves E/O
+    values) are patched exactly afterwards.
+    """
+    dt = x.dtype
+    f = jnp.asarray(kaiser_sinc_filter(0.25, 0.3, 12), dt)
+    g = f  # up and down use the same cutoff/width/k for ratio 2
+    a = p["alpha"][None, :, None].astype(dt)
+    b = p["beta"][None, :, None].astype(dt) if beta else a
+    if logscale:
+        a, b = jnp.exp(a), jnp.exp(b)
+    inv_b = 1.0 / (b + 1e-9)
+    T = x.shape[-1]
+
+    xs = _shift_views(x, -3, 3)
+    E = 2.0 * (f[1] * xs[2] + f[3] * xs[1] + f[5] * xs[0]
+               + f[7] * xs[-1] + f[9] * xs[-2] + f[11] * xs[-3])
+    O = 2.0 * (f[0] * xs[3] + f[2] * xs[2] + f[4] * xs[1]
+               + f[6] * xs[0] + f[8] * xs[-1] + f[10] * xs[-2])
+    E = E + inv_b * jnp.square(jnp.sin(E * a))
+    O = O + inv_b * jnp.square(jnp.sin(O * a))
+
+    Es = _shift_views(E, -2, 3)
+    Os = _shift_views(O, -3, 2)
+    y = (g[1] * Es[-2] + g[3] * Es[-1] + g[5] * Es[0]
+         + g[7] * Es[1] + g[9] * Es[2] + g[11] * Es[3]
+         + g[0] * Os[-3] + g[2] * Os[-2] + g[4] * Os[-1] + g[6] * Os[0]
+         + g[8] * Os[1] + g[10] * Os[2])
+
+    # Boundary columns: the reference edge-pads the *interleaved* stream
+    # v (v[0]=E[0] on the left, v[2T-1]=O[T-1] on the right), which the
+    # per-stream clamped shifts above don't reproduce.  Recompute the 3
+    # edge columns each side exactly: y[t] = sum_i g[i] * v_p[2t+i],
+    # v_p[j] = v[clamp(j-5, 0, 2T-1)], v[2u]=E[u], v[2u+1]=O[u].
+    def col(t):
+        acc = None
+        for i in range(12):
+            j = 2 * t + i - 5
+            j = min(max(j, 0), 2 * T - 1)
+            src = E[..., j // 2] if j % 2 == 0 else O[..., j // 2]
+            term = g[i] * src
+            acc = term if acc is None else acc + term
+        return acc
+
+    left = jnp.stack([col(t) for t in range(3)], axis=-1)
+    right = jnp.stack([col(t) for t in range(T - 3, T)], axis=-1)
+    y = jnp.concatenate([left, y[..., 3:T - 3], right], axis=-1)
+    return y.astype(dt)
+
+
 def _snake_act(p: Params, x: jnp.ndarray, logscale: bool,
                beta: bool) -> jnp.ndarray:
     """Activation1d(Snake/SnakeBeta): up2 -> snake -> down2
     (bigvgan.py:158-271)."""
+    mode = _resample_mode()
+    if mode == "pallas" and x.shape[-1] >= 8:
+        from ..ops.pallas_snake import snake_resample2
+        a = p["alpha"].astype(jnp.float32)
+        b = p["beta"].astype(jnp.float32) if beta else a
+        if logscale:
+            a, b = jnp.exp(a), jnp.exp(b)
+        return snake_resample2(x, a, 1.0 / (b + 1e-9))
+    if mode == "fused" and x.shape[-1] >= 8:
+        return _snake_act_fused(p, x, logscale, beta)
     x = _up2(x)
     a = p["alpha"][None, :, None].astype(x.dtype)
     b = p["beta"][None, :, None].astype(x.dtype) if beta else a

@@ -213,27 +213,45 @@ def precompute_rel_biases(p: Params, t: int,
     }
 
 
-def forward(p: Params, x: jnp.ndarray, timesteps: jnp.ndarray,
-            code_emb: jnp.ndarray,
-            cfg: DiffusionConfig = DiffusionConfig(),
-            rel_biases=None) -> jnp.ndarray:
-    """x: (B, 100, T); timesteps: (B,) *original-schedule* values;
-    code_emb: (B, C, T) from timestep_independent / unconditioned_embedding.
-    rel_biases: optional precompute_rel_biases() output (loop hoisting).
-    Returns (B, 200, T) [mean | variance-values].
-    """
+def embed_time(p: Params, timesteps: jnp.ndarray,
+               cfg: DiffusionConfig = DiffusionConfig(),
+               dtype=jnp.float32) -> jnp.ndarray:
+    """timesteps (*original-schedule* values, any leading shape) ->
+    time-embedding vectors (..., C) (diffusion.py:1517-1524)."""
     C = cfg.model_channels
-    time_emb = sinusoidal_timestep_embedding(timesteps, C).astype(x.dtype)
-    time_emb = linear(p["time_embed_2"], silu(linear(p["time_embed_0"], time_emb)))
+    time_emb = sinusoidal_timestep_embedding(timesteps, C).astype(dtype)
+    return linear(p["time_embed_2"], silu(linear(p["time_embed_0"],
+                                                 time_emb)))
 
+
+def integrate_conditioning(p: Params, code_emb: jnp.ndarray,
+                           time_emb: jnp.ndarray,
+                           cfg: DiffusionConfig = DiffusionConfig(),
+                           rel_biases=None) -> jnp.ndarray:
+    """conditioning_timestep_integrator (diffusion.py:1449-1453, applied
+    at 1539-1541): 3 DiffusionLayers over code_emb conditioned on the
+    timestep embedding.  This is the only timestep-*dependent* work that
+    does not depend on the sampler state x, so samplers with a fixed
+    step schedule hoist it out of the scan (see inference._jit_diffusion)
+    and batch it over all steps."""
     bi = rel_biases["integrator"] if rel_biases else [None] * 3
-    bl = rel_biases["layers"] if rel_biases else [None] * len(p["layers"])
-
     h = code_emb
     for lyr, bias in zip(p["conditioning_timestep_integrator"], bi):
         h = _diffusion_layer(lyr, h, time_emb, cfg.num_heads, bias=bias)
+    return h
+
+
+def forward_trunk(p: Params, x: jnp.ndarray, time_emb: jnp.ndarray,
+                  h: jnp.ndarray, cfg: DiffusionConfig = DiffusionConfig(),
+                  rel_biases=None) -> jnp.ndarray:
+    """Denoiser trunk after the conditioning integrator: x (B, 100, T),
+    time_emb (B, C), h = integrate_conditioning output (B, C, T).
+    Returns (B, 200, T) [mean | variance-values] (diffusion.py:1542-1574).
+    """
+    C = cfg.model_channels
+    bl = rel_biases["layers"] if rel_biases else [None] * len(p["layers"])
     xh = conv1d(p["inp_block"], x, padding=1)
-    xh = jnp.concatenate([xh, h], axis=1)
+    xh = jnp.concatenate([xh, h.astype(xh.dtype)], axis=1)
     xh = conv1d(p["integrating_conv"], xh)
     for lyr, bias in zip(p["layers"], bl):
         xh = _diffusion_layer(lyr, xh, time_emb, cfg.num_heads, bias=bias)
@@ -243,3 +261,17 @@ def forward(p: Params, x: jnp.ndarray, timesteps: jnp.ndarray,
     out = group_norm(p["out_norm"], xh, norm_groups(C))
     out = silu(out)
     return conv1d(p["out_conv"], out, padding=1)
+
+
+def forward(p: Params, x: jnp.ndarray, timesteps: jnp.ndarray,
+            code_emb: jnp.ndarray,
+            cfg: DiffusionConfig = DiffusionConfig(),
+            rel_biases=None) -> jnp.ndarray:
+    """x: (B, 100, T); timesteps: (B,) *original-schedule* values;
+    code_emb: (B, C, T) from timestep_independent / unconditioned_embedding.
+    rel_biases: optional precompute_rel_biases() output (loop hoisting).
+    Returns (B, 200, T) [mean | variance-values].
+    """
+    time_emb = embed_time(p, timesteps, cfg, x.dtype)
+    h = integrate_conditioning(p, code_emb, time_emb, cfg, rel_biases)
+    return forward_trunk(p, x, time_emb, h, cfg, rel_biases)

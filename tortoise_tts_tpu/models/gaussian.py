@@ -123,9 +123,12 @@ def get_schedule(steps: int = 80, cond_free: bool = True,
 # shared mean/variance computation
 # ---------------------------------------------------------------------------
 
-# model_fn(x, t_original) -> (B, 2C, T): called with stacked [cond; uncond]
-# batch when sched.conditioning_free.
-ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# model_fn(x, t_original, t_respaced) -> (B, 2C, T): called with stacked
+# [cond; uncond] batch when sched.conditioning_free.  t_respaced is the
+# scalar respaced step index — model_fns that precompute per-step state
+# outside the scan (e.g. the hoisted conditioning integrator) use it to
+# look up their slice; others may ignore it.
+ModelFn = Callable[..., jnp.ndarray]
 
 
 def _tab(arr: np.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -142,7 +145,7 @@ def p_mean_variance(model_fn: ModelFn, x: jnp.ndarray, t: jnp.ndarray,
     t_orig = jnp.asarray(sched.timestep_map)[t]
     if sched.conditioning_free:
         xin = jnp.concatenate([x, x], axis=0)
-        out = model_fn(xin, jnp.full((2 * b,), t_orig))
+        out = model_fn(xin, jnp.full((2 * b,), t_orig), t)
         out_cond, out_uncond = jnp.split(out, 2, axis=0)
         eps_cond, var_values = jnp.split(out_cond.astype(jnp.float32), 2, axis=1)
         eps_uncond = jnp.split(out_uncond.astype(jnp.float32), 2, axis=1)[0]
@@ -153,7 +156,7 @@ def p_mean_variance(model_fn: ModelFn, x: jnp.ndarray, t: jnp.ndarray,
             cfk = jnp.asarray(sched.conditioning_free_k, jnp.float32)
         eps = (1 + cfk) * eps_cond - cfk * eps_uncond
     else:
-        out = model_fn(x, jnp.full((b,), t_orig))
+        out = model_fn(x, jnp.full((b,), t_orig), t)
         eps, var_values = jnp.split(out.astype(jnp.float32), 2, axis=1)
 
     # learned_range variance (diffusion.py:365-373)

@@ -1,0 +1,182 @@
+"""Pallas TPU kernel for BigVGAN's anti-aliased Snake activation.
+
+The reference Activation1d (bigvgan.py:158-271) is up2 (k=12 kaiser
+FIR, 2x zero-stuff) -> snake -> down2 (k=12 kaiser FIR, stride 2).  As
+plain XLA ops the 2x-upsampled intermediate and the FIR framings round-
+trip HBM ~6x per activation, and the generator runs 109 activations per
+utterance — the resamplers alone measured ~110 ms of a 179 ms BigVGAN
+pass at T=896 mel frames.
+
+This kernel evaluates the whole chain in VMEM in one pass using the
+polyphase form over even/odd streams of the upsampled signal u
+(E[t]=u[2t], O[t]=u[2t+1]; f = g = kaiser_sinc_filter(0.25, 0.3, 12)):
+
+    E[t] = 2*(f1 x[t+2] + f3 x[t+1] + f5 x[t]
+              + f7 x[t-1] + f9 x[t-2] + f11 x[t-3])
+    O[t] = 2*(f0 x[t+3] + f2 x[t+2] + f4 x[t+1]
+              + f6 x[t]  + f8 x[t-1] + f10 x[t-2])
+    s(v) = v + inv_b * sin(a*v)^2            (applied to E and O)
+    y[t] = g1 E[t-2] + g3 E[t-1] + g5 E[t] + g7 E[t+1]
+         + g9 E[t+2] + g11 E[t+3]
+         + g0 O[t-3] + g2 O[t-2] + g4 O[t-1] + g6 O[t]
+         + g8 O[t+1] + g10 O[t+2]
+
+so HBM traffic is one read + one write of (B, C, T).  The reference
+edge-pads the *interleaved* stream v (v[0] replicated on the left,
+v[2T-1] on the right), which per-stream shifts cannot express; the
+three boundary columns on each side are recomputed exactly in-kernel
+from the same E/O values.
+
+Numerics: FIR taps and snake run in fp32 regardless of storage dtype
+(the taps sum to 1; bf16 accumulation would cost ~2 decimal digits).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend only exists on TPU builds
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _snake_kernel(c_ref, r_ref, ab_ref, o_ref, *, block: int, T: int,
+                  f: tuple, patches: dict):
+    """c_ref/r_ref: (R, block) current / next column-block of the padded
+    input (halo comes from the first lanes of the next block); ab_ref:
+    (R, 2) fp32 [exp'd alpha, 1/(beta+eps)]; o_ref: (R, block)."""
+    buf = jnp.concatenate([c_ref[...], r_ref[:, :128]], axis=1)
+    buf = buf.astype(jnp.float32)
+    a = ab_ref[:, 0:1]
+    inv_b = ab_ref[:, 1:2]
+    W = block + 6
+
+    def tap(k, off):
+        return f[k] * jax.lax.slice_in_dim(buf, off, off + W, axis=1)
+
+    # E_w[u] / O_w[u] = E/O at global t = i*block - 3 + u; x[t+s] lives
+    # at buf[:, u + 3 + s]
+    E = 2.0 * (tap(1, 5) + tap(3, 4) + tap(5, 3)
+               + tap(7, 2) + tap(9, 1) + tap(11, 0))
+    O = 2.0 * (tap(0, 6) + tap(2, 5) + tap(4, 4)
+               + tap(6, 3) + tap(8, 2) + tap(10, 1))
+    E = E + inv_b * jnp.square(jnp.sin(E * a))
+    O = O + inv_b * jnp.square(jnp.sin(O * a))
+
+    def down(src, k, off):
+        return f[k] * jax.lax.slice_in_dim(src, off, off + block, axis=1)
+
+    # y[i*block + v] reads E[t+s] at E[:, v + s + 3] (s in -2..3) and
+    # O[t+s] at O[:, v + s + 3] (s in -3..2)
+    y = (down(E, 1, 1) + down(E, 3, 2) + down(E, 5, 3)
+         + down(E, 7, 4) + down(E, 9, 5) + down(E, 11, 6)
+         + down(O, 0, 0) + down(O, 2, 1) + down(O, 4, 2)
+         + down(O, 6, 3) + down(O, 8, 4) + down(O, 10, 5))
+    o_ref[...] = y.astype(o_ref.dtype)
+
+    # Exact boundary columns (reference pads interleaved v with edge
+    # values).  `patches` maps block-index -> list of global columns.
+    i = pl.program_id(1)
+    for ib, cols in patches.items():
+        @pl.when(i == ib)
+        def _(cols=cols, ib=ib):
+            for t in cols:
+                acc = None
+                for k in range(12):
+                    j = min(max(2 * t + k - 5, 0), 2 * T - 1)
+                    u = j // 2 - ib * block + 3
+                    src = E if j % 2 == 0 else O
+                    term = f[k] * src[:, u]
+                    acc = term if acc is None else acc + term
+                o_ref[:, t - ib * block] = acc.astype(o_ref.dtype)
+
+
+def snake_resample2(x: jnp.ndarray, alpha: jnp.ndarray,
+                    inv_beta: jnp.ndarray, *, block_t: int = 0,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused up2 -> snake -> down2 for ratio 2 / k=12 kaiser filters.
+
+    x: (B, C, T); alpha, inv_beta: (C,) fp32 — alpha already exp'd when
+    logscale, inv_beta = 1/(beta+1e-9) (or 1/(alpha+1e-9) for plain
+    Snake).  Returns (B, C, T) in x.dtype.
+    """
+    B, C, T = x.shape
+    rows = B * C
+    f = kaiser12()
+
+    if not block_t:
+        # BigVGAN's late stages have few channels and very long T
+        # (e.g. 24 x 232k); a fixed small block there means hundreds of
+        # tiny grid steps whose fixed cost dominates.  Size the block so
+        # one step touches >= ~384k elements (VMEM use stays < ~8 MB
+        # fp32 across the four working buffers), capped at 8192 lanes.
+        block_t = max(512, min(8192, -(-393216 // max(rows, 1)) // 512 * 512))
+    nblk = -(-T // block_t)
+    xlen = (nblk + 1) * block_t
+    row_pad = (-rows) % 8
+    xp = jnp.pad(x.reshape(rows, T), ((0, row_pad), (6, xlen - T - 6)),
+                 mode="edge")
+    rp = rows + row_pad
+    rblk = next(r for r in (64, 56, 48, 40, 32, 24, 16, 8) if rp % r == 0)
+
+    ab = jnp.stack(
+        [jnp.tile(alpha.astype(jnp.float32), B),
+         jnp.tile(inv_beta.astype(jnp.float32), B)], axis=1)
+    if row_pad:
+        ab = jnp.pad(ab, ((0, row_pad), (0, 0)), mode="edge")
+
+    patches: dict = {}
+    for t in list(range(min(3, T))) + list(range(max(T - 3, 3), T)):
+        patches.setdefault(t // block_t, []).append(t)
+
+    kernel = functools.partial(_snake_kernel, block=block_t, T=T,
+                               f=tuple(float(v) for v in f),
+                               patches=patches)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        # the unrolled tap slices keep several (rblk, block_t) fp32
+        # temporaries live; the default 16 MB scoped-vmem cap rejects
+        # the large low-channel blocks (v5e has 128 MB VMEM)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rp // rblk, nblk),
+        in_specs=[
+            pl.BlockSpec((rblk, block_t), lambda r, i: (r, i)),
+            pl.BlockSpec((rblk, block_t), lambda r, i: (r, i + 1)),
+            pl.BlockSpec((rblk, 2), lambda r, i: (r, 0)),
+        ],
+        out_specs=pl.BlockSpec((rblk, block_t), lambda r, i: (r, i)),
+        out_shape=jax.ShapeDtypeStruct((rp, nblk * block_t), x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(xp, xp, ab)
+    return out[:rows, :T].reshape(B, C, T)
+
+
+@functools.lru_cache(maxsize=1)
+def kaiser12():
+    """kaiser_sinc_filter(0.25, 0.3, 12) — dup of bigvgan.kaiser_sinc_filter
+    to avoid a models->ops->models import cycle."""
+    import numpy as np
+    kernel_size, cutoff, half_width = 12, 0.25, 0.3
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    A = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    beta = 0.1102 * (A - 8.7) if A > 50.0 else (
+        0.5842 * (A - 21) ** 0.4 + 0.07886 * (A - 21.0) if A >= 21.0
+        else 0.0)
+    window = np.kaiser(kernel_size, beta)
+    time = np.arange(-half_size, half_size) + 0.5
+    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+    filt /= filt.sum()
+    return filt.astype(np.float32)
