@@ -215,6 +215,56 @@ def bench_decode_roof_int8():
     print(f"decode_roof_int8: {dt*1e3:.2f} ms/token")
 
 
+def bench_decode_roof_qgemv():
+    """Same roof loop driven through the Pallas int8 GEMV kernel
+    (ops/pallas_gemv.qgemv_stacked): stacked weights stay in HBM and
+    each token streams exactly the int8 tiles."""
+    from tortoise_tts_tpu.models import unified_voice as uv
+    from tortoise_tts_tpu.models.common import gelu_new
+    from tortoise_tts_tpu.ops.pallas_gemv import qgemv_stacked
+    cfg = uv.UnifiedVoiceConfig()
+    p = uv.init(jax.random.PRNGKey(0), cfg)
+    lp = uv._layer_params(p["gpt"])
+
+    def quant(w):
+        s = jnp.max(jnp.abs(w), axis=-2) / 127.0 + 1e-12
+        return (jnp.round(w / s[..., None, :]).astype(jnp.int8),
+                s.astype(jnp.float32))
+
+    names = ("attn_qkv", "attn_proj", "mlp_fc", "mlp_proj")
+    q = {n: quant(lp[n]["w"]) for n in names}
+    bias = {n: (lp[n]["b"].astype(jnp.float32) if "b" in lp[n] else None)
+            for n in names}
+    L = cfg.layers
+    N = 200
+
+    @jax.jit
+    def loop(q, bias):
+        x0 = jnp.ones((1, cfg.model_dim), jnp.bfloat16)
+
+        def token(x, _):
+            def layer(h, li):
+                qkv = qgemv_stacked(h, q["attn_qkv"][0], q["attn_qkv"][1],
+                                    bias["attn_qkv"], li)
+                qh = jnp.split(qkv, 3, axis=-1)[0]
+                h = h + qgemv_stacked(qh, q["attn_proj"][0],
+                                      q["attn_proj"][1],
+                                      bias["attn_proj"], li)
+                m = qgemv_stacked(h, q["mlp_fc"][0], q["mlp_fc"][1],
+                                  bias["mlp_fc"], li)
+                h = h + qgemv_stacked(gelu_new(m), q["mlp_proj"][0],
+                                      q["mlp_proj"][1],
+                                      bias["mlp_proj"], li)
+                return h, None
+            h, _ = jax.lax.scan(layer, x, jnp.arange(L))
+            return h, None
+        h, _ = jax.lax.scan(token, x0, None, length=N)
+        return h
+
+    dt = timeit(loop, q, bias, n=3, warmup=1) / N
+    print(f"decode_roof_qgemv: {dt*1e3:.2f} ms/token")
+
+
 def bench_vocoder():
     from functools import partial
 
@@ -380,8 +430,8 @@ def bench_diffparts():
 
     lat = jnp.zeros((1, 224, 1024), jnp.float32)
     cond = jnp.zeros((1, 2048), jnp.float32)
-    tsi = jax.jit(partial(diff_m.timestep_independent, seq_len=975,
-                          cfg=cfg))
+    tsi = jax.jit(partial(diff_m.timestep_independent,
+                          expected_seq_len=975, cfg=cfg))
     dt = timeit(lambda: tsi(p, lat, cond), n=3, warmup=1)
     print(f"timestep_independent seq=975: {dt*1e3:.1f} ms")
 
@@ -409,6 +459,8 @@ if __name__ == "__main__":
         bench_decode_roof()
     if "roof8" in which:
         bench_decode_roof_int8()
+    if "roofq" in which:
+        bench_decode_roof_qgemv()
     if "vocoder" in which:
         bench_vocoder()
     if "snake" in which:

@@ -272,14 +272,30 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     mask = valid[:, None, None, :]
     L = cache.k.shape[0]
     lp_all = _layer_params(gpt)
-    if qgpt is not None:
+    # Quantized GEMVs go through the Pallas kernel with the FULL stacked
+    # (L, in, out) int8 weights + a scalar-prefetched layer index: fed
+    # through the scan xs instead, XLA copies each sliced layer before
+    # the dot AND materialises the int8->bf16 convert (measured 1.27
+    # ms/token for the GEMV roof vs 0.77 through the kernel on v5e).
+    use_kernel = (qgpt is not None and jax.default_backend() == "tpu"
+                  and os.environ.get("TTS_QGEMV", "1") != "0")
+    if qgpt is not None and not use_kernel:
         lp_all = {**lp_all, **qgpt}
+
+    def qlin(lp, name, li, h):
+        if not use_kernel:
+            return _qlinear(lp[name], h)
+        from ..ops.pallas_gemv import qgemv_stacked
+        qp = qgpt[name]
+        y = qgemv_stacked(h.reshape(b, -1), qp["wq"], qp["s"],
+                          qp.get("b"), li)
+        return y.reshape(b, 1, -1)
 
     def body(carry, layer):
         x, ck, cv = carry
         lp, li = layer
         h = layer_norm(lp["ln_1"], x)
-        qkv = _qlinear(lp["attn_qkv"], h)
+        qkv = qlin(lp, "attn_qkv", li, h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)[None]
@@ -292,10 +308,10 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
         vc = lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
         a = mha(q, kc, vc, mask=mask)
         a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
-        x = x + _qlinear(lp["attn_proj"], a)
+        x = x + qlin(lp, "attn_proj", li, a)
         h2 = layer_norm(lp["ln_2"], x)
-        x = x + _qlinear(lp["mlp_proj"], gelu_new(_qlinear(lp["mlp_fc"],
-                                                           h2)))
+        x = x + qlin(lp, "mlp_proj", li,
+                     gelu_new(qlin(lp, "mlp_fc", li, h2)))
         return (x, ck, cv), None
 
     unroll = int(os.environ.get("TTS_DECODE_UNROLL", "1"))

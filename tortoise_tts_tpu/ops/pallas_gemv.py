@@ -1,0 +1,94 @@
+"""Pallas TPU kernel: weight-only int8 GEMV for the AR decode loop.
+
+The decode step is HBM-bound on weight streaming (~378 MB of int8 per
+token across the 30-layer GPT trunk).  Two problems with expressing the
+dequantised GEMV in plain XLA from inside the layer scan:
+
+1. ``jnp.dot(x, wq.astype(bf16))`` can materialise the int8->bf16
+   convert as its own fusion at GEMV shapes, doubling streamed bytes.
+2. a custom call (or any kernel) fed by a scan-sliced ``(L, K, N)``
+   weight forces an HBM->HBM copy of the slice first — tripling traffic.
+
+``qgemv_stacked`` fixes both: the kernel sees the FULL stacked int8
+weight in HBM and uses a scalar-prefetched layer index in its BlockSpec
+index map, so each grid step DMAs exactly one (K, block_n) int8 tile
+into VMEM and dequantises in-register before the MXU dot.
+
+Numerics match ``unified_voice._qlinear`` exactly: bf16 multiplicands,
+fp32 MXU accumulation, per-output-channel fp32 scale + optional fp32
+bias, cast back to the activation dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend only exists on TPU builds
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _qgemv_kernel(idx_ref, x_ref, w_ref, s_ref, b_ref, o_ref):
+    del idx_ref  # consumed by the index maps
+    w = w_ref[0].astype(x_ref.dtype)                  # (K, bn)
+    acc = jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (M, bn)
+    acc = acc * s_ref[0]
+    acc = acc + b_ref[0]
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def qgemv_stacked(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray,
+                  b: jnp.ndarray | None, li, block_n: int = 512,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Dequantised GEMV against layer ``li`` of a stacked weight.
+
+    x: (M, K) activations (M small); wq: (L, K, N) int8;
+    s: (L, N) fp32 per-channel scales; b: optional (L, N) or (N,) fp32
+    bias; li: traced scalar layer index.  Returns (M, N) in x.dtype.
+    """
+    m, k = x.shape
+    L, _, n = wq.shape
+    bn = min(block_n, n)
+    if (not _HAS_PLTPU and not interpret) or n % bn or k % 128:
+        w = wq[li]
+        y = jnp.dot(x, w.astype(x.dtype),
+                    preferred_element_type=jnp.float32) * s[li]
+        if b is not None:
+            y = y + (b[li] if b.ndim == 2 else b)
+        return y.astype(x.dtype)
+
+    s3 = s.reshape(L, 1, n).astype(jnp.float32)
+    if b is None:
+        b3 = jnp.zeros((1, 1, n), jnp.float32)
+    elif b.ndim == 1:
+        b3 = b.reshape(1, 1, n).astype(jnp.float32)
+    else:
+        b3 = b.reshape(L, 1, n).astype(jnp.float32)
+    lb = b3.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i, sref: (0, 0)),
+            pl.BlockSpec((1, k, bn), lambda i, sref: (sref[0], 0, i)),
+            pl.BlockSpec((1, 1, bn), lambda i, sref: (sref[0], 0, i)),
+            pl.BlockSpec((1, 1, bn),
+                         lambda i, sref, lb=lb: (
+                             jnp.minimum(sref[0], lb - 1), 0, i)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, sref: (0, i)),
+    )
+    return pl.pallas_call(
+        _qgemv_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), x, wq, s3, b3)
