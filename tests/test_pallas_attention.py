@@ -70,3 +70,48 @@ def test_flash_bias_fused_qkv_matches():
     got = flash_attention_bias_qkv(qkv, bias, h, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bias_kq_matches_xla():
+    """Transposed-score kernel (interpret) == XLA qkv_attention with the
+    same (untransposed) bias."""
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.ops.attention import qkv_attention
+    from tortoise_tts_tpu.ops.pallas_attention import \
+        flash_attention_bias_qkv_kq
+    for (b, h, d, t) in ((2, 4, 64, 300), (1, 2, 64, 513)):
+        qkv = jax.random.normal(jax.random.PRNGKey(0),
+                                (b, h * 3 * d, t), jnp.float32) * 0.5
+        bias = jax.random.normal(jax.random.PRNGKey(1), (h, t, t)) * 0.3
+        ref = qkv_attention(qkv, h, bias=bias)
+        got = flash_attention_bias_qkv_kq(qkv, jnp.swapaxes(bias, 1, 2),
+                                          h, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_rel_biases_kq_static_over_jit():
+    """RelBiases' orientation flag survives a jit boundary as static
+    aux data, and the transposed build equals the transpose of the
+    plain build."""
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.models import diffusion as dm
+    cfg = dm.DiffusionConfig(model_channels=64, num_layers=2,
+                             in_latent_channels=64, num_heads=4)
+    p = dm.init(jax.random.PRNGKey(0), cfg)
+    rb = dm.precompute_rel_biases(p, 33, cfg, jnp.float32)
+    rbt = dm.precompute_rel_biases(p, 33, cfg, jnp.float32,
+                                   transposed=True)
+    assert rb["kq"] is False and rbt["kq"] is True
+    for a, b in zip(rb["layers"], rbt["layers"]):
+        np.testing.assert_allclose(np.asarray(jnp.swapaxes(a, 1, 2)),
+                                   np.asarray(b), atol=1e-6)
+
+    @jax.jit
+    def through(r):
+        return bool(r.get("kq")), r["layers"][0]
+
+    kq_flag, _ = through(rbt)   # jit returns it as an array; the point
+    assert bool(kq_flag)        # is that bool() didn't raise while tracing

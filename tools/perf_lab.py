@@ -57,7 +57,9 @@ def bench_denoiser():
         x = jnp.zeros((2, 100, T), jnp.bfloat16)
         ts = jnp.zeros((2,), jnp.int32)
         ce = jnp.zeros((2, cfg.model_channels, T), jnp.bfloat16)
-        biases = diff_m.precompute_rel_biases(p, T, cfg, jnp.bfloat16)
+        biases = diff_m.precompute_rel_biases(
+            p, T, cfg, jnp.bfloat16,
+            transposed=os.environ.get("TTS_LAB_KQ") == "1")
 
         vary_ts = os.environ.get("TTS_VARY_TS") == "1"
 

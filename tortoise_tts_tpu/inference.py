@@ -16,6 +16,7 @@ arrays.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple
@@ -152,8 +153,16 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
     pdt = jnp.asarray(dparams["inp_block"]["w"]).dtype
     code_emb = code_emb.astype(pdt)
     # timestep-invariant rel-pos biases hoisted out of the scan (~70% of
-    # per-step cost when gathered inside the loop)
-    rel_biases = _dtts.precompute_rel_biases(dparams, T, dcfg, pdt)
+    # per-step cost when gathered inside the loop).  TTS_DENOISE_KQ=1
+    # switches to the transposed-score Pallas attention
+    # (flash_attention_bias_qkv_kq) — measured 9.5 vs 7.1 ms/step on
+    # v5e (Mosaic's per-op VMEM round trips on the softmax chain cost
+    # as much as XLA's fused HBM score materialization), so the XLA
+    # bf16-scores path stays the default.
+    kq = (jax.default_backend() == "tpu"
+          and os.environ.get("TTS_DENOISE_KQ", "0") == "1")
+    rel_biases = _dtts.precompute_rel_biases(dparams, T, dcfg, pdt,
+                                             transposed=kq)
 
     # Note: hoisting the conditioning_timestep_integrator out of the
     # scan (batched over all S steps via forward_trunk) was measured at

@@ -46,16 +46,21 @@ def attention_block_init(key, channels: int, num_heads: int = 1,
 
 def attention_block(p: Params, x: jnp.ndarray, num_heads: int,
                     mask: Optional[jnp.ndarray] = None,
-                    bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    bias: Optional[jnp.ndarray] = None,
+                    bias_kq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x: (B, C, T) -> (B, C, T).
 
     ``bias``: optional precomputed (H, T, T) rel-pos bias (already scaled)
     — pass it when this block runs inside a scan so the 60 MB gather is
-    hoisted out of the loop (see precompute_rel_bias)."""
+    hoisted out of the loop (see precompute_rel_bias).  ``bias_kq`` is
+    the same bias pre-TRANSPOSED to (H, S, Tq) for the transposed-score
+    Pallas attention path."""
     c = x.shape[1]
     h = group_norm(p["norm"], x, norm_groups(c))
     qkv = conv1d(p["qkv"], h)
-    if bias is not None:
+    if bias_kq is not None:
+        a = qkv_attention(qkv, num_heads, bias_kq=bias_kq, mask=mask)
+    elif bias is not None:
         a = qkv_attention(qkv, num_heads, bias=bias, mask=mask)
     else:
         rel_w = p.get("rel_pos", {}).get("w")

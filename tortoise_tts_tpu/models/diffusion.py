@@ -85,8 +85,11 @@ def _diffusion_layer_init(key, channels: int, num_heads: int) -> Params:
 
 
 def _diffusion_layer(p: Params, x: jnp.ndarray, time_emb: jnp.ndarray,
-                     num_heads: int, bias=None) -> jnp.ndarray:
+                     num_heads: int, bias=None,
+                     bias_kq: bool = False) -> jnp.ndarray:
     y = _ts_res_block(p["resblk"], x, time_emb)
+    if bias_kq and bias is not None:
+        return attention_block(p["attn"], y, num_heads, bias_kq=bias)
     return attention_block(p["attn"], y, num_heads, bias=bias)
 
 
@@ -195,9 +198,25 @@ def unconditioned_embedding(p: Params, batch: int, seq_len: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
+class RelBiases(dict):
+    """precompute_rel_biases result: {'integrator': [...], 'layers':
+    [...]} plus a STATIC 'kq' orientation flag — registered so the flag
+    survives jit boundaries as aux data instead of becoming a traced
+    bool leaf."""
+
+    def tree_flatten(self):
+        return ((self["integrator"], self["layers"]),
+                bool(self.get("kq", False)))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(integrator=children[0], layers=children[1], kq=aux)
+
+
 def precompute_rel_biases(p: Params, t: int,
                           cfg: DiffusionConfig = DiffusionConfig(),
-                          dtype=None):
+                          dtype=None, transposed: bool = False):
     """Hoist the T5 rel-pos bias tables of the scan-resident attention
     blocks (conditioning_timestep_integrator + trunk layers) out of the
     sampling loop — they are timestep-invariant and cost ~70% of a
@@ -219,19 +238,27 @@ def precompute_rel_biases(p: Params, t: int,
         from .arch import precompute_rel_bias
         per = [precompute_rel_bias(l["attn"], t, H, C, dtype)
                for l in blocks]
-        return {"integrator": per[:3], "layers": per[3:]}
+        if transposed:
+            per = [jnp.swapaxes(b, 1, 2) for b in per]
+        return RelBiases(integrator=per[:3], layers=per[3:],
+                         kq=transposed)
 
     cdt = dtype or jnp.float32
     W = jnp.concatenate([w.astype(cdt) for w in tables], axis=1)  # (nb,13H)
     nb = W.shape[0]
-    bucket = jnp.asarray(t5_rel_pos_bucket(t, t, num_buckets=nb))
+    bucket = t5_rel_pos_bucket(t, t, num_buckets=nb)
+    if transposed:
+        # (H, S, Tq) tiles for the transposed-score attention kernel —
+        # transposing the static bucket matrix is free
+        bucket = bucket.T
+    bucket = jnp.asarray(bucket)
     onehot = (bucket[..., None] == jnp.arange(nb)).astype(cdt)
     vals = jnp.einsum("qkb,bn->nqk", onehot, W,
                       preferred_element_type=jnp.float32)
     vals = vals * _math.sqrt(C // H)
     vals = vals.reshape(len(blocks), H, t, t).astype(cdt)
     per = [vals[i] for i in range(len(blocks))]
-    return {"integrator": per[:3], "layers": per[3:]}
+    return RelBiases(integrator=per[:3], layers=per[3:], kq=transposed)
 
 
 def embed_time(p: Params, timesteps: jnp.ndarray,
@@ -256,9 +283,11 @@ def integrate_conditioning(p: Params, code_emb: jnp.ndarray,
     step schedule hoist it out of the scan (see inference._jit_diffusion)
     and batch it over all steps."""
     bi = rel_biases["integrator"] if rel_biases else [None] * 3
+    kq = bool(rel_biases.get("kq")) if rel_biases else False
     h = code_emb
     for lyr, bias in zip(p["conditioning_timestep_integrator"], bi):
-        h = _diffusion_layer(lyr, h, time_emb, cfg.num_heads, bias=bias)
+        h = _diffusion_layer(lyr, h, time_emb, cfg.num_heads, bias=bias,
+                             bias_kq=kq)
     return h
 
 
@@ -271,11 +300,13 @@ def forward_trunk(p: Params, x: jnp.ndarray, time_emb: jnp.ndarray,
     """
     C = cfg.model_channels
     bl = rel_biases["layers"] if rel_biases else [None] * len(p["layers"])
+    kq = bool(rel_biases.get("kq")) if rel_biases else False
     xh = conv1d(p["inp_block"], x, padding=1)
     xh = jnp.concatenate([xh, h.astype(xh.dtype)], axis=1)
     xh = conv1d(p["integrating_conv"], xh)
     for lyr, bias in zip(p["layers"], bl):
-        xh = _diffusion_layer(lyr, xh, time_emb, cfg.num_heads, bias=bias)
+        xh = _diffusion_layer(lyr, xh, time_emb, cfg.num_heads, bias=bias,
+                              bias_kq=kq)
     for rb in p["final_res"]:
         xh = _ts_res_block(rb, xh, time_emb)
     xh = xh.astype(jnp.float32)

@@ -67,7 +67,8 @@ def qkv_attention(qkv: jnp.ndarray, n_heads: int,
                   rel_pos_w: Optional[jnp.ndarray] = None,
                   rel_pos_scale: float = 1.0,
                   mask: Optional[jnp.ndarray] = None,
-                  bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  bias: Optional[jnp.ndarray] = None,
+                  bias_kq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Fused-QKV attention over channels-major sequences.
 
     qkv: (B, H*3*C, T) with per-head [q;k;v] channel interleave
@@ -81,6 +82,18 @@ def qkv_attention(qkv: jnp.ndarray, n_heads: int,
     b, width, t = qkv.shape
     ch = width // (3 * n_heads)
     import os
+    if bias_kq is not None:
+        # Transposed-bias Pallas path: scores stay (S, bq) in VMEM —
+        # both matmuls MXU-native, zero large transposes, and none of
+        # the ~256 MB/block score materialization of the XLA path.
+        if (mask is None and t >= 256
+                and (jax.default_backend() == "tpu"
+                     or os.environ.get("TTS_FLASH_KQ_INTERPRET") == "1")):
+            from .pallas_attention import flash_attention_bias_qkv_kq
+            return flash_attention_bias_qkv_kq(
+                qkv, bias_kq, n_heads,
+                interpret=jax.default_backend() != "tpu")
+        bias = jnp.swapaxes(bias_kq, 1, 2)
     if (bias is not None and mask is None and t >= 256
             and jax.default_backend() == "tpu"
             and os.environ.get("TTS_FLASH_BIAS", "0") == "1"):

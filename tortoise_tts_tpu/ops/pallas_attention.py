@@ -101,6 +101,93 @@ def flash_attention_bias_qkv(qkv: jnp.ndarray, bias: jnp.ndarray,
     return out.reshape(b, n_heads * d, -1)[..., :s]
 
 
+def _attn_bias_kq_kernel(q_ref, k_ref, v_ref, bt_ref, o_ref, *,
+                         scale: float):
+    """Score-TRANSPOSED block: dots live as (S, bq) so both matmuls are
+    MXU-native (contraction dim on lhs lanes / rhs sublanes) — the
+    (bq, S) orientation of `_attn_bias_kernel` forces Mosaic to
+    transpose the 4 MB fp32 softmaxed scores before the AV matmul,
+    which measured ~2x the whole XLA attention cost.  bt_ref is the
+    (1, S, bq) *transposed* bias tile (built transposed for free from
+    the static bucket matrix); softmax reduces over sublanes (S)."""
+    dots = jax.lax.dot_general(k_ref[0], q_ref[0],
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dots = dots * scale + bt_ref[0].astype(jnp.float32)   # (S, bq)
+    m = jnp.max(dots, axis=0, keepdims=True)
+    e = jnp.exp(dots - m)
+    p = (e / jnp.sum(e, axis=0, keepdims=True)).astype(v_ref.dtype)
+    o = jax.lax.dot_general(v_ref[0], p, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)                      # (1, D, bq)
+
+
+def flash_attention_bias_qkv_kq(qkv: jnp.ndarray, bias_t: jnp.ndarray,
+                                n_heads: int, block_q: int = 1024,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Transposed-score variant of flash_attention_bias_qkv.
+
+    qkv: (B, H*3*D, T) fused channels-major tensor; bias_t: (H, S, Tq)
+    — the TRANSPOSE of the usual (H, Tq, S) additive bias, already
+    scaled.  Returns (B, H*D, T).
+
+    Grid is (q-blocks, heads, batch) with batch innermost so the bias
+    tile's index map is batch-invariant and Pallas re-uses the DMA'd
+    tile across the batch."""
+    b, width, s = qkv.shape
+    d = width // (3 * n_heads)
+    if not _HAS_PLTPU and not interpret:
+        from .attention import qkv_attention
+        return qkv_attention(qkv, n_heads,
+                             bias=jnp.swapaxes(bias_t, 1, 2))
+    h = n_heads
+    scale = 1.0 / math.sqrt(d)
+    sp = -(-s // 128) * 128
+    bq = sp if sp <= max(block_q, 1024) else max(block_q, 128)
+    sp = -(-sp // bq) * bq
+    pad = sp - s
+    f = qkv.reshape(b * h * 3, d, s)
+    if pad:
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, pad)))
+        # padded KEYS (axis 1) must be masked out pre-softmax; padded
+        # query columns (axis 2) just need finite values (sliced off)
+        bias_t = jnp.pad(bias_t, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=NEG_INF)
+        bias_t = jnp.pad(bias_t, ((0, 0), (0, 0), (0, pad)))
+
+    grid = (sp // bq, h, b)
+    kernel = functools.partial(_attn_bias_kq_kernel, scale=scale)
+    in_specs = [
+        pl.BlockSpec((1, d, bq),
+                     lambda j, hi, bi, h=h: (3 * (bi * h + hi), 0, j)),
+        pl.BlockSpec((1, d, sp),
+                     lambda j, hi, bi, h=h: (3 * (bi * h + hi) + 1, 0, 0)),
+        pl.BlockSpec((1, d, sp),
+                     lambda j, hi, bi, h=h: (3 * (bi * h + hi) + 2, 0, 0)),
+        pl.BlockSpec((1, sp, bq), lambda j, hi, bi: (hi, 0, j)),
+    ]
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * 2 * sp * sp * d * (b * h),
+            transcendentals=sp * sp * b * h,
+            bytes_accessed=(3 * b * h * d * sp + h * sp * sp) * 2)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sp), qkv.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, d, bq),
+                               lambda j, hi, bi, h=h: (bi * h + hi, 0, j)),
+        interpret=interpret,
+        **kwargs,
+    )(f, f, f, bias_t)
+    return out.reshape(b, h * d, -1)[..., :s]
+
+
 def _bias_cm_call(qf, kf, vf, bias, b, h, d, s, block_q, interpret,
                   fused: bool = False):
     scale = 1.0 / math.sqrt(d)
