@@ -284,3 +284,29 @@ def test_device_cleanup_trim_matches_host(tts):
         np.testing.assert_allclose(np.asarray(got_lat),
                                    np.asarray(ref_lat),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_uncond_integrator_precompute_equivalence(tts):
+    """_jit_diffusion with the cached unconditional-integrator
+    precompute (uncond_h) produces the same mel as the fused B=2 path."""
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.inference import (_jit_diffusion,
+                                            _jit_uncond_integrate)
+    diffusion = tts._model("diffusion")
+    steps, seq, n_lat = 6, 88, 24
+    latents = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 32, diffusion.config.in_latent_channels)), jnp.float32)
+    cond = jnp.asarray(np.random.default_rng(1).normal(
+        size=(1, 2 * diffusion.config.model_channels)), jnp.float32)
+    key = jnp.zeros((2,), jnp.uint32)
+    ref = _jit_diffusion(diffusion.params, latents, cond, key,
+                         diffusion.config, steps, "ddim", seq, True, 1.0,
+                         n_lat=n_lat, t_lat=jnp.int32(20))
+    uh = _jit_uncond_integrate(diffusion.params, diffusion.config,
+                               steps, 2.0, seq)
+    got = _jit_diffusion(diffusion.params, latents, cond, key,
+                         diffusion.config, steps, "ddim", seq, True, 1.0,
+                         n_lat=n_lat, t_lat=jnp.int32(20), uncond_h=uh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)

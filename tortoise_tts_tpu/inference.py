@@ -105,7 +105,7 @@ def _jit_cleanup_latents(params, cond, text, text_lengths, codes, lengths,
 def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
                    sampler, seq_len, cond_free, diffusion_temp=1.0,
                    cond_free_k=2.0, n_lat=None, t_lat=None,
-                   pad_seq_len=None):
+                   pad_seq_len=None, uncond_h=None):
     """timestep_independent + noise + full DDIM/P scan in one compiled
     program (noise is generated in-graph — a host-side
     jax.random.normal would be one extra eager dispatch through the
@@ -140,7 +140,7 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
                                      dcfg)
     if T > seq_len:
         pre = jnp.pad(pre, ((0, 0), (0, 0), (0, T - seq_len)), mode="edge")
-    if cond_free:
+    if cond_free and uncond_h is None:
         uncond = _dtts.unconditioned_embedding(dparams, b, T)
         code_emb = jnp.concatenate([pre.astype(jnp.float32),
                                     uncond.astype(jnp.float32)], axis=0)
@@ -168,9 +168,26 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
     # scan (batched over all S steps via forward_trunk) was measured at
     # parity — the in-scan B=2/T=1024 matmuls are already MXU-efficient,
     # and the (S, B, C, T) precompute adds ~400 MB of HBM round-trip.
-    def model_fn(x, ts, t_idx=None):
-        return _dtts.forward(dparams, x.astype(pdt), ts, code_emb, dcfg,
-                             rel_biases=rel_biases)
+    if cond_free and uncond_h is not None:
+        # The UNCONDITIONAL integrator branch depends only on (weights,
+        # T, schedule) — precomputed once per shape by
+        # TTS._uncond_integrated and cached across utterances.  The
+        # in-scan integrator then runs at B=1 (cond row only): ~0.8
+        # ms/step saved at production shapes.
+        uh = uncond_h.astype(pdt)
+
+        def model_fn(x, ts, t_idx):
+            te = _dtts.embed_time(dparams, ts, dcfg, pdt)
+            h_c = _dtts.integrate_conditioning(
+                dparams, code_emb, te[:b], dcfg, rel_biases)
+            h_u = jnp.broadcast_to(uh[t_idx], h_c.shape)
+            h = jnp.concatenate([h_c, h_u], axis=0)
+            return _dtts.forward_trunk(dparams, x.astype(pdt), te, h,
+                                       dcfg, rel_biases=rel_biases)
+    else:
+        def model_fn(x, ts, t_idx=None):
+            return _dtts.forward(dparams, x.astype(pdt), ts, code_emb,
+                                 dcfg, rel_biases=rel_biases)
 
     k_noise, k_samp = jax.random.split(key)
     noise = jax.random.normal(k_noise, (b, 100, T),
@@ -178,6 +195,33 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
     mel = gaussian.sample_loop(model_fn, noise, k_samp, sched,
                                sampler=sampler)
     return denormalize_tacotron_mel(mel)
+
+
+@partial(jax.jit, static_argnames=("dcfg", "steps", "cond_free_k", "T"))
+def _jit_uncond_integrate(dparams, dcfg, steps, cond_free_k, T):
+    """Per-step conditioning_timestep_integrator outputs for the
+    UNCONDITIONAL guidance branch — a pure function of (weights, T,
+    schedule), so TTS caches the (S, 1, C, T) result across utterances
+    and _jit_diffusion's scan gathers its 2 MB slice instead of running
+    the integrator at B=2 every step."""
+    sched = gaussian.get_schedule(steps=steps, cond_free=True,
+                                  cond_free_k=cond_free_k)
+    pdt = jnp.asarray(dparams["inp_block"]["w"]).dtype
+    kq = (jax.default_backend() == "tpu"
+          and os.environ.get("TTS_DENOISE_KQ", "0") == "1")
+    rel_biases = _dtts.precompute_rel_biases(dparams, T, dcfg, pdt,
+                                             transposed=kq)
+    uncond = _dtts.unconditioned_embedding(dparams, 1, T).astype(pdt)
+    temb = _dtts.embed_time(dparams, jnp.asarray(sched.timestep_map),
+                            dcfg, pdt)                    # (S, C)
+
+    def body(_, te):
+        h = _dtts.integrate_conditioning(dparams, uncond, te[None], dcfg,
+                                         rel_biases)
+        return None, h
+
+    _, hs = jax.lax.scan(body, None, temb)
+    return hs                                             # (S, 1, C, T)
 
 
 @partial(jax.jit, static_argnames=("cfg", "as_i16"))
@@ -329,6 +373,21 @@ class TTS:
         if len(self._voice_cache) < 16:
             self._voice_cache[cache_key] = enc
         return enc
+
+    def _uncond_integrated(self, diffusion, steps: int,
+                           cond_free_k: float, T: int):
+        """Cached per-(steps, k, T) unconditional-branch integrator
+        precompute (see _jit_uncond_integrate) — ~100 MB device-resident
+        per shape at production sizes, so keep only a few."""
+        key = (steps, float(cond_free_k), T)
+        if not hasattr(self, "_uncond_cache"):
+            self._uncond_cache = {}
+        if key not in self._uncond_cache:
+            if len(self._uncond_cache) >= 4:
+                self._uncond_cache.pop(next(iter(self._uncond_cache)))
+            self._uncond_cache[key] = _jit_uncond_integrate(
+                diffusion.params, diffusion.config, steps, cond_free_k, T)
+        return self._uncond_cache[key]
 
     def _bucket_text(self, tokens: np.ndarray) -> np.ndarray:
         buckets = self.cfg.inference.text_buckets
@@ -497,11 +556,16 @@ class TTS:
         pad_seq_len = None
         if mel_pad_multiple > 1:
             pad_seq_len = seq_len + ((-seq_len) % mel_pad_multiple)
+        T_run = pad_seq_len or seq_len
+        uh = (self._uncond_integrated(diffusion, max_diffusion_steps,
+                                      2.0, T_run)
+              if cond_free else None)
         mel = _jit_diffusion(
             diffusion.params, latents, np.asarray(diff_latent, np.float32),
             k_diff, diffusion.config, max_diffusion_steps,
             diffusion_sampler, seq_len, cond_free, diffusion_temp,
-            n_lat=n_lat, t_lat=t_lat, pad_seq_len=pad_seq_len)
+            n_lat=n_lat, t_lat=t_lat, pad_seq_len=pad_seq_len,
+            uncond_h=uh)
 
         voc = self._model("bigvgan" if vocoder_type == "bigvgan"
                           else "vocoder")
@@ -647,12 +711,17 @@ class TTS:
             if mel_pad_multiple > 1:
                 pad_seq_len = output_seq_len + \
                     ((-output_seq_len) % mel_pad_multiple)
+            T_run = pad_seq_len or output_seq_len
+            uh = (self._uncond_integrated(diffusion, max_diffusion_steps,
+                                          2.0, T_run)
+                  if cond_free else None)
             mel = _jit_diffusion(
                 diffusion.params, latents,
                 np.asarray(diff_latent, np.float32), k_diff,
                 diffusion.config, max_diffusion_steps, diffusion_sampler,
                 output_seq_len, cond_free, diffusion_temp,
-                n_lat=n_lat, t_lat=t_lat_d, pad_seq_len=pad_seq_len)
+                n_lat=n_lat, t_lat=t_lat_d, pad_seq_len=pad_seq_len,
+                uncond_h=uh)
             tick(f"diffusion_{pad_seq_len or output_seq_len}", mel)
             voc = self._model("bigvgan")
             wav = _jit_bigvgan(voc.params, mel, voc.config, as_i16=True,
@@ -709,11 +778,16 @@ class TTS:
             pad_seq_len = output_seq_len + \
                 ((-output_seq_len) % mel_pad_multiple)
 
+        T_run = pad_seq_len or output_seq_len
+        uh = (self._uncond_integrated(diffusion, max_diffusion_steps,
+                                      2.0, T_run)
+              if cond_free else None)
         mel = _jit_diffusion(
             diffusion.params, latents, np.asarray(diff_latent, np.float32),
             k_diff, diffusion.config, max_diffusion_steps,
             diffusion_sampler, output_seq_len, cond_free, diffusion_temp,
-            n_lat=n_lat, t_lat=np.int32(t_lat), pad_seq_len=pad_seq_len)
+            n_lat=n_lat, t_lat=np.int32(t_lat), pad_seq_len=pad_seq_len,
+            uncond_h=uh)
         tick(f"diffusion_{pad_seq_len or output_seq_len}", mel)
 
         # vocoder (inference.py:415-417) — runs on the *padded* mel so
