@@ -150,9 +150,12 @@ def test_pallas_snake_kernel_parity():
     elementwise polyphase XLA form both match the blocked up2->snake->
     down2 reference path exactly, including the interleaved-edge-pad
     boundary columns and block-boundary halos."""
+    import os
     from tortoise_tts_tpu.ops.pallas_snake import snake_resample2
     key = jax.random.PRNGKey(0)
     old = bv._RESAMPLE
+    mode = os.environ.get("TTS_BV_SNAKE_TEST", "mxu")
+    os.environ["TTS_BV_SNAKE"] = mode
     try:
         for (b, c, t) in ((1, 5, 224), (2, 24, 900), (1, 3, 513),
                           (1, 8, 8), (1, 8, 1025)):
@@ -173,3 +176,13 @@ def test_pallas_snake_kernel_parity():
                                        atol=2e-5, rtol=1e-5)
     finally:
         bv._RESAMPLE = old
+        os.environ.pop("TTS_BV_SNAKE", None)
+
+
+def test_pallas_snake_vpu_variant_parity():
+    import os
+    os.environ["TTS_BV_SNAKE_TEST"] = "vpu"
+    try:
+        test_pallas_snake_kernel_parity()
+    finally:
+        os.environ.pop("TTS_BV_SNAKE_TEST", None)

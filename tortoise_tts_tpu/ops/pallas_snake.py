@@ -99,6 +99,94 @@ def _snake_kernel(c_ref, r_ref, ab_ref, o_ref, *, block: int, T: int,
                 o_ref[:, t - ib * block] = acc.astype(o_ref.dtype)
 
 
+def _snake_kernel_mxu(c_ref, r_ref, ab_ref, mu_ref, me_ref, mo_ref,
+                      o_ref, *, block: int, T: int, f: tuple,
+                      patches: dict):
+    """MXU variant: the 24 FIR taps run as 128-aligned group frames
+    times static band matrices instead of lane-shifted VPU sums — the
+    VPU kernel is compute-bound on its misaligned slice taps (~1 ms per
+    activation); here only the snake transcendentals stay on the VPU.
+
+    mu_ref: (256, 256) up-band [E | O]; me_ref/mo_ref: (256, 128)
+    down-bands.  All frame slices are 128-aligned, so no vector
+    realignment is generated."""
+    dt = c_ref.dtype
+    buf = jnp.concatenate([c_ref[...], r_ref[:, :256]], axis=1)
+    a = ab_ref[:, 0:1]
+    inv_b = ab_ref[:, 1:2]
+    mu = mu_ref[...].astype(dt)
+    gups = block // 128 + 1                    # covers W6 = block + 6
+
+    eo = []
+    for g in range(gups):
+        frame = jax.lax.slice_in_dim(buf, g * 128, g * 128 + 256, axis=1)
+        eo.append(jax.lax.dot_general(
+            frame, mu, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    # snake stays fp32: Mosaic rejects bf16 sin, and the ~11M
+    # transcendentals per activation are this kernel's compute floor
+    E = jnp.concatenate([t[:, :128] for t in eo], axis=1)
+    O = jnp.concatenate([t[:, 128:] for t in eo], axis=1)
+    Eb = (E + inv_b * jnp.square(jnp.sin(E * a))).astype(dt)
+    Ob = (O + inv_b * jnp.square(jnp.sin(O * a))).astype(dt)
+
+    me = me_ref[...].astype(dt)
+    mo = mo_ref[...].astype(dt)
+    for g in range(block // 128):
+        fe = jax.lax.slice_in_dim(Eb, g * 128, g * 128 + 256, axis=1)
+        fo = jax.lax.slice_in_dim(Ob, g * 128, g * 128 + 256, axis=1)
+        y = (jax.lax.dot_general(fe, me, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(fo, mo, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32))
+        o_ref[:, g * 128:(g + 1) * 128] = y.astype(o_ref.dtype)
+
+    i = pl.program_id(1)
+    for ib, cols in patches.items():
+        @pl.when(i == ib)
+        def _(cols=cols, ib=ib):
+            for t in cols:
+                acc = None
+                for k in range(12):
+                    j = min(max(2 * t + k - 5, 0), 2 * T - 1)
+                    u = j // 2 - ib * block + 3
+                    src = Eb if j % 2 == 0 else Ob
+                    term = f[k] * src[:, u].astype(jnp.float32)
+                    acc = term if acc is None else acc + term
+                o_ref[:, t - ib * block] = acc.astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=4)
+def _band_matrices():
+    """Static band matrices for the MXU kernel (from kaiser12 taps).
+
+    up[j, c]     += 2*f[k] at j = c + off for E pairs
+                    (1,5)(3,4)(5,3)(7,2)(9,1)(11,0)  -> cols 0..127
+                 += 2*f[k] for O pairs (0,6)(2,5)(4,4)(6,3)(8,2)(10,1)
+                    -> cols 128..255
+    down_e[j, c] += f[k] at j = c + off for (1,1)(3,2)(5,3)(7,4)(9,5)(11,6)
+    down_o[j, c] += f[k] at j = c + off for (0,0)(2,1)(4,2)(6,3)(8,4)(10,5)
+    """
+    import numpy as np
+    f = kaiser12()
+    up = np.zeros((256, 256), np.float32)
+    for k, off in ((1, 5), (3, 4), (5, 3), (7, 2), (9, 1), (11, 0)):
+        for c in range(128):
+            up[c + off, c] += 2.0 * f[k]
+    for k, off in ((0, 6), (2, 5), (4, 4), (6, 3), (8, 2), (10, 1)):
+        for c in range(128):
+            up[c + off, 128 + c] += 2.0 * f[k]
+    de = np.zeros((256, 128), np.float32)
+    for k, off in ((1, 1), (3, 2), (5, 3), (7, 4), (9, 5), (11, 6)):
+        for c in range(128):
+            de[c + off, c] += f[k]
+    do = np.zeros((256, 128), np.float32)
+    for k, off in ((0, 0), (2, 1), (4, 2), (6, 3), (8, 4), (10, 5)):
+        for c in range(128):
+            do[c + off, c] += f[k]
+    return up, de, do
+
+
 def snake_resample2(x: jnp.ndarray, alpha: jnp.ndarray,
                     inv_beta: jnp.ndarray, *, block_t: int = 0,
                     interpret: bool = False) -> jnp.ndarray:
@@ -137,29 +225,47 @@ def snake_resample2(x: jnp.ndarray, alpha: jnp.ndarray,
     for t in list(range(min(3, T))) + list(range(max(T - 3, 3), T)):
         patches.setdefault(t // block_t, []).append(t)
 
-    kernel = functools.partial(_snake_kernel, block=block_t, T=T,
-                               f=tuple(float(v) for v in f),
-                               patches=patches)
+    import os
+    use_mxu = os.environ.get("TTS_BV_SNAKE", "mxu") == "mxu"
     kwargs = {}
     if _HAS_PLTPU and not interpret:
-        # the unrolled tap slices keep several (rblk, block_t) fp32
-        # temporaries live; the default 16 MB scoped-vmem cap rejects
-        # the large low-channel blocks (v5e has 128 MB VMEM)
+        # several (rblk, block_t) fp32 working arrays stay live; the
+        # default 16 MB scoped-vmem cap rejects the large low-channel
+        # blocks (v5e has 128 MB VMEM)
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
+    common_specs = [
+        pl.BlockSpec((rblk, block_t), lambda r, i: (r, i)),
+        pl.BlockSpec((rblk, block_t), lambda r, i: (r, i + 1)),
+        pl.BlockSpec((rblk, 2), lambda r, i: (r, 0)),
+    ]
+    if use_mxu:
+        mu, de, do = _band_matrices()
+        kernel = functools.partial(_snake_kernel_mxu, block=block_t, T=T,
+                                   f=tuple(float(v) for v in f),
+                                   patches=patches)
+        in_specs = common_specs + [
+            pl.BlockSpec((256, 256), lambda r, i: (0, 0)),
+            pl.BlockSpec((256, 128), lambda r, i: (0, 0)),
+            pl.BlockSpec((256, 128), lambda r, i: (0, 0)),
+        ]
+        args = (xp, xp, ab, jnp.asarray(mu), jnp.asarray(de),
+                jnp.asarray(do))
+    else:
+        kernel = functools.partial(_snake_kernel, block=block_t, T=T,
+                                   f=tuple(float(v) for v in f),
+                                   patches=patches)
+        in_specs = common_specs
+        args = (xp, xp, ab)
     out = pl.pallas_call(
         kernel,
         grid=(rp // rblk, nblk),
-        in_specs=[
-            pl.BlockSpec((rblk, block_t), lambda r, i: (r, i)),
-            pl.BlockSpec((rblk, block_t), lambda r, i: (r, i + 1)),
-            pl.BlockSpec((rblk, 2), lambda r, i: (r, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rblk, block_t), lambda r, i: (r, i)),
         out_shape=jax.ShapeDtypeStruct((rp, nblk * block_t), x.dtype),
         interpret=interpret,
         **kwargs,
-    )(xp, xp, ab)
+    )(*args)
     return out[:rows, :T].reshape(B, C, T)
 
 
