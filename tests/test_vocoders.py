@@ -171,6 +171,15 @@ def test_pallas_snake_kernel_parity():
             got = snake_resample2(x, a, ib, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=2e-5, rtol=1e-5)
+            if t > 600:
+                # multi-block grid: exercises the r_ref halo and the
+                # cross-block boundary patches (production stages run
+                # nblk > 1; the default block heuristic here does not)
+                got_mb = snake_resample2(x, a, ib, block_t=512,
+                                         interpret=True)
+                np.testing.assert_allclose(np.asarray(got_mb),
+                                           np.asarray(ref),
+                                           atol=2e-5, rtol=1e-5)
             got2 = bv._snake_act_fused(p, x, True, True)
             np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                        atol=2e-5, rtol=1e-5)

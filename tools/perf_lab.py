@@ -390,6 +390,7 @@ def bench_snake():
     shapes = [(768, 3584), (384, 14336), (192, 28672), (96, 57344),
               (48, 114688), (24, 229376)]
     N = 20
+    saved = bv._RESAMPLE
     for mode in ("pallas", "blocked"):
         tot = 0.0
         for C, T in shapes:
@@ -410,7 +411,7 @@ def bench_snake():
             tot += dt
             print(f"snake {mode} C={C} T={T}: {dt*1e6:.0f} us")
         print(f"snake {mode} total/act-sweep: {tot*1e3:.2f} ms")
-    bv._RESAMPLE = "auto"
+    bv._RESAMPLE = saved
 
 
 def bench_diffparts():

@@ -374,6 +374,36 @@ class TTS:
             self._voice_cache[cache_key] = enc
         return enc
 
+    def _diffusion_geometry(self, diffusion, n_lat_base: int,
+                            diffusion_pad_multiple: int,
+                            mel_pad_multiple: int, steps: int,
+                            cond_free: bool, cond_free_k: float = 2.0):
+        """Shared program-shape sizing for the three inference paths:
+        pad the latent count to its bucket, derive the 22.05k->24k mel
+        length and its MXU-aligned pad, and fetch the cached
+        unconditional-integrator precompute for that shape."""
+        n_lat = n_lat_base
+        if diffusion_pad_multiple > 1:
+            n_lat += (-n_lat) % diffusion_pad_multiple
+        seq_len = n_lat * 4 * 24000 // 22050
+        pad_seq_len = None
+        if mel_pad_multiple > 1:
+            pad_seq_len = seq_len + ((-seq_len) % mel_pad_multiple)
+        uh = (self._uncond_integrated(diffusion, steps, cond_free_k,
+                                      pad_seq_len or seq_len)
+              if cond_free else None)
+        return n_lat, seq_len, pad_seq_len, uh
+
+    @staticmethod
+    def _decode_budget_latents(max_ar_steps: int, res_lengths) -> int:
+        """Small decode budgets: size programs by the budget itself
+        (zero mid-pipeline fetches).  Large budgets: spend ONE cheap
+        lengths fetch (~55 ms) so a short utterance doesn't pay for a
+        max_ar_steps-sized diffusion."""
+        if max_ar_steps <= 256:
+            return max_ar_steps
+        return min(int(np.asarray(res_lengths).max()) + 1, max_ar_steps)
+
     def _uncond_integrated(self, diffusion, steps: int,
                            cond_free_k: float, T: int):
         """Cached per-(steps, k, T) unconditional-branch integrator
@@ -545,21 +575,11 @@ class TTS:
             ar.params, lat, tokens, lengths, res.codes, res.lengths,
             ar.config)
 
-        if max_ar_steps <= 256:
-            n_lat = max_ar_steps
-        else:
-            n_lat = min(int(np.asarray(res.lengths).max()) + 1,
-                        max_ar_steps)
-        if diffusion_pad_multiple > 1:
-            n_lat += (-n_lat) % diffusion_pad_multiple
-        seq_len = n_lat * 4 * 24000 // 22050
-        pad_seq_len = None
-        if mel_pad_multiple > 1:
-            pad_seq_len = seq_len + ((-seq_len) % mel_pad_multiple)
-        T_run = pad_seq_len or seq_len
-        uh = (self._uncond_integrated(diffusion, max_diffusion_steps,
-                                      2.0, T_run)
-              if cond_free else None)
+        n_lat, seq_len, pad_seq_len, uh = self._diffusion_geometry(
+            diffusion, self._decode_budget_latents(max_ar_steps,
+                                                   res.lengths),
+            diffusion_pad_multiple, mel_pad_multiple,
+            max_diffusion_steps, cond_free)
         mel = _jit_diffusion(
             diffusion.params, latents, np.asarray(diff_latent, np.float32),
             k_diff, diffusion.config, max_diffusion_steps,
@@ -695,26 +715,13 @@ class TTS:
                 ar.params, lat_b, tokens, text_lengths, res.codes,
                 res.lengths, ar.config)
             tick("latent_pass", latents)
-            # Small decode budgets: size the diffusion/vocoder programs
-            # by the budget itself (zero mid-pipeline fetches).  Large
-            # budgets: spend ONE cheap lengths fetch (~55 ms) so a short
-            # utterance doesn't pay for a max_ar_steps-sized diffusion.
-            if max_ar_steps <= 256:
-                n_lat = max_ar_steps
-            else:
-                n_lat = min(int(np.asarray(res.lengths).max()) + 1,
-                            max_ar_steps)
-            if diffusion_pad_multiple > 1:
-                n_lat += (-n_lat) % diffusion_pad_multiple
-            output_seq_len = n_lat * 4 * 24000 // 22050
-            pad_seq_len = None
-            if mel_pad_multiple > 1:
-                pad_seq_len = output_seq_len + \
-                    ((-output_seq_len) % mel_pad_multiple)
-            T_run = pad_seq_len or output_seq_len
-            uh = (self._uncond_integrated(diffusion, max_diffusion_steps,
-                                          2.0, T_run)
-                  if cond_free else None)
+            n_lat, output_seq_len, pad_seq_len, uh = \
+                self._diffusion_geometry(
+                    diffusion,
+                    self._decode_budget_latents(max_ar_steps,
+                                                res.lengths),
+                    diffusion_pad_multiple, mel_pad_multiple,
+                    max_diffusion_steps, cond_free)
             mel = _jit_diffusion(
                 diffusion.params, latents,
                 np.asarray(diff_latent, np.float32), k_diff,
@@ -768,20 +775,10 @@ class TTS:
         t_lat = self.calm_trim_point(codes[0], upto=L)
 
         # diffusion (inference.py:398-413)
-        n_lat = t_lat
-        if diffusion_pad_multiple > 1:
-            n_lat = t_lat + ((-t_lat) % diffusion_pad_multiple)
-        output_seq_len = n_lat * 4 * 24000 // 22050
+        n_lat, output_seq_len, pad_seq_len, uh = self._diffusion_geometry(
+            diffusion, t_lat, diffusion_pad_multiple, mel_pad_multiple,
+            max_diffusion_steps, cond_free)
         exact_seq_len = t_lat * 4 * 24000 // 22050
-        pad_seq_len = None
-        if mel_pad_multiple > 1:
-            pad_seq_len = output_seq_len + \
-                ((-output_seq_len) % mel_pad_multiple)
-
-        T_run = pad_seq_len or output_seq_len
-        uh = (self._uncond_integrated(diffusion, max_diffusion_steps,
-                                      2.0, T_run)
-              if cond_free else None)
         mel = _jit_diffusion(
             diffusion.params, latents, np.asarray(diff_latent, np.float32),
             k_diff, diffusion.config, max_diffusion_steps,

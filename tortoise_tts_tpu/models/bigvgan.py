@@ -227,6 +227,8 @@ def _snake_act(p: Params, x: jnp.ndarray, logscale: bool,
     """Activation1d(Snake/SnakeBeta): up2 -> snake -> down2
     (bigvgan.py:158-271)."""
     mode = _resample_mode()
+    if mode == "pallas" and jax.default_backend() != "tpu":
+        mode = "blocked"   # explicit TTS_BV_RESAMPLE=pallas off-TPU
     if mode == "pallas" and x.shape[-1] >= 8:
         from ..ops.pallas_snake import snake_resample2
         a = p["alpha"].astype(jnp.float32)

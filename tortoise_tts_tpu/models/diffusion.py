@@ -239,7 +239,8 @@ def precompute_rel_biases(p: Params, t: int,
         per = [precompute_rel_bias(l["attn"], t, H, C, dtype)
                for l in blocks]
         if transposed:
-            per = [jnp.swapaxes(b, 1, 2) for b in per]
+            per = [None if b is None else jnp.swapaxes(b, 1, 2)
+                   for b in per]
         return RelBiases(integrator=per[:3], layers=per[3:],
                          kq=transposed)
 

@@ -271,18 +271,9 @@ def snake_resample2(x: jnp.ndarray, alpha: jnp.ndarray,
 
 @functools.lru_cache(maxsize=1)
 def kaiser12():
-    """kaiser_sinc_filter(0.25, 0.3, 12) — dup of bigvgan.kaiser_sinc_filter
-    to avoid a models->ops->models import cycle."""
+    """kaiser_sinc_filter(0.25, 0.3, 12) — the ratio-2 filter both
+    resamplers use (import is function-local: bigvgan imports this
+    module lazily inside _snake_act, so there is no cycle)."""
     import numpy as np
-    kernel_size, cutoff, half_width = 12, 0.25, 0.3
-    half_size = kernel_size // 2
-    delta_f = 4 * half_width
-    A = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
-    beta = 0.1102 * (A - 8.7) if A > 50.0 else (
-        0.5842 * (A - 21) ** 0.4 + 0.07886 * (A - 21.0) if A >= 21.0
-        else 0.0)
-    window = np.kaiser(kernel_size, beta)
-    time = np.arange(-half_size, half_size) + 0.5
-    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time)
-    filt /= filt.sum()
-    return filt.astype(np.float32)
+    from ..models.bigvgan import kaiser_sinc_filter
+    return np.asarray(kaiser_sinc_filter(0.25, 0.3, 12), np.float32)
