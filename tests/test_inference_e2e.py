@@ -310,3 +310,12 @@ def test_uncond_integrator_precompute_equivalence(tts):
                          n_lat=n_lat, t_lat=jnp.int32(20), uncond_h=uh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_multiline_deferred_fetch(tts, ref_wav):
+    """Multi-line text goes through the deferred-fetch path (one packed
+    fetch per line, all after dispatch) and concatenates cleanly."""
+    wav, sr = tts.inference("first line\nsecond line", ref_wav,
+                            max_ar_steps=16, max_diffusion_steps=4,
+                            seed=9, vocoder_type="bigvgan")
+    _check(wav, sr)

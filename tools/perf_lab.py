@@ -217,7 +217,7 @@ def bench_decode_roof_int8():
     print(f"decode_roof_int8: {dt*1e3:.2f} ms/token")
 
 
-def bench_decode_roof_qgemv():
+def bench_decode_roof_qgemv(block_n=None):
     """Same roof loop driven through the Pallas int8 GEMV kernel
     (ops/pallas_gemv.qgemv_stacked): stacked weights stay in HBM and
     each token streams exactly the int8 tiles."""
@@ -246,17 +246,18 @@ def bench_decode_roof_qgemv():
 
         def token(x, _):
             def layer(h, li):
+                bn = block_n or 512
                 qkv = qgemv_stacked(h, q["attn_qkv"][0], q["attn_qkv"][1],
-                                    bias["attn_qkv"], li)
+                                    bias["attn_qkv"], li, block_n=bn)
                 qh = jnp.split(qkv, 3, axis=-1)[0]
                 h = h + qgemv_stacked(qh, q["attn_proj"][0],
                                       q["attn_proj"][1],
-                                      bias["attn_proj"], li)
+                                      bias["attn_proj"], li, block_n=bn)
                 m = qgemv_stacked(h, q["mlp_fc"][0], q["mlp_fc"][1],
-                                  bias["mlp_fc"], li)
+                                  bias["mlp_fc"], li, block_n=bn)
                 h = h + qgemv_stacked(gelu_new(m), q["mlp_proj"][0],
                                       q["mlp_proj"][1],
-                                      bias["mlp_proj"], li)
+                                      bias["mlp_proj"], li, block_n=bn)
                 return h, None
             h, _ = jax.lax.scan(layer, x, jnp.arange(L))
             return h, None
@@ -264,7 +265,7 @@ def bench_decode_roof_qgemv():
         return h
 
     dt = timeit(loop, q, bias, n=3, warmup=1) / N
-    print(f"decode_roof_qgemv: {dt*1e3:.2f} ms/token")
+    print(f"decode_roof_qgemv bn={block_n or 512}: {dt*1e3:.2f} ms/token")
 
 
 def bench_vocoder():
@@ -464,6 +465,8 @@ if __name__ == "__main__":
         bench_decode_roof_int8()
     if "roofq" in which:
         bench_decode_roof_qgemv()
+    if "roofq1024" in which:
+        bench_decode_roof_qgemv(block_n=1024)
     if "vocoder" in which:
         bench_vocoder()
     if "snake" in which:

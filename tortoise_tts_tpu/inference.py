@@ -506,9 +506,14 @@ class TTS:
                     line, ar_latent, diff_latent, sampling, max_ar_steps,
                     max_diffusion_steps, diffusion_temp, diffusion_sampler,
                     cond_free, vocoder_type, candidates, sub,
-                    diffusion_pad_multiple, mel_pad_multiple)
+                    diffusion_pad_multiple, mel_pad_multiple,
+                    defer_fetch=True)
             wavs.append(wav)
 
+        # fetch AFTER every line's programs are dispatched: line i+1's
+        # device compute overlaps line i's host fetch
+        wavs = [self._unpack_wav(np.asarray(w))
+                if not isinstance(w, np.ndarray) else w for w in wavs]
         wav = np.concatenate(wavs, axis=-1)
         if out_path is not None:
             write_wav(out_path, wav, sr)
@@ -672,11 +677,20 @@ class TTS:
                 return k
         return upto
 
+    @staticmethod
+    def _unpack_wav(arr: np.ndarray) -> np.ndarray:
+        """Host side of the packed-int16 payload: [0,0,0] is the
+        device-computed calm trim point, the rest is 16-bit PCM."""
+        t_lat = int(arr[0, 0, 0])
+        exact_seq_len = t_lat * 4 * 24000 // 22050
+        return arr[0, 0, 1:1 + exact_seq_len * 256].astype(
+            np.float32) / 32767.0
+
     def _infer_line(self, line, ar_latent, diff_latent, sampling,
                     max_ar_steps, max_diffusion_steps, diffusion_temp,
                     diffusion_sampler, cond_free, vocoder_type, candidates,
                     key, diffusion_pad_multiple,
-                    mel_pad_multiple: int = 0) -> np.ndarray:
+                    mel_pad_multiple: int = 0, defer_fetch: bool = False):
         import os
         timing = os.environ.get("TTS_STAGE_TIMING") == "1"
 
@@ -733,11 +747,12 @@ class TTS:
             voc = self._model("bigvgan")
             wav = _jit_bigvgan(voc.params, mel, voc.config, as_i16=True,
                                prefix=t_lat_d)
-            arr = np.asarray(wav)          # the one device->host fetch
-            t_lat = int(arr[0, 0, 0])
-            exact_seq_len = t_lat * 4 * 24000 // 22050
-            out = arr[0, 0, 1:1 + exact_seq_len * 256]
-            out = out.astype(np.float32) / 32767.0
+            if defer_fetch:
+                # multi-line texts: hand the packed device array back so
+                # the caller can dispatch the NEXT line's programs before
+                # paying this line's ~50-100 ms relay fetch
+                return wav
+            out = self._unpack_wav(np.asarray(wav))
             tick("vocoder")
             return out
 
