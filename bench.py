@@ -77,11 +77,14 @@ def main():
                       vocoder_type="bigvgan", diffusion_pad_multiple=32,
                       mel_pad_multiple=128)
         tts.batch_inference(texts, ref, seed=0, **kwargs)
-        t0 = time.time()
-        wavs, sr = tts.batch_inference(texts, ref, seed=1, **kwargs)
-        wall = time.time() - t0
-        audio_sec = sum(w.shape[-1] for w in wavs) / sr
-        thr = audio_sec / wall
+        thrs = []
+        for i in range(3):
+            t0 = time.time()
+            wavs, sr = tts.batch_inference(texts, ref, seed=1 + i,
+                                           **kwargs)
+            wall = time.time() - t0
+            thrs.append(sum(w.shape[-1] for w in wavs) / sr / wall)
+        thr = sorted(thrs)[1]
         print(json.dumps({"metric": "throughput", "value": round(thr, 3),
                           "unit": "audio_sec_per_s",
                           "vs_baseline": round(thr / 10.0, 3)}))
@@ -94,13 +97,14 @@ def main():
 
     # warmup/compile
     wav, sr = tts.inference(text, ref, seed=0, **kwargs)
-    # measured run (cached compile)
-    t0 = time.time()
-    wav, sr = tts.inference(text, ref, seed=1, **kwargs)
-    wall = time.time() - t0
-
-    audio_sec = wav.shape[-1] / sr
-    rtf = audio_sec / wall
+    # measured runs (cached compile): median of 3 — wall time through
+    # the remote relay varies ~10% run to run
+    rtfs = []
+    for i in range(3):
+        t0 = time.time()
+        wav, sr = tts.inference(text, ref, seed=1 + i, **kwargs)
+        rtfs.append((wav.shape[-1] / sr) / (time.time() - t0))
+    rtf = sorted(rtfs)[1]
     print(json.dumps({"metric": "e2e_rtf", "value": round(rtf, 3),
                       "unit": "x_realtime",
                       "vs_baseline": round(rtf / 10.0, 3)}))
