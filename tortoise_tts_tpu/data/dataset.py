@@ -351,27 +351,39 @@ class Dataset:
                                   self.dcfg.mel_bucket)
 
     # ------------------------------------------------------------------
-    def batches(self, batch_size: Optional[int] = None
-                ) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite epoch iterator (trainer.py:104-120)."""
-        bs = batch_size or self.cfg.hyperparameters.batch_size
+    def _index_batches(self, bs: int) -> Iterator[list]:
+        """Infinite stream of index lists from the resumable sampler."""
         while True:
             if isinstance(self.sampler, BatchedOrderedSampler):
-                for batch_idx in self.sampler:
-                    if self._melbin is not None:
-                        yield self._native_batch(batch_idx)
-                    else:
-                        yield self.collate([self[i] for i in batch_idx])
+                yield from self.sampler
             else:
                 buf = []
                 for i in self.sampler:
                     buf.append(i)
                     if len(buf) == bs:
-                        if self._melbin is not None:
-                            yield self._native_batch(buf)
-                        else:
-                            yield self.collate([self[j] for j in buf])
+                        yield buf
                         buf = []
+
+    def batches(self, batch_size: Optional[int] = None
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite epoch iterator (trainer.py:104-120).
+
+        Batch assembly is pipelined one batch ahead of the consumer (the
+        reference gets this from torch DataLoader worker processes,
+        data.py:897-905): the native melbin path assembles in C++
+        threads with the GIL released, the artifact path in a plain
+        worker thread, so the next batch overlaps the train step."""
+        bs = batch_size or self.cfg.hyperparameters.batch_size
+        make = (self._native_batch if self._melbin is not None
+                else lambda idx: self.collate([self[i] for i in idx]))
+        import concurrent.futures as _cf
+        idx_it = self._index_batches(bs)
+        with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(make, next(idx_it))
+            while True:
+                ready = pending.result()
+                pending = pool.submit(make, next(idx_it))
+                yield ready
 
     # ------------------------------------------------------------------
     def get_state(self) -> Dict[str, Any]:
