@@ -36,6 +36,10 @@ import numpy as np
 
 def main():
     import jax
+    if os.environ.get("BENCH_CPU") == "1":
+        # CPU debug/smoke mode: the axon sitecustomize pins
+        # jax_platforms, so the env var alone is not enough
+        jax.config.update("jax_platforms", "cpu")
 
     ar_steps = int(os.environ.get("BENCH_AR_STEPS", 200))
     diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 50))

@@ -319,3 +319,24 @@ def test_multiline_deferred_fetch(tts, ref_wav):
                             max_ar_steps=16, max_diffusion_steps=4,
                             seed=9, vocoder_type="bigvgan")
     _check(wav, sr)
+
+
+def test_bench_script_smoke():
+    """bench.py (the driver's contract) runs end to end on CPU with
+    small models and prints exactly one valid JSON metric line."""
+    import json
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, BENCH_CPU="1", BENCH_SMALL="1",
+               BENCH_AR_STEPS="8", BENCH_DIFF_STEPS="2",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        timeout=540, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "e2e_rtf" and rec["value"] > 0
