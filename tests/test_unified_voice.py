@@ -197,3 +197,29 @@ def test_decode_respects_text_padding(params):
         jax.random.PRNGKey(0), CFG, SamplingConfig(greedy=True), max_length=12)
     np.testing.assert_array_equal(np.asarray(res_exact.codes),
                                   np.asarray(res_pad.codes))
+
+
+def test_qgemv_stacked_kernel_parity():
+    """ops/pallas_gemv.qgemv_stacked (interpret mode) matches the plain
+    dequantized GEMV for every layer index, with (L,N)/(N,)/no bias."""
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.ops.pallas_gemv import qgemv_stacked
+    rng = np.random.RandomState(0)
+    L, K, N, M = 3, 256, 1024, 2
+    w = jnp.asarray(rng.randn(L, K, N).astype(np.float32)) * 0.02
+    s = jnp.max(jnp.abs(w), axis=1) / 127.0 + 1e-12
+    wq = jnp.round(w / s[:, None, :]).astype(jnp.int8)
+    b2 = jnp.asarray(rng.randn(L, N).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.randn(N).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    for bias in (b2, b1, None):
+        for li in range(L):
+            ref = jnp.dot(x, wq[li].astype(x.dtype),
+                          preferred_element_type=jnp.float32) * s[li]
+            if bias is not None:
+                ref = ref + (bias[li] if bias.ndim == 2 else bias)
+            got = qgemv_stacked(x, wq, s, bias, li, interpret=True)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(ref.astype(x.dtype)),
+                                       atol=2e-5, rtol=1e-5)
