@@ -97,6 +97,9 @@ def _check(wav, sr):
     assert sr == 24_000
     assert wav.ndim == 1 and wav.shape[0] > 1000
     assert np.isfinite(wav).all()
+    # non-silent: guards the OOB-position-embedding NaN (NaN wavs used
+    # to reach the int16 packer and come back as all-zero audio)
+    assert np.count_nonzero(wav) > 1000
 
 
 def test_e2e_bigvgan(tts, ref_wav, tmp_path):

@@ -217,13 +217,16 @@ def bench_decode_roof_int8():
     print(f"decode_roof_int8: {dt*1e3:.2f} ms/token")
 
 
-def bench_decode_roof_qgemv(block_n=None):
+def bench_decode_roof_qgemv(block_n=None, w8a8=False):
     """Same roof loop driven through the Pallas int8 GEMV kernel
     (ops/pallas_gemv.qgemv_stacked): stacked weights stay in HBM and
-    each token streams exactly the int8 tiles."""
+    each token streams exactly the int8 tiles.  w8a8=True routes
+    through qgemv_stacked_w8a8 (dynamic activation quant + int8 MXU)."""
     from tortoise_tts_tpu.models import unified_voice as uv
     from tortoise_tts_tpu.models.common import gelu_new
-    from tortoise_tts_tpu.ops.pallas_gemv import qgemv_stacked
+    from tortoise_tts_tpu.ops.pallas_gemv import (qgemv_stacked,
+                                                  qgemv_stacked_w8a8)
+    gemv = qgemv_stacked_w8a8 if w8a8 else qgemv_stacked
     cfg = uv.UnifiedVoiceConfig()
     p = uv.init(jax.random.PRNGKey(0), cfg)
     lp = uv._layer_params(p["gpt"])
@@ -247,17 +250,16 @@ def bench_decode_roof_qgemv(block_n=None):
         def token(x, _):
             def layer(h, li):
                 bn = block_n or 512
-                qkv = qgemv_stacked(h, q["attn_qkv"][0], q["attn_qkv"][1],
-                                    bias["attn_qkv"], li, block_n=bn)
+                qkv = gemv(h, q["attn_qkv"][0], q["attn_qkv"][1],
+                           bias["attn_qkv"], li, block_n=bn)
                 qh = jnp.split(qkv, 3, axis=-1)[0]
-                h = h + qgemv_stacked(qh, q["attn_proj"][0],
-                                      q["attn_proj"][1],
-                                      bias["attn_proj"], li, block_n=bn)
-                m = qgemv_stacked(h, q["mlp_fc"][0], q["mlp_fc"][1],
-                                  bias["mlp_fc"], li, block_n=bn)
-                h = h + qgemv_stacked(gelu_new(m), q["mlp_proj"][0],
-                                      q["mlp_proj"][1],
-                                      bias["mlp_proj"], li, block_n=bn)
+                h = h + gemv(qh, q["attn_proj"][0], q["attn_proj"][1],
+                             bias["attn_proj"], li, block_n=bn)
+                m = gemv(h, q["mlp_fc"][0], q["mlp_fc"][1],
+                         bias["mlp_fc"], li, block_n=bn)
+                h = h + gemv(gelu_new(m), q["mlp_proj"][0],
+                             q["mlp_proj"][1],
+                             bias["mlp_proj"], li, block_n=bn)
                 return h, None
             h, _ = jax.lax.scan(layer, x, jnp.arange(L))
             return h, None
@@ -265,7 +267,8 @@ def bench_decode_roof_qgemv(block_n=None):
         return h
 
     dt = timeit(loop, q, bias, n=3, warmup=1) / N
-    print(f"decode_roof_qgemv bn={block_n or 512}: {dt*1e3:.2f} ms/token")
+    tag = "w8a8" if w8a8 else "qgemv"
+    print(f"decode_roof_{tag} bn={block_n or 512}: {dt*1e3:.2f} ms/token")
 
 
 def bench_vocoder():
@@ -467,6 +470,10 @@ if __name__ == "__main__":
         bench_decode_roof_qgemv()
     if "roofq1024" in which:
         bench_decode_roof_qgemv(block_n=1024)
+    if "roofw8a8" in which:
+        bench_decode_roof_qgemv(w8a8=True)
+    if "roofw8a8x1024" in which:
+        bench_decode_roof_qgemv(block_n=1024, w8a8=True)
     if "vocoder" in which:
         bench_vocoder()
     if "snake" in which:

@@ -150,9 +150,12 @@ class Inference:
     # static decode buckets (SURVEY §7 'fixed shapes under jit')
     text_buckets: Tuple[int, ...] = (64, 128, 256, 402)
     mel_frame_bucket: int = 256   # diffusion length rounding, frames
-    # weight-only int8 AR-decode GEMVs ("int8" | "none"); halves the
-    # decode loop's HBM weight traffic (models/unified_voice.py
-    # quantize_decode_weights).  Prefill/latents/logits stay bf16.
+    # AR-decode GEMV quantization ("none" | "int8" | "w8a8"): "int8" is
+    # weight-only (halves decode weight HBM traffic; models/
+    # unified_voice.quantize_decode_weights), "w8a8" adds dynamic
+    # per-row activation quant + int8 MXU dots (ops/pallas_gemv.
+    # qgemv_stacked_w8a8) at some extra quantization noise.
+    # Prefill/latents/logits stay bf16 in every mode.
     decode_quant: str = "none"
 
     def dtype(self):

@@ -299,15 +299,22 @@ class TTS:
         return self._models[name]
 
     def _ar_qgpt(self):
-        """Cached int8 decode weights when decode_quant='int8'
-        (unified_voice.quantize_decode_weights)."""
-        if self.cfg.inference.decode_quant != "int8":
+        """Cached int8 decode weights when decode_quant='int8' (weight
+        only) or 'w8a8' (+ dynamic per-row activation quantization on
+        the int8 MXU; see ops/pallas_gemv.qgemv_stacked_w8a8)."""
+        mode = self.cfg.inference.decode_quant
+        if mode not in ("int8", "w8a8"):
             return None
         if not hasattr(self, "_qgpt"):
             from .models.unified_voice import quantize_decode_weights
             ar = self._model("autoregressive")
             self._qgpt = jax.jit(quantize_decode_weights)(ar.params)
         return self._qgpt
+
+    @property
+    def _quant_mode(self) -> str:
+        mode = self.cfg.inference.decode_quant
+        return mode if mode in ("int8", "w8a8") else "int8"
 
     def _maybe_apply_lora(self, m):
         """Runtime LoRA load + merge for the AR model (reference
@@ -571,7 +578,7 @@ class TTS:
         res = inference_speech(ar.params, lat, jnp.asarray(tokens),
                                jnp.asarray(lengths), k_ar, ar.config,
                                sampling, max_length=max_ar_steps,
-                               qgpt=self._ar_qgpt())
+                               qgpt=self._ar_qgpt(), quant_mode=self._quant_mode)
         # Device-resident handoff: cleanup + per-row calm trim + latent
         # pass in one program, per-row trim points packed into the wav
         # payload -> a single device->host fetch for the whole batch
@@ -637,7 +644,7 @@ class TTS:
             ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths), key,
             ar.config, sampling, max_length=max_ar_steps,
             collect_latents=collect_latents,
-            qgpt=self._ar_qgpt()), tokens, lengths
+            qgpt=self._ar_qgpt(), quant_mode=self._quant_mode), tokens, lengths
 
     @staticmethod
     def cleanup_codes(codes: np.ndarray, lengths: np.ndarray,
@@ -896,7 +903,7 @@ class TTS:
             state = decode_chunk(ar.params, state, ar.config, sampling,
                                  max_ar_steps, chunk=chunk,
                                  collect_latents=True,
-                                 qgpt=self._ar_qgpt())
+                                 qgpt=self._ar_qgpt(), quant_mode=self._quant_mode)
             pos = int(state.step)
             n = int(np.asarray(state.lengths)[0])
             done = bool(np.asarray(state.finished).all()) or \
@@ -952,7 +959,7 @@ class TTS:
             state = decode_chunk(ar.params, state, ar.config, sampling,
                                  max_ar_steps, chunk=chunk,
                                  collect_latents=True,
-                                 qgpt=self._ar_qgpt())
+                                 qgpt=self._ar_qgpt(), quant_mode=self._quant_mode)
             pos = int(state.step)
             n = int(np.asarray(state.lengths)[0])
             done = bool(np.asarray(state.finished).all()) or \

@@ -69,7 +69,10 @@ def embedding_init(key, n: int, dim: int, std: float = 0.02) -> Params:
 
 
 def embedding(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(p["w"], ids, axis=0)
+    # mode="clip": jnp.take's jit default fills out-of-range rows with
+    # NaN on CPU but the TPU backend clamps — pin the TPU semantics so
+    # a decode budget beyond max_*_seq_len degrades instead of NaNing
+    return jnp.take(p["w"], ids, axis=0, mode="clip")
 
 
 def conv1d_init(key, c_in: int, c_out: int, k: int, bias: bool = True) -> Params:

@@ -249,7 +249,8 @@ def _qlinear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
                      cache: KVCache, pos: jnp.ndarray,
                      key_mask: jnp.ndarray,
-                     qgpt: Optional[Params] = None
+                     qgpt: Optional[Params] = None,
+                     quant_mode: str = "int8"
                      ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token step. x: (B, 1, D); pos: scalar — cache slot to write.
 
@@ -279,10 +280,18 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     # ms/token for the GEMV roof vs 0.77 through the kernel on v5e).
     use_kernel = (qgpt is not None and jax.default_backend() == "tpu"
                   and os.environ.get("TTS_QGEMV", "1") != "0")
-    if qgpt is not None and not use_kernel:
+    if qgpt is not None and not use_kernel and quant_mode != "w8a8":
         lp_all = {**lp_all, **qgpt}
 
     def qlin(lp, name, li, h):
+        if qgpt is not None and quant_mode == "w8a8":
+            # int8 x int8 MXU with dynamic per-row activation quant —
+            # works on every backend (XLA int32-dot fallback off-TPU)
+            from ..ops.pallas_gemv import qgemv_stacked_w8a8
+            qp = qgpt[name]
+            y = qgemv_stacked_w8a8(h.reshape(b, -1), qp["wq"], qp["s"],
+                                   qp.get("b"), li)
+            return y.reshape(b, 1, -1)
         if not use_kernel:
             return _qlinear(lp[name], h)
         from ..ops.pallas_gemv import qgemv_stacked
@@ -544,14 +553,15 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
         jnp.zeros((b,), jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("cfg", "sampling", "max_length",
+@partial(jax.jit, static_argnames=("quant_mode", "cfg", "sampling", "max_length",
                                    "chunk", "collect_latents"))
 def decode_chunk(params: Params, state: DecodeState,
                  cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
                  sampling: SamplingConfig = SamplingConfig(),
                  max_length: int = 500, chunk: Optional[int] = None,
                  collect_latents: bool = False,
-                 qgpt: Optional[Params] = None) -> DecodeState:
+                 qgpt: Optional[Params] = None,
+                 quant_mode: str = "int8") -> DecodeState:
     """Advance the decode by up to `chunk` tokens (while_loop with early
     exit).  chunk=None runs to max_length.  The streaming route calls
     this in 40-token chunks, vocoding between calls (inference.py:250-329
@@ -614,14 +624,14 @@ def decode_chunk(params: Params, state: DecodeState,
         pos = prefix_len + 1 + c.step
         h, cache = _gpt_decode_step(params["gpt"], emb.astype(dtype),
                                     cfg.heads, c.cache, pos, c.key_mask,
-                                    qgpt=qgpt)
+                                    qgpt=qgpt, quant_mode=quant_mode)
         return DecodeState(c.step + 1, cache, latent_of(h), tokens, counts,
                            latents, finished, lengths, rng, c.key_mask, mu)
 
     return lax.while_loop(cond_fn, body_fn, state)
 
 
-@partial(jax.jit, static_argnames=("cfg", "sampling", "max_length",
+@partial(jax.jit, static_argnames=("quant_mode", "cfg", "sampling", "max_length",
                                    "collect_latents"))
 def inference_speech(params: Params, cond_latent: jnp.ndarray,
                      text: jnp.ndarray, text_lengths: jnp.ndarray,
@@ -630,13 +640,14 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
                      sampling: SamplingConfig = SamplingConfig(),
                      max_length: int = 500,
                      collect_latents: bool = False,
-                     qgpt: Optional[Params] = None) -> DecodeResult:
+                     qgpt: Optional[Params] = None,
+                     quant_mode: str = "int8") -> DecodeResult:
     """Generate mel codes (reference unified_voice.py:632-668 + HF loop):
     one jitted prefill + full-budget while_loop with stop early-exit."""
     state = decode_start(params, cond_latent, text, text_lengths, key, cfg,
                          max_length)
     out = decode_chunk(params, state, cfg, sampling, max_length, None,
-                       collect_latents, qgpt=qgpt)
+                       collect_latents, qgpt=qgpt, quant_mode=quant_mode)
     return DecodeResult(out.tokens, out.lengths, out.latents)
 
 

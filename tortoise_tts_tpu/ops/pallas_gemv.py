@@ -56,7 +56,8 @@ def qgemv_stacked(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray,
     m, k = x.shape
     L, _, n = wq.shape
     bn = min(block_n, n)
-    if (not _HAS_PLTPU and not interpret) or n % bn or k % 128:
+    on_tpu = _HAS_PLTPU and jax.default_backend() == "tpu"
+    if (not on_tpu and not interpret) or n % bn or k % 128:
         w = wq[li]
         y = jnp.dot(x, w.astype(x.dtype),
                     preferred_element_type=jnp.float32) * s[li]
@@ -92,3 +93,79 @@ def qgemv_stacked(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         interpret=interpret,
     )(jnp.asarray(li, jnp.int32).reshape(1), x, wq, s3, b3)
+
+
+def _qgemv_w8a8_kernel(idx_ref, x_ref, sx_ref, w_ref, s_ref, b_ref,
+                       o_ref):
+    """int8 x int8 MXU GEMV: activations arrive pre-quantized (int8 +
+    per-row fp32 scale) so the weight tiles feed the MXU without any
+    int8->bf16 convert — the convert is the measured compute floor of
+    the weight-only kernel (~0.3 ms/token of VPU work)."""
+    del idx_ref
+    acc = jax.lax.dot_general(
+        x_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                 # (M, bn)
+    acc = acc.astype(jnp.float32) * sx_ref[...] * s_ref[0]
+    acc = acc + b_ref[0]
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def quantize_rowwise(x: jnp.ndarray):
+    """Symmetric per-row int8 quantization of activations (W8A8 decode).
+    x: (M, K) -> (int8 (M, K), fp32 (M, 1) scales)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1,
+                keepdims=True) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def qgemv_stacked_w8a8(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray,
+                       b: jnp.ndarray | None, li, block_n: int = 512,
+                       interpret: bool = False) -> jnp.ndarray:
+    """W8A8 variant of qgemv_stacked: dynamic per-row activation
+    quantization + int8 MXU matmul (2x int8 MXU rate, no in-kernel
+    dequant convert).  Adds activation-quantization noise on top of the
+    weight-only error — opt-in via Config.inference.decode_quant="w8a8".
+    """
+    m, k = x.shape
+    L, _, n = wq.shape
+    bn = min(block_n, n)
+    xq, sx = quantize_rowwise(x)
+    on_tpu = _HAS_PLTPU and jax.default_backend() == "tpu"
+    if (not on_tpu and not interpret) or n % bn or k % 128:
+        y = jax.lax.dot_general(
+            xq.astype(jnp.int32), wq[li].astype(jnp.int32),
+            (((1,), (0,)), ((), ()))).astype(jnp.float32) * sx * s[li]
+        if b is not None:
+            y = y + (b[li] if b.ndim == 2 else b)
+        return y.astype(x.dtype)
+
+    s3 = s.reshape(L, 1, n).astype(jnp.float32)
+    if b is None:
+        b3 = jnp.zeros((1, 1, n), jnp.float32)
+    elif b.ndim == 1:
+        b3 = b.reshape(1, 1, n).astype(jnp.float32)
+    else:
+        b3 = b.reshape(L, 1, n).astype(jnp.float32)
+    lb = b3.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i, sref: (0, 0)),
+            pl.BlockSpec((m, 1), lambda i, sref: (0, 0)),
+            pl.BlockSpec((1, k, bn), lambda i, sref: (sref[0], 0, i)),
+            pl.BlockSpec((1, 1, bn), lambda i, sref: (sref[0], 0, i)),
+            pl.BlockSpec((1, 1, bn),
+                         lambda i, sref, lb=lb: (
+                             jnp.minimum(sref[0], lb - 1), 0, i)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, sref: (0, i)),
+    )
+    return pl.pallas_call(
+        _qgemv_w8a8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), xq, sx, wq, s3, b3)
