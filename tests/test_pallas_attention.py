@@ -91,6 +91,27 @@ def test_flash_bias_kq_matches_xla():
                                    atol=2e-5, rtol=1e-5)
 
 
+def test_flash_bias_vt_matches_xla():
+    """V-transposed row-major-score kernel (interpret) == XLA
+    qkv_attention, incl. a non-128-multiple length (key padding path)
+    and sub-full query blocking."""
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.ops.attention import qkv_attention
+    from tortoise_tts_tpu.ops.pallas_attention import \
+        flash_attention_bias_qkv_vt
+    for (b, h, d, t, bq) in ((2, 4, 64, 300, 1024), (1, 2, 64, 513, 1024),
+                             (1, 2, 64, 1100, 512)):
+        qkv = jax.random.normal(jax.random.PRNGKey(0),
+                                (b, h * 3 * d, t), jnp.float32) * 0.5
+        bias = jax.random.normal(jax.random.PRNGKey(1), (h, t, t)) * 0.3
+        ref = qkv_attention(qkv, h, bias=bias)
+        got = flash_attention_bias_qkv_vt(qkv, bias, h, block_q=bq,
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_rel_biases_kq_static_over_jit():
     """RelBiases' orientation flag survives a jit boundary as static
     aux data, and the transposed build equals the transpose of the

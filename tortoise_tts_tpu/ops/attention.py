@@ -95,6 +95,15 @@ def qkv_attention(qkv: jnp.ndarray, n_heads: int,
                 interpret=jax.default_backend() != "tpu")
         bias = jnp.swapaxes(bias_kq, 1, 2)
     if (bias is not None and mask is None and t >= 256
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("TTS_FLASH_VT_INTERPRET") == "1")
+            and os.environ.get("TTS_FLASH_VT", "0") == "1"):
+        # Row-major-score Pallas path with V pre-transposed: lane-wise
+        # softmax + MXU-canonical AV matmul (see _attn_bias_vt_kernel).
+        from .pallas_attention import flash_attention_bias_qkv_vt
+        return flash_attention_bias_qkv_vt(
+            qkv, bias, n_heads, interpret=jax.default_backend() != "tpu")
+    if (bias is not None and mask is None and t >= 256
             and jax.default_backend() == "tpu"
             and os.environ.get("TTS_FLASH_BIAS", "0") == "1"):
         # Optional Pallas path keeping the (B,H,T,T) scores in VMEM,

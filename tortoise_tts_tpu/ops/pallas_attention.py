@@ -101,6 +101,98 @@ def flash_attention_bias_qkv(qkv: jnp.ndarray, bias: jnp.ndarray,
     return out.reshape(b, n_heads * d, -1)[..., :s]
 
 
+def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
+                         scale: float):
+    """Row-major scores with a pre-transposed V: dots live as (bq, S)
+    so the softmax reduces over LANES (the fast VPU axis), and the AV
+    matmul is MXU-canonical because V arrives as (S, D) — the one
+    layout transpose this orientation needs is done OUTSIDE the kernel
+    on the tiny (S, D) value tensor (128 KB/head) instead of the 4 MB
+    fp32 score block that sank `_attn_bias_kernel`."""
+    dots = jax.lax.dot_general(q_ref[0], k_ref[0],
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dots = dots * scale + b_ref[0].astype(jnp.float32)    # (bq, S)
+    m = jnp.max(dots, axis=1, keepdims=True)
+    e = jnp.exp(dots - m)
+    p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vt_ref.dtype)
+    o = jax.lax.dot_general(p, vt_ref[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)                      # (1, bq, D)
+
+
+def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
+                                n_heads: int, block_q: int = 1024,
+                                interpret: bool = False) -> jnp.ndarray:
+    """V-transposed variant of flash_attention_bias_qkv.
+
+    qkv: (B, H*3*D, T) fused channels-major tensor; bias: (H, Tq, S)
+    additive bias, already scaled.  Returns (B, H*D, T).
+
+    Grid is (q-blocks, heads, batch) with batch innermost so the bias
+    tile's index map is batch-invariant and Pallas re-uses the DMA'd
+    tile across the cond-free batch pair (the bias is the largest DMA
+    of the kernel at ~1.6 MB/tile)."""
+    b, width, s = qkv.shape
+    d = width // (3 * n_heads)
+    if not _HAS_PLTPU and not interpret:
+        from .attention import qkv_attention
+        return qkv_attention(qkv, n_heads, bias=bias)
+    h = n_heads
+    scale = 1.0 / math.sqrt(d)
+    sp = -(-s // 128) * 128
+    bq = sp if sp <= max(block_q, 1024) else max(block_q, 128)
+    sp = -(-sp // bq) * bq
+    pad = sp - s
+    f = qkv.reshape(b * h * 3, d, s)
+    # V transposed outside: (B*H, S, D) — a cheap XLA transpose of the
+    # small value tensor; lets the in-kernel AV matmul run canonically
+    vt = jnp.swapaxes(
+        qkv.reshape(b, h, 3, d, s)[:, :, 2], -1, -2).reshape(b * h, s, d)
+    if pad:
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, pad)))
+        vt = jnp.pad(vt, ((0, 0), (0, pad), (0, 0)))
+        # padded KEYS (bias axis 2) masked pre-softmax; padded query
+        # rows (axis 1) only need finite values (sliced off after)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad)),
+                       constant_values=NEG_INF)
+        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, 0)))
+
+    grid = (sp // bq, h, b)
+    kernel = functools.partial(_attn_bias_vt_kernel, scale=scale)
+    in_specs = [
+        pl.BlockSpec((1, d, bq),
+                     lambda j, hi, bi, h=h: (3 * (bi * h + hi), 0, j)),
+        pl.BlockSpec((1, d, sp),
+                     lambda j, hi, bi, h=h: (3 * (bi * h + hi) + 1, 0, 0)),
+        pl.BlockSpec((1, sp, d),
+                     lambda j, hi, bi, h=h: (bi * h + hi, 0, 0)),
+        pl.BlockSpec((1, bq, sp), lambda j, hi, bi: (hi, j, 0)),
+    ]
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * 2 * sp * sp * d * (b * h),
+            transcendentals=sp * sp * b * h,
+            bytes_accessed=(3 * b * h * d * sp + h * sp * sp) * 2)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, d), qkv.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, d),
+                               lambda j, hi, bi, h=h: (bi * h + hi, j, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(f, f, vt, bias)
+    # (B*H, S, D) -> channels-major (B, H*D, T)
+    out = jnp.swapaxes(out.reshape(b, h, sp, d), -1, -2)
+    return out.reshape(b, h * d, sp)[..., :s]
+
+
 def _attn_bias_kq_kernel(q_ref, k_ref, v_ref, bt_ref, o_ref, *,
                          scale: float):
     """Score-TRANSPOSED block: dots live as (S, bq) so both matmuls are
