@@ -51,11 +51,14 @@ def main():
 
     # decode_quant: weight-only int8 AR-decode GEMVs (per-channel scales;
     # prefill/latents/logits stay bf16) — the standard serving quant for
-    # a bandwidth-bound decode.  BENCH_NO_INT8=1 reverts to pure bf16.
+    # a bandwidth-bound decode.  BENCH_NO_INT8=1 reverts to pure bf16;
+    # BENCH_QUANT=none|int8|w8a8 picks the mode explicitly.
+    quant = os.environ.get(
+        "BENCH_QUANT",
+        "none" if os.environ.get("BENCH_NO_INT8") == "1" else "int8")
     cfg = Config(inference=Inference(
         weight_dtype="bfloat16", text_buckets=(64,),
-        decode_quant="none" if os.environ.get("BENCH_NO_INT8") == "1"
-        else "int8"))
+        decode_quant=quant))
     tts = TTS(config=cfg, dtype="bfloat16")
 
     if small:
