@@ -114,13 +114,32 @@ def bench_decode():
     st = uv.decode_start(p, cond, text, tl, jax.random.PRNGKey(0), cfg,
                          max_len)
     jax.block_until_ready(st)
+    quant = os.environ.get("TTS_DECODE_QUANT", "none")  # none|int8|w8a8
+    qgpt = (jax.jit(uv.quantize_decode_weights)(p)
+            if quant in ("int8", "w8a8") else None)
+    print("decode quant:", quant)
 
     def run(state):
-        return uv.decode_chunk(p, state, cfg, samp, max_len, None, False)
+        return uv.decode_chunk(p, state, cfg, samp, max_len, None, False,
+                               qgpt=qgpt, quant_mode=quant
+                               if quant != "none" else "int8")
 
     dt = timeit(run, st, n=3, warmup=1)
     print(f"decode: {dt:.3f} s for {max_len} tokens "
           f"= {dt/max_len*1e3:.2f} ms/token")
+
+
+def bench_decode_ablate():
+    """Decode-step cost decomposition: TTS_ABLATE_DEC=noattn replaces
+    the cache-read attention with an identity on q (cache writes, GEMVs,
+    norms and sampling all stay); (full - noattn) isolates the
+    attention-read cost of the step."""
+    mode = os.environ.get("TTS_ABLATE_DEC", "")
+    from tortoise_tts_tpu.models import unified_voice as uv
+    if mode == "noattn":
+        uv.mha = lambda q, k, v, mask=None, **kw: q
+    print("ablate_dec:", mode or "none")
+    bench_decode()
 
 
 def bench_decode_roof():
@@ -470,6 +489,8 @@ if __name__ == "__main__":
         bench_decode_roof_qgemv()
     if "roofq1024" in which:
         bench_decode_roof_qgemv(block_n=1024)
+    if "decablate" in which:
+        bench_decode_ablate()
     if "roofw8a8" in which:
         bench_decode_roof_qgemv(w8a8=True)
     if "roofw8a8x1024" in which:
