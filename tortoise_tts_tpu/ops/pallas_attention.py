@@ -102,22 +102,31 @@ def flash_attention_bias_qkv(qkv: jnp.ndarray, bias: jnp.ndarray,
 
 
 def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
-                         scale: float):
+                         scale: float, d_out: int):
     """Row-major scores with a pre-transposed V: dots live as (bq, S)
     so the softmax reduces over LANES (the fast VPU axis), and the AV
     matmul is MXU-canonical because V arrives as (S, D) — the one
     layout transpose this orientation needs is done OUTSIDE the kernel
     on the tiny (S, D) value tensor (128 KB/head) instead of the 4 MB
-    fp32 score block that sank `_attn_bias_kernel`."""
+    fp32 score block that sank `_attn_bias_kernel`.
+
+    Mosaic lowers elementwise ops over the (bq, S) block through VMEM
+    one op at a time (the measured killer of the earlier kernels), so
+    the softmax chain is restructured to a minimum of full-block
+    passes: the exp is written at V's dtype (half the bytes in bf16
+    mode) and the row-sum normaliser comes out of the AV matmul itself
+    — V carries an appended ones-column, so softmax normalisation is a
+    cheap (bq, 1)-broadcast divide after the MXU instead of an extra
+    read+write of the score block."""
     dots = jax.lax.dot_general(q_ref[0], k_ref[0],
                                (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     dots = dots * scale + b_ref[0].astype(jnp.float32)    # (bq, S)
     m = jnp.max(dots, axis=1, keepdims=True)
-    e = jnp.exp(dots - m)
-    p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vt_ref.dtype)
-    o = jax.lax.dot_general(p, vt_ref[0], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    p = jnp.exp(dots - m).astype(vt_ref.dtype)
+    acc = jax.lax.dot_general(p, vt_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o = acc[:, :d_out] / acc[:, d_out:d_out + 1]
     o_ref[0] = o.astype(o_ref.dtype)                      # (1, bq, D)
 
 
@@ -146,9 +155,15 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
     pad = sp - s
     f = qkv.reshape(b * h * 3, d, s)
     # V transposed outside: (B*H, S, D) — a cheap XLA transpose of the
-    # small value tensor; lets the in-kernel AV matmul run canonically
+    # small value tensor; lets the in-kernel AV matmul run canonically.
+    # Column d carries the softmax normaliser's ones (see kernel doc);
+    # the width is padded to a lane multiple so every tile is aligned.
+    dv = -(-(d + 1) // 128) * 128
     vt = jnp.swapaxes(
         qkv.reshape(b, h, 3, d, s)[:, :, 2], -1, -2).reshape(b * h, s, d)
+    ones = jnp.ones((b * h, s, 1), vt.dtype)
+    vt = jnp.concatenate(
+        [vt, ones, jnp.zeros((b * h, s, dv - d - 1), vt.dtype)], axis=-1)
     if pad:
         f = jnp.pad(f, ((0, 0), (0, 0), (0, pad)))
         vt = jnp.pad(vt, ((0, 0), (0, pad), (0, 0)))
@@ -159,13 +174,14 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
         bias = jnp.pad(bias, ((0, 0), (0, pad), (0, 0)))
 
     grid = (sp // bq, h, b)
-    kernel = functools.partial(_attn_bias_vt_kernel, scale=scale)
+    kernel = functools.partial(_attn_bias_vt_kernel, scale=scale,
+                               d_out=d)
     in_specs = [
         pl.BlockSpec((1, d, bq),
                      lambda j, hi, bi, h=h: (3 * (bi * h + hi), 0, j)),
         pl.BlockSpec((1, d, sp),
                      lambda j, hi, bi, h=h: (3 * (bi * h + hi) + 1, 0, 0)),
-        pl.BlockSpec((1, sp, d),
+        pl.BlockSpec((1, sp, dv),
                      lambda j, hi, bi, h=h: (bi * h + hi, 0, 0)),
         pl.BlockSpec((1, bq, sp), lambda j, hi, bi: (hi, j, 0)),
     ]
