@@ -67,21 +67,36 @@ def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
-def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
-    """HF TopPLogitsWarper (min_tokens_to_keep=1)."""
+def apply_top_p(logits: jnp.ndarray, p: float,
+                iters: int = 30) -> jnp.ndarray:
+    """HF TopPLogitsWarper (min_tokens_to_keep=1), sort-free.
+
+    The sorted-cumsum form keeps {prob >= p_tau} where p_tau is the
+    probability of the token whose ascending cumsum first exceeds 1-p.
+    A full-vocab sort costs ~0.1 ms/token on TPU (bitonic); instead we
+    binary-search the keep threshold t in [0, max_prob]: t is feasible
+    iff the mass strictly below it is <= 1-p, and the feasible region's
+    supremum is exactly p_tau.  30 masked-sum passes resolve t to
+    ~2^-30 — identical keep-set for distinct probabilities (only
+    float-level ties within ~1e-9 of the boundary can differ, where the
+    sorted form's tie order is itself arbitrary)."""
     if p >= 1.0:
         return logits
-    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # remove tokens with cumulative probability <= 1 - p (ascending order);
-    # always keep the top token.
-    keep_sorted = cum > (1.0 - p)
-    keep_sorted = keep_sorted.at[..., -1].set(True)
-    # threshold value: smallest kept logit
-    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
-                     axis=-1, keepdims=True)
-    return jnp.where(logits < thresh, NEG_INF, logits)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    rm = jnp.float32(1.0 - p)
+    hi0 = jnp.max(probs, axis=-1, keepdims=True) * (1 + 1e-6) + 1e-12
+    lo0 = jnp.zeros_like(hi0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        removed = jnp.sum(jnp.where(probs < mid, probs, 0.0),
+                          axis=-1, keepdims=True)
+        ok = removed <= rm
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    return jnp.where(probs < lo, NEG_INF, logits)
 
 
 def apply_typical(logits: jnp.ndarray, mass: float) -> jnp.ndarray:
