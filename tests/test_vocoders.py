@@ -188,6 +188,17 @@ def test_pallas_snake_kernel_parity():
         os.environ.pop("TTS_BV_SNAKE", None)
 
 
+def test_snake_sin2_poly_accuracy():
+    """The range-reduced sin^2 polynomial stays within 3e-5 of the
+    transcendental over a wide argument range (vs ~8e-3 bf16 output
+    resolution)."""
+    from tortoise_tts_tpu.ops.pallas_snake import _sin2
+    y = jnp.asarray(np.linspace(-300, 300, 400001, dtype=np.float32))
+    got = np.asarray(_sin2(y))
+    ref = np.sin(np.asarray(y, np.float64)) ** 2
+    assert np.abs(got - ref).max() < 3e-5
+
+
 def test_pallas_snake_vpu_variant_parity():
     import os
     os.environ["TTS_BV_SNAKE_TEST"] = "vpu"

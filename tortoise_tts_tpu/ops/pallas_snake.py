@@ -48,6 +48,32 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+# sin^2(y) = u * P(u), u = frac(y/pi)^2 — degree-5 Chebyshev-fit power
+# coefficients on u in [0, 1/4]; max abs error 6.8e-8 (fp64 fit) /
+# ~2e-5 fp32 end-to-end at |y|~300 (range-reduction rounding), both far
+# below the bf16 output resolution the vocoder stores.  The VPU's sin
+# builtin is the measured floor of the MXU snake kernel (~1 G evals per
+# utterance at the anti-aliased 2x rate); this runs in ~12 VPU ops.
+_SIN2_COEFS = (9.8696043382019916, -32.469677318903273,
+               42.727418959476246, -30.104237594895572,
+               13.063995181790219, -3.3807205885122107)
+
+
+def _sin2(y: jnp.ndarray) -> jnp.ndarray:
+    """sin(y)^2 via range-reduced even polynomial (TTS_SNAKE_SIN=exact
+    restores the transcendental)."""
+    import os
+    if os.environ.get("TTS_SNAKE_SIN", "poly") == "exact":
+        return jnp.square(jnp.sin(y))
+    z = y * jnp.float32(1.0 / math.pi)
+    fr = z - jnp.round(z)
+    u = fr * fr
+    acc = jnp.float32(_SIN2_COEFS[-1])
+    for c in _SIN2_COEFS[-2::-1]:
+        acc = acc * u + jnp.float32(c)
+    return u * acc
+
+
 def _snake_kernel(c_ref, r_ref, ab_ref, o_ref, *, block: int, T: int,
                   f: tuple, patches: dict):
     """c_ref/r_ref: (R, block) current / next column-block of the padded
@@ -68,8 +94,8 @@ def _snake_kernel(c_ref, r_ref, ab_ref, o_ref, *, block: int, T: int,
                + tap(7, 2) + tap(9, 1) + tap(11, 0))
     O = 2.0 * (tap(0, 6) + tap(2, 5) + tap(4, 4)
                + tap(6, 3) + tap(8, 2) + tap(10, 1))
-    E = E + inv_b * jnp.square(jnp.sin(E * a))
-    O = O + inv_b * jnp.square(jnp.sin(O * a))
+    E = E + inv_b * _sin2(E * a)
+    O = O + inv_b * _sin2(O * a)
 
     def down(src, k, off):
         return f[k] * jax.lax.slice_in_dim(src, off, off + block, axis=1)
@@ -127,8 +153,8 @@ def _snake_kernel_mxu(c_ref, r_ref, ab_ref, mu_ref, me_ref, mo_ref,
     # transcendentals per activation are this kernel's compute floor
     E = jnp.concatenate([t[:, :128] for t in eo], axis=1)
     O = jnp.concatenate([t[:, 128:] for t in eo], axis=1)
-    Eb = (E + inv_b * jnp.square(jnp.sin(E * a))).astype(dt)
-    Ob = (O + inv_b * jnp.square(jnp.sin(O * a))).astype(dt)
+    Eb = (E + inv_b * _sin2(E * a)).astype(dt)
+    Ob = (O + inv_b * _sin2(O * a)).astype(dt)
 
     me = me_ref[...].astype(dt)
     mo = mo_ref[...].astype(dt)
