@@ -45,6 +45,17 @@ def test_top_p_matches_hf(logits, p):
     assert _masked_set(got) == _masked_set(ref)
 
 
+@pytest.mark.parametrize("p", [1e-9, 0.0])
+def test_top_p_degenerate_keeps_argmax(logits, p):
+    """min_tokens_to_keep=1: p ~ 0 must keep exactly the argmax, never
+    mask the entire vocab (binary-search threshold is capped at the max
+    probability)."""
+    got = np.asarray(S.apply_top_p(jnp.asarray(logits), p))
+    keep = got > -1e9
+    assert (keep.sum(-1) == 1).all()
+    assert (np.argmax(got, -1) == np.argmax(logits, -1)).all()
+
+
 def test_repetition_penalty_matches_hf(logits):
     from transformers.generation.logits_process import \
         RepetitionPenaltyLogitsProcessor

@@ -225,6 +225,36 @@ def test_qgemv_stacked_kernel_parity():
                                        atol=2e-5, rtol=1e-5)
 
 
+def test_qgemv_stacked_w8a8_kernel_parity():
+    """ops/pallas_gemv.qgemv_stacked_w8a8 (interpret mode — the real
+    kernel, not the XLA fallback) matches the int32-dot reference for
+    every layer index, with (L,N)/(N,)/no bias."""
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.ops.pallas_gemv import (qgemv_stacked_w8a8,
+                                                  quantize_rowwise)
+    rng = np.random.RandomState(0)
+    L, K, N, M = 3, 256, 1024, 2
+    w = jnp.asarray(rng.randn(L, K, N).astype(np.float32)) * 0.02
+    s = jnp.max(jnp.abs(w), axis=1) / 127.0 + 1e-12
+    wq = jnp.round(w / s[:, None, :]).astype(jnp.int8)
+    b2 = jnp.asarray(rng.randn(L, N).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.randn(N).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    xq, sx = quantize_rowwise(x)
+    for bias in (b2, b1, None):
+        for li in range(L):
+            ref = jax.lax.dot_general(
+                xq.astype(jnp.int32), wq[li].astype(jnp.int32),
+                (((1,), (0,)), ((), ()))).astype(jnp.float32) * sx * s[li]
+            if bias is not None:
+                ref = ref + (bias[li] if bias.ndim == 2 else bias)
+            got = qgemv_stacked_w8a8(x, wq, s, bias, li, interpret=True)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(ref.astype(x.dtype)),
+                                       atol=2e-5, rtol=1e-5)
+
+
 def test_w8a8_decode_quant(params):
     """W8A8 decode (dynamic activation quant + int8 dot): codes mostly
     agree with the bf16 trunk on a small model, and the w8a8 GEMV error

@@ -136,10 +136,14 @@ def bench_decode_ablate():
     attention-read cost of the step."""
     mode = os.environ.get("TTS_ABLATE_DEC", "")
     from tortoise_tts_tpu.models import unified_voice as uv
+    orig = uv.mha
     if mode == "noattn":
         uv.mha = lambda q, k, v, mask=None, **kw: q
     print("ablate_dec:", mode or "none")
-    bench_decode()
+    try:
+        bench_decode()
+    finally:
+        uv.mha = orig
 
 
 def bench_decode_roof():

@@ -158,6 +158,14 @@ class Inference:
     # Prefill/latents/logits stay bf16 in every mode.
     decode_quant: str = "none"
 
+    def __post_init__(self):
+        # fail loudly on typos (e.g. BENCH_QUANT=W8A8) — a silently
+        # ignored value would run unquantized and corrupt perf A/Bs
+        if self.decode_quant not in ("none", "int8", "w8a8"):
+            raise ValueError(
+                f"decode_quant must be none|int8|w8a8, got "
+                f"{self.decode_quant!r}")
+
     def dtype(self):
         import jax.numpy as jnp
         return {"float32": jnp.float32, "float16": jnp.float16,

@@ -286,11 +286,14 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     def qlin(lp, name, li, h):
         if qgpt is not None and quant_mode == "w8a8":
             # int8 x int8 MXU with dynamic per-row activation quant —
-            # works on every backend (XLA int32-dot fallback off-TPU)
+            # works on every backend (XLA int32-dot fallback off-TPU;
+            # TTS_QGEMV=0 forces it on TPU too, same escape hatch as
+            # the weight-only kernel)
             from ..ops.pallas_gemv import qgemv_stacked_w8a8
             qp = qgpt[name]
             y = qgemv_stacked_w8a8(h.reshape(b, -1), qp["wq"], qp["s"],
-                                   qp.get("b"), li)
+                                   qp.get("b"), li,
+                                   force_xla=not use_kernel)
             return y.reshape(b, 1, -1)
         if not use_kernel:
             return _qlinear(lp[name], h)

@@ -33,6 +33,45 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+def _stacked_call(kernel, acts, wq, s, b, li, bn, out_dtype,
+                  interpret: bool):
+    """Shared PrefetchScalarGridSpec plumbing for the stacked GEMV
+    kernels: `acts` are the per-call activation operands (full-block,
+    grid-invariant); weight/scale/bias tiles are selected by the
+    scalar-prefetched layer index, with a 1-layer bias broadcast when
+    the bias is shared across layers."""
+    m = acts[0].shape[0]
+    L, k, n = wq.shape
+    s3 = s.reshape(L, 1, n).astype(jnp.float32)
+    if b is None:
+        b3 = jnp.zeros((1, 1, n), jnp.float32)
+    elif b.ndim == 1:
+        b3 = b.reshape(1, 1, n).astype(jnp.float32)
+    else:
+        b3 = b.reshape(L, 1, n).astype(jnp.float32)
+    lb = b3.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // bn,),
+        in_specs=[pl.BlockSpec(a.shape, lambda i, sref: (0, 0))
+                  for a in acts] + [
+            pl.BlockSpec((1, k, bn), lambda i, sref: (sref[0], 0, i)),
+            pl.BlockSpec((1, 1, bn), lambda i, sref: (sref[0], 0, i)),
+            pl.BlockSpec((1, 1, bn),
+                         lambda i, sref, lb=lb: (
+                             jnp.minimum(sref[0], lb - 1), 0, i)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, sref: (0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), *acts, wq, s3, b3)
+
+
 def _qgemv_kernel(idx_ref, x_ref, w_ref, s_ref, b_ref, o_ref):
     del idx_ref  # consumed by the index maps
     w = w_ref[0].astype(x_ref.dtype)                  # (K, bn)
@@ -65,34 +104,8 @@ def qgemv_stacked(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray,
             y = y + (b[li] if b.ndim == 2 else b)
         return y.astype(x.dtype)
 
-    s3 = s.reshape(L, 1, n).astype(jnp.float32)
-    if b is None:
-        b3 = jnp.zeros((1, 1, n), jnp.float32)
-    elif b.ndim == 1:
-        b3 = b.reshape(1, 1, n).astype(jnp.float32)
-    else:
-        b3 = b.reshape(L, 1, n).astype(jnp.float32)
-    lb = b3.shape[0]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // bn,),
-        in_specs=[
-            pl.BlockSpec((m, k), lambda i, sref: (0, 0)),
-            pl.BlockSpec((1, k, bn), lambda i, sref: (sref[0], 0, i)),
-            pl.BlockSpec((1, 1, bn), lambda i, sref: (sref[0], 0, i)),
-            pl.BlockSpec((1, 1, bn),
-                         lambda i, sref, lb=lb: (
-                             jnp.minimum(sref[0], lb - 1), 0, i)),
-        ],
-        out_specs=pl.BlockSpec((m, bn), lambda i, sref: (0, i)),
-    )
-    return pl.pallas_call(
-        _qgemv_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        interpret=interpret,
-    )(jnp.asarray(li, jnp.int32).reshape(1), x, wq, s3, b3)
+    return _stacked_call(_qgemv_kernel, (x,), wq, s, b, li, bn,
+                         x.dtype, interpret)
 
 
 def _qgemv_w8a8_kernel(idx_ref, x_ref, sx_ref, w_ref, s_ref, b_ref,
@@ -121,7 +134,8 @@ def quantize_rowwise(x: jnp.ndarray):
 
 def qgemv_stacked_w8a8(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray,
                        b: jnp.ndarray | None, li, block_n: int = 512,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       force_xla: bool = False) -> jnp.ndarray:
     """W8A8 variant of qgemv_stacked: dynamic per-row activation
     quantization + int8 MXU matmul (2x int8 MXU rate, no in-kernel
     dequant convert).  Adds activation-quantization noise on top of the
@@ -132,7 +146,7 @@ def qgemv_stacked_w8a8(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray,
     bn = min(block_n, n)
     xq, sx = quantize_rowwise(x)
     on_tpu = _HAS_PLTPU and jax.default_backend() == "tpu"
-    if (not on_tpu and not interpret) or n % bn or k % 128:
+    if force_xla or (not on_tpu and not interpret) or n % bn or k % 128:
         y = jax.lax.dot_general(
             xq.astype(jnp.int32), wq[li].astype(jnp.int32),
             (((1,), (0,)), ((), ()))).astype(jnp.float32) * sx * s[li]
@@ -140,32 +154,5 @@ def qgemv_stacked_w8a8(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray,
             y = y + (b[li] if b.ndim == 2 else b)
         return y.astype(x.dtype)
 
-    s3 = s.reshape(L, 1, n).astype(jnp.float32)
-    if b is None:
-        b3 = jnp.zeros((1, 1, n), jnp.float32)
-    elif b.ndim == 1:
-        b3 = b.reshape(1, 1, n).astype(jnp.float32)
-    else:
-        b3 = b.reshape(L, 1, n).astype(jnp.float32)
-    lb = b3.shape[0]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // bn,),
-        in_specs=[
-            pl.BlockSpec((m, k), lambda i, sref: (0, 0)),
-            pl.BlockSpec((m, 1), lambda i, sref: (0, 0)),
-            pl.BlockSpec((1, k, bn), lambda i, sref: (sref[0], 0, i)),
-            pl.BlockSpec((1, 1, bn), lambda i, sref: (sref[0], 0, i)),
-            pl.BlockSpec((1, 1, bn),
-                         lambda i, sref, lb=lb: (
-                             jnp.minimum(sref[0], lb - 1), 0, i)),
-        ],
-        out_specs=pl.BlockSpec((m, bn), lambda i, sref: (0, i)),
-    )
-    return pl.pallas_call(
-        _qgemv_w8a8_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        interpret=interpret,
-    )(jnp.asarray(li, jnp.int32).reshape(1), xq, sx, wq, s3, b3)
+    return _stacked_call(_qgemv_w8a8_kernel, (xq, sx), wq, s, b, li,
+                         bn, x.dtype, interpret)

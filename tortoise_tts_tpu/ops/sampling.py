@@ -84,7 +84,10 @@ def apply_top_p(logits: jnp.ndarray, p: float,
         return logits
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     rm = jnp.float32(1.0 - p)
-    hi0 = jnp.max(probs, axis=-1, keepdims=True) * (1 + 1e-6) + 1e-12
+    # hi0 = max prob exactly: lo can never exceed it, so the argmax is
+    # always kept (HF's min_tokens_to_keep=1) even for degenerate p<=0
+    # where every threshold is feasible
+    hi0 = jnp.max(probs, axis=-1, keepdims=True)
     lo0 = jnp.zeros_like(hi0)
 
     def body(_, lohi):
