@@ -274,3 +274,27 @@ def test_training_losses_parity(ref_model, params):
                                terms["mse"].numpy(), atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got["vb"]),
                                terms["vb"].numpy(), atol=1e-3, rtol=1e-2)
+
+
+def test_fused_resblock_kernel_parity():
+    """ops/pallas_resblock.fused_ts_res_block (interpret mode) matches
+    the XLA _ts_res_block exactly in fp32, including per-batch
+    scale/shift, group statistics and the k=3 conv edge columns."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.models import diffusion as dm
+    from tortoise_tts_tpu.models.common import linear, silu, norm_groups
+    from tortoise_tts_tpu.ops.pallas_resblock import fused_ts_res_block
+    for (b, c, t) in ((2, 256, 128), (1, 128, 256)):
+        p = dm._ts_res_block_init(jax.random.PRNGKey(0), c, c)
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, c, t),
+                              jnp.float32)
+        emb = jax.random.normal(jax.random.PRNGKey(2), (b, c),
+                                jnp.float32)
+        ref = dm._ts_res_block(p, x, emb)
+        emb_out = linear(p["emb"], silu(emb))
+        got = fused_ts_res_block(p, x, emb_out, norm_groups(c),
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-5)

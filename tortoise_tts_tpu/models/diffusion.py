@@ -63,11 +63,21 @@ def _ts_res_block_init(key, channels: int, emb_channels: int,
 
 def _ts_res_block(p: Params, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
     """x: (B, C, T); emb: (B, C) -> (B, C, T). use_scale_shift_norm path."""
+    import os
     c = x.shape[1]
+    emb_out = linear(p["emb"], silu(emb))            # (B, 2C)
+    if (os.environ.get("TTS_FUSED_RESBLOCK", "0") == "1"
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("TTS_FUSED_RESBLOCK_INTERPRET") == "1")):
+        from ..ops.pallas_resblock import fused_ts_res_block
+        out = fused_ts_res_block(
+            p, x, emb_out, norm_groups(c),
+            interpret=jax.default_backend() != "tpu")
+        if out is not None:
+            return out
     h = group_norm(p["in_norm"], x, norm_groups(c))
     h = silu(h)
     h = conv1d(p["in_conv"], h)
-    emb_out = linear(p["emb"], silu(emb))            # (B, 2C)
     scale, shift = jnp.split(emb_out[..., None], 2, axis=1)
     h = group_norm(p["out_norm"], h, norm_groups(c)) * (1 + scale) + shift
     h = silu(h)
