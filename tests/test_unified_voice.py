@@ -225,6 +225,38 @@ def test_qgemv_stacked_kernel_parity():
                                        atol=2e-5, rtol=1e-5)
 
 
+def test_qgemv_fused_ln_parity():
+    """Fused-LayerNorm GEMV kernels (interpret mode) == layer_norm +
+    plain GEMV, for both the weight-only and w8a8 kernels, at every
+    layer index."""
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.models.common import layer_norm
+    from tortoise_tts_tpu.ops.pallas_gemv import (qgemv_stacked,
+                                                  qgemv_stacked_w8a8)
+    rng = np.random.RandomState(4)
+    L, K, N, M = 3, 256, 512, 2
+    w = jnp.asarray(rng.randn(L, K, N).astype(np.float32)) * 0.02
+    s = jnp.max(jnp.abs(w), axis=1) / 127.0 + 1e-12
+    wq = jnp.round(w / s[:, None, :]).astype(jnp.int8)
+    bias = jnp.asarray(rng.randn(L, N).astype(np.float32)) * 0.1
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(L, K).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(L, K).astype(np.float32))
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    for li in range(L):
+        xn = layer_norm({"scale": g[li], "bias": be[li]}, x)
+        ref = qgemv_stacked(xn, wq, s, bias, li, interpret=True)
+        got = qgemv_stacked(x, wq, s, bias, li, interpret=True,
+                            ln=(g, be))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-5)
+        ref8 = qgemv_stacked_w8a8(xn, wq, s, bias, li, interpret=True)
+        got8 = qgemv_stacked_w8a8(x, wq, s, bias, li, interpret=True,
+                                  ln=(g, be))
+        np.testing.assert_allclose(np.asarray(got8), np.asarray(ref8),
+                                   atol=3e-5, rtol=1e-5)
+
+
 def test_qgemv_stacked_w8a8_kernel_parity():
     """ops/pallas_gemv.qgemv_stacked_w8a8 (interpret mode — the real
     kernel, not the XLA fallback) matches the int32-dot reference for

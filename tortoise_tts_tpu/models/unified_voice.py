@@ -283,7 +283,7 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     if qgpt is not None and not use_kernel and quant_mode != "w8a8":
         lp_all = {**lp_all, **qgpt}
 
-    def qlin(lp, name, li, h):
+    def qlin(lp, name, li, h, ln=None):
         if qgpt is not None and quant_mode == "w8a8":
             # int8 x int8 MXU with dynamic per-row activation quant —
             # works on every backend (XLA int32-dot fallback off-TPU;
@@ -293,21 +293,32 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
             qp = qgpt[name]
             y = qgemv_stacked_w8a8(h.reshape(b, -1), qp["wq"], qp["s"],
                                    qp.get("b"), li,
-                                   force_xla=not use_kernel)
+                                   force_xla=not use_kernel, ln=ln)
             return y.reshape(b, 1, -1)
         if not use_kernel:
             return _qlinear(lp[name], h)
         from ..ops.pallas_gemv import qgemv_stacked
         qp = qgpt[name]
         y = qgemv_stacked(h.reshape(b, -1), qp["wq"], qp["s"],
-                          qp.get("b"), li)
+                          qp.get("b"), li, ln=ln)
         return y.reshape(b, 1, -1)
+
+    # LayerNorms fuse into the GEMV kernels on the quantized paths
+    # (~60 tiny LN op-chains per token otherwise); stacked gamma/beta
+    # are indexed by the same scalar-prefetched layer index
+    fuse_ln = qgpt is not None and (use_kernel or quant_mode == "w8a8")
+    ln1 = ((gpt["ln_1"]["scale"], gpt["ln_1"]["bias"])
+           if fuse_ln else None)
+    ln2 = ((gpt["ln_2"]["scale"], gpt["ln_2"]["bias"])
+           if fuse_ln else None)
 
     def body(carry, layer):
         x, ck, cv = carry
         lp, li = layer
-        h = layer_norm(lp["ln_1"], x)
-        qkv = qlin(lp, "attn_qkv", li, h)
+        if fuse_ln:
+            qkv = qlin(lp, "attn_qkv", li, x, ln=ln1)
+        else:
+            qkv = qlin(lp, "attn_qkv", li, layer_norm(lp["ln_1"], x))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)[None]
@@ -321,9 +332,13 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
         a = mha(q, kc, vc, mask=mask)
         a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
         x = x + qlin(lp, "attn_proj", li, a)
-        h2 = layer_norm(lp["ln_2"], x)
-        x = x + qlin(lp, "mlp_proj", li,
-                     gelu_new(qlin(lp, "mlp_fc", li, h2)))
+        if fuse_ln:
+            x = x + qlin(lp, "mlp_proj", li,
+                         gelu_new(qlin(lp, "mlp_fc", li, x, ln=ln2)))
+        else:
+            h2 = layer_norm(lp["ln_2"], x)
+            x = x + qlin(lp, "mlp_proj", li,
+                         gelu_new(qlin(lp, "mlp_fc", li, h2)))
         return (x, ck, cv), None
 
     # unroll=2 interleaves adjacent layers' GEMV kernel dispatches
