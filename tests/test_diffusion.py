@@ -298,3 +298,31 @@ def test_fused_resblock_kernel_parity():
                                  interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=3e-5, rtol=1e-5)
+
+
+def test_fused_gn_conv_kernel_parity():
+    """fused_gn_conv1x1 (interpret) == groupnorm + conv1d for the
+    attention head (act=False, C_out=3C, blocked) and the resblock
+    input half (act=True)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.models.common import (conv1d, conv1d_init,
+                                                group_norm,
+                                                group_norm_init,
+                                                norm_groups, silu)
+    from tortoise_tts_tpu.ops.pallas_resblock import fused_gn_conv1x1
+    c, t = 256, 128
+    for (cout, act, bn) in ((3 * c, False, 256), (c, True, 1024)):
+        pn = group_norm_init(c)
+        pc = conv1d_init(jax.random.PRNGKey(3), c, cout, 1)
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, c, t),
+                              jnp.float32)
+        h = group_norm(pn, x, norm_groups(c))
+        if act:
+            h = silu(h)
+        ref = conv1d(pc, h)
+        got = fused_gn_conv1x1(pn, pc, x, norm_groups(c), act=act,
+                               block_n=bn, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-5)

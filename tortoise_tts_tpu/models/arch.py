@@ -55,9 +55,21 @@ def attention_block(p: Params, x: jnp.ndarray, num_heads: int,
     hoisted out of the loop (see precompute_rel_bias).  ``bias_kq`` is
     the same bias pre-TRANSPOSED to (H, S, Tq) for the transposed-score
     Pallas attention path."""
+    import os
     c = x.shape[1]
-    h = group_norm(p["norm"], x, norm_groups(c))
-    qkv = conv1d(p["qkv"], h)
+    qkv = None
+    if (os.environ.get("TTS_FUSED_RESBLOCK", "0") == "1"
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("TTS_FUSED_RESBLOCK_INTERPRET") == "1")):
+        # fused [groupnorm + qkv conv1x1] Pallas head (the same env
+        # gates the denoiser resblock fusion — both or neither)
+        from ..ops.pallas_resblock import fused_gn_conv1x1
+        qkv = fused_gn_conv1x1(
+            p["norm"], p["qkv"], x, norm_groups(c), act=False,
+            interpret=jax.default_backend() != "tpu")
+    if qkv is None:
+        h = group_norm(p["norm"], x, norm_groups(c))
+        qkv = conv1d(p["qkv"], h)
     if bias_kq is not None:
         a = qkv_attention(qkv, num_heads, bias_kq=bias_kq, mask=mask)
     elif bias is not None:

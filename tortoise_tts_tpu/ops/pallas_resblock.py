@@ -71,20 +71,61 @@ def _group_stats(xf, groups: int, eps: float):
     return mu, rs
 
 
-def _rb_in_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, o_ref, *,
-                  groups: int, eps: float):
-    """h = conv1x1(silu(groupnorm(x))).  x_ref: (1, C, T);
-    g_ref/b_ref: (C, 1) fp32 affine; w_ref: (C, C) [out, in];
-    wb_ref: (C, 1) fp32."""
+def _gn_conv_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, o_ref, *,
+                    groups: int, eps: float, act: bool):
+    """conv1x1(act(groupnorm(x))) with the output channels blocked.
+    x_ref: (1, C, T); g_ref/b_ref: (C, 1) fp32 affine;
+    w_ref: (bn, C) [out-block, in]; wb_ref: (bn, 1) fp32; act: silu.
+    Group stats are recomputed per output block — 2 cheap VPU passes
+    vs holding a (c_out, T) block and the full weight in VMEM at once.
+    """
     x = x_ref[0]
     xf = x.astype(jnp.float32)
     mu, rs = _group_stats(xf, groups, eps)
     y = ((xf - mu) * rs * g_ref[...] + b_ref[...]).astype(x.dtype)
-    a = y * jax.nn.sigmoid(y)                            # silu at dt
-    acc = jax.lax.dot_general(w_ref[...].astype(x.dtype), a,
+    if act:
+        y = y * jax.nn.sigmoid(y)                        # silu at dt
+    acc = jax.lax.dot_general(w_ref[...].astype(x.dtype), y,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     o_ref[0] = (acc + wb_ref[...]).astype(o_ref.dtype)
+
+
+def fused_gn_conv1x1(p_norm, p_conv, x: jnp.ndarray, groups: int,
+                     act: bool, eps: float = 1e-5, block_n: int = 1024,
+                     interpret: bool = False):
+    """conv1x1(act?(groupnorm(x))) — the [norm + qkv-conv] head of the
+    denoiser AttentionBlock (act=False) and the resblock input half
+    (act=True).  x: (B, C, T) -> (B, C_out, T); returns None off-TPU
+    or for unaligned shapes (caller falls back to XLA)."""
+    b, c, t = x.shape
+    c_out = p_conv["w"].shape[0]
+    if ((not _HAS_PLTPU and not interpret) or c % 128 or t % 128
+            or c_out % min(block_n, c_out)):
+        return None
+    bn = min(block_n, c_out)
+    dt = x.dtype
+    g = jnp.asarray(p_norm["scale"], jnp.float32).reshape(c, 1)
+    bb = jnp.asarray(p_norm["bias"], jnp.float32).reshape(c, 1)
+    w = p_conv["w"][:, :, 0]                             # (C_out, C)
+    wb = jnp.asarray(p_conv.get(
+        "b", jnp.zeros((c_out,))), jnp.float32).reshape(c_out, 1)
+    kern = functools.partial(_gn_conv_kernel, groups=groups, eps=eps,
+                             act=act)
+    return pl.pallas_call(
+        kern,
+        grid=(b, c_out // bn),
+        in_specs=[
+            pl.BlockSpec((1, c, t), lambda bi, j: (bi, 0, 0)),
+            pl.BlockSpec((c, 1), lambda bi, j: (0, 0)),
+            pl.BlockSpec((c, 1), lambda bi, j: (0, 0)),
+            pl.BlockSpec((bn, c), lambda bi, j: (j, 0)),
+            pl.BlockSpec((bn, 1), lambda bi, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bn, t), lambda bi, j: (bi, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, c_out, t), dt),
+        interpret=interpret,
+    )(x, g, bb, w, wb)
 
 
 def _rb_out_kernel(h_ref, x_ref, g_ref, b_ref, sc_ref, sh_ref, w_ref,
@@ -131,22 +172,8 @@ def fused_ts_res_block(p, x: jnp.ndarray, emb_out: jnp.ndarray,
         return None  # caller falls back to the XLA path
 
     dt = x.dtype
-    g1 = jnp.asarray(p["in_norm"]["scale"], jnp.float32).reshape(c, 1)
-    b1 = jnp.asarray(p["in_norm"]["bias"], jnp.float32).reshape(c, 1)
-    w1 = p["in_conv"]["w"][:, :, 0]                      # (C, C)
-    wb1 = jnp.asarray(p["in_conv"].get(
-        "b", jnp.zeros((c,))), jnp.float32).reshape(c, 1)
-    kern = functools.partial(_rb_in_kernel, groups=groups, eps=eps)
-    h = pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=[_bspec((1, c, t)), _bspec((c, 1), True),
-                  _bspec((c, 1), True), _bspec((c, c), True),
-                  _bspec((c, 1), True)],
-        out_specs=_bspec((1, c, t)),
-        out_shape=jax.ShapeDtypeStruct((b, c, t), dt),
-        interpret=interpret,
-    )(x, g1, b1, w1, wb1)
+    h = fused_gn_conv1x1(p["in_norm"], p["in_conv"], x, groups,
+                         act=True, eps=eps, interpret=interpret)
 
     scale = emb_out[:, :c].astype(jnp.float32).reshape(b, c, 1)
     shift = emb_out[:, c:].astype(jnp.float32).reshape(b, c, 1)
