@@ -13,7 +13,9 @@ run roofq
 run roofw8a8
 run decablate TTS_DECODE_QUANT=int8 TTS_ABLATE_DEC=noattn
 run decode    TTS_DECODE_QUANT=int8
+run decode    TTS_DECODE_QUANT=int8 TTS_QGEMV_LN=1
 run decode    TTS_DECODE_QUANT=w8a8
+run decode    TTS_DECODE_QUANT=w8a8 TTS_QGEMV_LN=1
 
 # 2. denoiser: XLA default vs vt attention vs fused resblock vs both
 run denoiser TTS_DENOISER_T=896
