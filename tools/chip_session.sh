@@ -16,6 +16,7 @@ run decode    TTS_DECODE_QUANT=int8
 run decode    TTS_DECODE_QUANT=int8 TTS_QGEMV_LN=1
 run decode    TTS_DECODE_QUANT=w8a8
 run decode    TTS_DECODE_QUANT=w8a8 TTS_QGEMV_LN=1
+run decode    TTS_DECODE_QUANT=w8a8 TTS_QGEMV_LN=1 TTS_DECODE_UNROLL=4
 
 # 2. denoiser: XLA default vs vt attention vs fused resblock vs both
 run denoiser TTS_DENOISER_T=896
