@@ -24,9 +24,9 @@ run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1
 run denoiser TTS_DENOISER_T=896 TTS_FUSED_RESBLOCK=1
 run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1 TTS_FUSED_RESBLOCK=1
 
-# 3. vocoder: poly sin2 (new default) vs exact
+# 3. vocoder: exact sin (default) vs poly sin2
 run vocoder
-run vocoder TTS_SNAKE_SIN=exact
+run vocoder TTS_SNAKE_SIN=poly
 
 echo "=== bench int8 (baseline config)" | tee -a "$L"
 timeout 1800 python bench.py 2>&1 | grep -v WARNING | tee -a "$L"

@@ -60,10 +60,12 @@ _SIN2_COEFS = (9.8696043382019916, -32.469677318903273,
 
 
 def _sin2(y: jnp.ndarray) -> jnp.ndarray:
-    """sin(y)^2 via range-reduced even polynomial (TTS_SNAKE_SIN=exact
-    restores the transcendental)."""
+    """sin(y)^2 via range-reduced even polynomial (TTS_SNAKE_SIN=poly;
+    default stays on the transcendental until the polynomial's Mosaic
+    lowering is validated on a real chip — an unvalidated default here
+    would turn a lowering failure into a bench crash)."""
     import os
-    if os.environ.get("TTS_SNAKE_SIN", "poly") == "exact":
+    if os.environ.get("TTS_SNAKE_SIN", "exact") == "exact":
         return jnp.square(jnp.sin(y))
     z = y * jnp.float32(1.0 / math.pi)
     fr = z - jnp.round(z)
