@@ -42,11 +42,19 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--dtype", type=str, default=None)
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--decode-quant", type=str, default=None,
+                        choices=["none", "int8", "w8a8"],
+                        help="AR-decode GEMV quantization "
+                             "(config.Inference.decode_quant)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     from .inference import TTS
     tts = TTS(config=args.yaml, dtype=args.dtype, device=args.device)
+    if args.decode_quant is not None:
+        from dataclasses import replace
+        tts.cfg = replace(tts.cfg, inference=replace(
+            tts.cfg.inference, decode_quant=args.decode_quant))
     wav, sr = tts.inference(
         args.text, args.references,
         max_ar_steps=args.max_ar_steps,
