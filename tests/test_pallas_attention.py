@@ -136,3 +136,25 @@ def test_rel_biases_kq_static_over_jit():
 
     kq_flag, _ = through(rbt)   # jit returns it as an array; the point
     assert bool(kq_flag)        # is that bool() didn't raise while tracing
+
+
+def test_flash_bias_vt_fast_exp2():
+    """TTS_FLASH_VT_EXP2: polynomial exp2 softmax stays within ~1e-4 of
+    the exact-exp kernel (bf16 weight rounding is ~4e-3)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.ops.pallas_attention import \
+        flash_attention_bias_qkv_vt
+    b, h, d, t = 2, 2, 64, 300
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, h * 3 * d, t),
+                            jnp.float32) * 0.5
+    bias = jax.random.normal(jax.random.PRNGKey(1), (h, t, t)) * 0.3
+    exact = flash_attention_bias_qkv_vt(qkv, bias, h, interpret=True)
+    os.environ["TTS_FLASH_VT_EXP2"] = "1"
+    try:
+        fast = flash_attention_bias_qkv_vt(qkv, bias, h, interpret=True)
+    finally:
+        os.environ.pop("TTS_FLASH_VT_EXP2", None)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               atol=2e-4, rtol=2e-4)

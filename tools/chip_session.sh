@@ -23,6 +23,7 @@ run denoiser TTS_DENOISER_T=896
 run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1
 run denoiser TTS_DENOISER_T=896 TTS_FUSED_RESBLOCK=1
 run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1 TTS_FUSED_RESBLOCK=1
+run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1 TTS_FLASH_VT_EXP2=1
 
 # 3. vocoder: exact sin (default) vs poly sin2
 run vocoder

@@ -101,8 +101,30 @@ def flash_attention_bias_qkv(qkv: jnp.ndarray, bias: jnp.ndarray,
     return out.reshape(b, n_heads * d, -1)[..., :s]
 
 
+# 2^f on [0, 1): degree-4 Chebyshev power coefficients, rel err 7.3e-6
+# (the softmax weights are cast to bf16 anyway — eps ~4e-3)
+_EXP2_COEFS = (1.0000072864795251, 0.69293126093373347,
+               0.24171032460751829, 0.051666843464985374,
+               0.013676524375017769)
+_LOG2E = 1.4426950408889634
+
+
+def _exp2_fast(t: jnp.ndarray) -> jnp.ndarray:
+    """2^t for t <= 0 via floor split + degree-4 poly + exponent-bit
+    scaling — ~12 VPU ops vs the transcendental builtin, which is the
+    dominant VPU cost of an attention kernel at (bq, S) score shapes."""
+    t = jnp.maximum(t, -126.0)
+    k = jnp.floor(t)
+    f = t - k
+    acc = jnp.float32(_EXP2_COEFS[-1])
+    for c in _EXP2_COEFS[-2::-1]:
+        acc = acc * f + jnp.float32(c)
+    ki = (k.astype(jnp.int32) + 127) << 23
+    return acc * jax.lax.bitcast_convert_type(ki, jnp.float32)
+
+
 def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
-                         scale: float, d_out: int):
+                         scale: float, d_out: int, fast_exp: bool):
     """Row-major scores with a pre-transposed V: dots live as (bq, S)
     so the softmax reduces over LANES (the fast VPU axis), and the AV
     matmul is MXU-canonical because V arrives as (S, D) — the one
@@ -123,7 +145,10 @@ def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
                                preferred_element_type=jnp.float32)
     dots = dots * scale + b_ref[0].astype(jnp.float32)    # (bq, S)
     m = jnp.max(dots, axis=1, keepdims=True)
-    p = jnp.exp(dots - m).astype(vt_ref.dtype)
+    if fast_exp:
+        p = _exp2_fast((dots - m) * _LOG2E).astype(vt_ref.dtype)
+    else:
+        p = jnp.exp(dots - m).astype(vt_ref.dtype)
     acc = jax.lax.dot_general(p, vt_ref[0], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     o = acc[:, :d_out] / acc[:, d_out:d_out + 1]
@@ -173,9 +198,11 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
                        constant_values=NEG_INF)
         bias = jnp.pad(bias, ((0, 0), (0, pad), (0, 0)))
 
+    import os
     grid = (sp // bq, h, b)
-    kernel = functools.partial(_attn_bias_vt_kernel, scale=scale,
-                               d_out=d)
+    kernel = functools.partial(
+        _attn_bias_vt_kernel, scale=scale, d_out=d,
+        fast_exp=os.environ.get("TTS_FLASH_VT_EXP2", "0") == "1")
     in_specs = [
         pl.BlockSpec((1, d, bq),
                      lambda j, hi, bi, h=h: (3 * (bi * h + hi), 0, j)),
