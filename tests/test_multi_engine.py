@@ -208,3 +208,28 @@ def test_trainer_repl_deferred_events_and_lr(train_env, monkeypatch):
     for name in engines.names():
         assert abs(get_lr_scale(engines[name].opt_state) - 0.2) < 1e-6
     assert 3 in saved
+
+
+def test_model_path_checkpoint_loads(train_env, tmp_path):
+    """models[].path with this package's '/'-named sft export layout
+    restores the exact exported tensors into the engine (the flat-dict
+    detection used to test for '.' and mis-route '/' exports)."""
+    from tortoise_tts_tpu.engine import state as st
+    from tortoise_tts_tpu.utils.io import save_state_dict
+
+    src = _small_load_model("autoregressive")
+    marked = jax.tree_util.tree_map(lambda x: x + 1.0, src.params)
+    p = tmp_path / "ar_fp32.sft"
+    save_state_dict(st.flatten_tree(marked), p)
+
+    yaml = YAML.format(data_dir=str(train_env / "data")).replace(
+        "- name: autoregressive\n  training: true",
+        f"- name: autoregressive\n  training: true\n  path: {p}")
+    cfg_path = train_env / "cfg_path.yaml"
+    cfg_path.write_text(yaml)
+    engines = load_engines(Config.load(cfg_path), training=True)
+    got = engines["autoregressive"].params
+    want = jax.tree_util.tree_leaves(marked)[0]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(got)[0]),
+        np.asarray(want), atol=0)

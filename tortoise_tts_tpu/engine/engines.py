@@ -91,7 +91,18 @@ class Engines:
                 _logger.error("OOM during %s step — skipping batch", name)
                 metrics[f"{name}.skipped"] = 1.0
                 continue
+            if oom:
+                # this rank OOM'd but others did not: there is no local
+                # post-step state to continue from — abort rather than
+                # silently reusing a stale one (ref engines/base.py:597)
+                raise RuntimeError(
+                    f"rank-local OOM in {name} without all-rank "
+                    "agreement; aborting step")
             e["state"] = state
+            # one device->host transfer for the engine's metric dict
+            # (float(v) per scalar costs a ~50-100 ms relay fetch each)
+            import jax
+            m = jax.device_get(m)
             for k, v in m.items():
                 metrics[f"{name}.{k}"] = float(v)
             metrics[f"{name}.elapsed_time"] = time.time() - t0
@@ -174,9 +185,13 @@ class Engines:
 
     def export(self, ckpt_dir: Path, weights_format: str = "sft",
                userdata: Optional[dict] = None):
-        """Deployable fp32 export per engine (engines/base.py:356-400)."""
+        """Deployable fp32 export per engine (engines/base.py:356-400).
+        schedule-free states export the x-average, not the y-iterates
+        (optim.eval_params)."""
+        from .optim import eval_params
         for name, e in self._engines.items():
-            export_weights(e["state"].params,
+            export_weights(eval_params(e["state"].params,
+                                       e["state"].opt_state),
                            Path(ckpt_dir) / name / f"fp32.{weights_format}",
                            config={"name": name, **e["config"]},
                            stats={"step": int(e["state"].step)},

@@ -81,7 +81,7 @@ def load_engines(cfg: Config, training: bool = True,
     import jax
 
     from ..models import LoadedModel, load_model
-    from ..models.lora import init_lora
+    from ..models.lora import apply_lora, init_lora
 
     engines = Engines()
     dtype = cfg.trainer.weight_dtype if training \
@@ -95,10 +95,18 @@ def load_engines(cfg: Config, training: bool = True,
         if m.path:
             from ..utils.io import load_state_dict
             sd = load_state_dict(m.path)
-            # exported sft files are already in this package's layout
-            params = st.unflatten_like(lm.params, sd) \
-                if not isinstance(sd, dict) or any(
-                    "." in k for k in sd) else sd
+            if any("/" in k for k in sd):
+                # this package's export layout (state.flatten_tree
+                # '/'-joined names)
+                params = st.unflatten_like(lm.params, sd)
+            elif any("." in k for k in sd):
+                # reference torch layout — same converters load_model
+                # uses (key remap + Conv1D orientation,
+                # reference engines/__init__.py:120-171)
+                from ..models import convert_torch_sd
+                params = convert_torch_sd(m.name, sd, lm.config)
+            else:
+                params = sd
             if cfg.trainer.resize_modules:
                 params = _resize_like(params, lm.params)
             lm = LoadedModel(lm.name, lm.module, lm.config, params, True)
@@ -107,20 +115,37 @@ def load_engines(cfg: Config, training: bool = True,
             teacher_params = lm.params
             teacher_cfg = lm.config
 
-    # frozen AR for diffusion-latent computation when AR not co-training
+    # Diffusion-latent computation: use the CURRENT AR params when the
+    # AR engine co-trains (under its LoRA name if adapted — the adapted
+    # model, not the frozen base, is what inference will run), else the
+    # loaded/frozen AR.  `ar_engine` is filled in when the AR engine is
+    # added below; the AR model/config are only materialised if a
+    # diffusion engine actually needs them.
+    lora = cfg.lora
+    ar_engine: Dict[str, str] = {}
+
     def ar_latents_provider():
-        if "autoregressive" in engines:
-            return engines["autoregressive"].params
+        name = ar_engine.get("name")
+        if name is not None and name in engines:
+            p = engines[name].params
+            if ar_engine.get("lora"):
+                p = apply_lora(loaded["autoregressive"].params, p,
+                               lora.alpha, lora.rank)
+            return p
         if "autoregressive" in loaded:
             return loaded["autoregressive"].params
         return load_model("autoregressive", dtype).params
 
-    ar_cfg = (loaded.get("autoregressive")
-              or load_model("autoregressive", dtype)).config
+    _latent_fn_cache: Dict[str, Any] = {}
 
-    latent_fn = jax.jit(partial(_ar_latents, cfg=ar_cfg))
+    def latent_fn(*args):
+        if "fn" not in _latent_fn_cache:
+            ar_cfg = (loaded.get("autoregressive")
+                      or load_model("autoregressive", dtype)).config
+            _latent_fn_cache["fn"] = jax.jit(
+                partial(_ar_latents, cfg=ar_cfg))
+        return _latent_fn_cache["fn"](*args)
 
-    lora = cfg.lora
     for m in cfg.models:
         if not (training and m.training) or m.teacher:
             continue
@@ -144,6 +169,7 @@ def load_engines(cfg: Config, training: bool = True,
                     teacher_alpha=hp.teacher_alpha,
                     teacher_temperature=hp.teacher_temperature)
                 name = lora.full_name
+                ar_engine.update(name=name, lora=True)
             else:
                 state = st.init_state(lm.params, tx)
                 step_fn = ts.make_ar_train_step(
@@ -153,6 +179,7 @@ def load_engines(cfg: Config, training: bool = True,
                     teacher_alpha=hp.teacher_alpha,
                     teacher_temperature=hp.teacher_temperature)
                 name = m.full_name
+                ar_engine.update(name=name, lora=False)
             engines.add(name, state, step_fn,
                         batch_selector=_select_ar,
                         config={"model": m.name, "base_lr": hp.learning_rate})

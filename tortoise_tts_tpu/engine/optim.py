@@ -298,12 +298,17 @@ def make_schedule(hp: Hyperparameters):
 def make_optimizer(hp: Hyperparameters) -> optax.GradientTransformation:
     name = hp.optimizer.lower()
     sched = make_schedule(hp)
+    # schedule-free interpolates its own momentum-like averaging; the
+    # base optimizer's momentum must be OFF (optax.contrib.schedule_free
+    # docs; double-applied momentum otherwise)
+    sfree = (hp.scheduler or "").lower() == "schedulefree"
+    b1 = 0.0 if sfree else 0.9
     if name == "adamw":
-        opt = optax.adamw(sched, b1=0.9, b2=0.96, weight_decay=0.01)
+        opt = optax.adamw(sched, b1=b1, b2=0.96, weight_decay=0.01)
     elif name == "adam":
-        opt = optax.adam(sched)
+        opt = optax.adam(sched, b1=b1)
     elif name == "sgd":
-        opt = optax.sgd(sched, momentum=0.9)
+        opt = optax.sgd(sched, momentum=0.0 if sfree else 0.9)
     elif name == "adagrad":
         opt = optax.adagrad(sched)
     elif name == "adafactor":
@@ -331,8 +336,27 @@ def make_optimizer(hp: Hyperparameters) -> optax.GradientTransformation:
     chain.append(opt)
     chain.append(mutable_lr_scale())   # trainer REPL `lr <x>` backing
     tx = optax.chain(*chain)
-    if (hp.scheduler or "").lower() == "schedulefree":
+    if sfree:
         tx = optax.contrib.schedule_free(tx, learning_rate=hp.learning_rate)
     if hp.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, hp.gradient_accumulation_steps)
     return tx
+
+
+def eval_params(params, opt_state):
+    """Evaluation/export weights for a TrainState.
+
+    schedule-free configs circulate the y-iterates in ``params``; the
+    model that should be evaluated/shipped is the x-average held in the
+    ScheduleFreeState (optax.contrib.schedule_free_eval_params).  For
+    every other optimizer this is the identity."""
+    states = [opt_state]
+    while states:
+        s = states.pop()
+        if isinstance(s, optax.contrib.ScheduleFreeState):
+            return optax.contrib.schedule_free_eval_params(s, params)
+        if isinstance(s, (tuple, list)):
+            states.extend(s)
+        elif hasattr(s, "inner_opt_state"):   # MultiSteps wrapper
+            states.append(s.inner_opt_state)
+    return params

@@ -48,11 +48,15 @@ def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
     When ``teacher_params`` is given, a KL distillation term against the
     teacher's mel logits is blended in (reference teacher plumbing,
     engines/base.py:518-543 + config.py:359-361).
+
+    The frozen base/teacher pytrees are passed to the jitted step as
+    ARGUMENTS, never closed over: the remote-compile relay rejects HLO
+    with multi-hundred-MB embedded constants (HTTP 413 — CLAUDE.md).
     """
 
-    def loss_fn(trainable, batch):
+    def loss_fn(trainable, batch, frozen):
         if lora_cfg is not None:
-            params = apply_lora(base_params, trainable, lora_cfg.alpha,
+            params = apply_lora(frozen["base"], trainable, lora_cfg.alpha,
                                 lora_cfg.rank)
         else:
             params = trainable
@@ -66,8 +70,9 @@ def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
         parts = {"loss.text": lt, "loss.mel": lm}
         if teacher_params is not None:
             _, _, t_logits = uv.forward(
-                teacher_params, cond, batch["text"], batch["text_lengths"],
-                batch["codes"], batch["wav_lengths"], cfg)
+                frozen["teacher"], cond, batch["text"],
+                batch["text_lengths"], batch["codes"],
+                batch["wav_lengths"], cfg)
             T = teacher_temperature
             p_t = jax.nn.softmax(
                 jax.lax.stop_gradient(t_logits).astype(jnp.float32) / T, -1)
@@ -77,9 +82,10 @@ def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
             loss = (1 - teacher_alpha) * loss + teacher_alpha * kl
         return loss, parts
 
-    def step(state: TrainState, batch) -> Tuple[TrainState, Metrics]:
+    def step(state: TrainState, batch, frozen
+             ) -> Tuple[TrainState, Metrics]:
         (loss, parts), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+            loss_fn, has_aux=True)(state.params, batch, frozen)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         b = batch["text"].shape[0]
@@ -92,8 +98,14 @@ def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
                    **parts}
         return new, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else (),
-                   in_shardings=in_shardings)
+    frozen = {"base": base_params if lora_cfg is not None else None,
+              "teacher": teacher_params}
+    if in_shardings is not None and len(in_shardings) == 2:
+        # callers spec (state, batch); the frozen arg rides unspecified
+        in_shardings = (*in_shardings, None)
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else (),
+                     in_shardings=in_shardings)
+    return lambda state, batch: jitted(state, batch, frozen)
 
 
 def make_diffusion_train_step(cfg, tx, sched: gaussian.DiffusionSchedule,

@@ -164,6 +164,32 @@ def load_mel_norms() -> Optional[np.ndarray]:
 
 
 @lru_cache(maxsize=None)
+def convert_torch_sd(name: str, sd, cfg):
+    """Reference torch-layout flat state dict -> this package's params
+    (the same converters load_model's registry path uses; serves the
+    engine factory's explicit ``models[].path`` checkpoints)."""
+    from . import convert
+    c = _canonical(name)
+    if c == "autoregressive":
+        return convert.convert_unified_voice(sd, cfg.layers)
+    if c == "diffusion":
+        return convert.convert_diffusion(sd, cfg.num_layers)
+    if c == "clvp":
+        return convert.convert_clvp(sd, cfg.text_enc_depth)
+    if c == "dvae":
+        return convert.convert_dvae(sd)
+    if c == "bigvgan":
+        return convert.convert_bigvgan(sd, n_ups=len(cfg.upsample_rates),
+                                       resblock=cfg.resblock)
+    if c == "hifigan":
+        return convert.convert_hifigan(sd)
+    if c == "vocoder":
+        return convert.convert_univnet(sd)
+    if c in ("rlg_auto", "rlg_diffuser"):
+        return convert.convert_rlg(sd)
+    raise KeyError(f"no torch-layout converter for model: {name}")
+
+
 def load_model(name: str, dtype: str = "float32",
                seed: int = 0) -> LoadedModel:
     """Resolve + construct a model by name (reference load_model,

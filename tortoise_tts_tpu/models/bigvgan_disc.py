@@ -132,12 +132,21 @@ def _resolution_spectrogram(x: jnp.ndarray, n_fft: int, hop: int,
     pad = (n_fft - hop) // 2
     x = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (x.shape[-1] - n_fft) // hop
-    idx = (np.arange(n_frames)[:, None] * hop
+    # torch.stft zero-pads a short window symmetrically inside n_fft, so
+    # the windowed samples are the CENTERED (n_fft-win)//2-offset slice
+    # of each frame; the in-buffer position itself only shifts phase,
+    # which |.| discards
+    off = (n_fft - win) // 2
+    idx = (np.arange(n_frames)[:, None] * hop + off
            + np.arange(win)[None, :])
-    frames = x[:, idx]          # torch.stft centers the window inside n_fft
+    frames = x[:, idx]
     window = jnp.asarray(np.hanning(win + 1)[:-1].astype(np.float32))
     spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
-    return jnp.transpose(jnp.abs(spec), (0, 2, 1))
+    # sqrt(re^2+im^2+eps): jnp.abs(complex) has a NaN gradient at
+    # exactly-zero bins (reference guards its mel path the same way,
+    # bigvgan.py mel_spectrogram sqrt(...+1e-9))
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+    return jnp.transpose(mag, (0, 2, 1))
 
 
 def _disc_r_apply(p: Params, x: jnp.ndarray,

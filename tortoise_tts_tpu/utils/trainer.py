@@ -45,8 +45,12 @@ def _non_blocking_input() -> str:
         import jax
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
+            # fixed-size buffer on EVERY host (a longer leader-side
+            # line would give followers a differently-shaped array and
+            # abort the collective); truncate consistently
+            buf = result.encode()[:1024].ljust(1024)
             result = multihost_utils.broadcast_one_to_all(
-                np.frombuffer(result.encode().ljust(256), dtype=np.uint8))
+                np.frombuffer(buf, dtype=np.uint8))
             result = bytes(result).decode().strip("\x00").strip()
     except Exception:
         pass
@@ -227,10 +231,24 @@ def train(cfg: Config,
                 if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
                     _logger.error("OOM during step: %s", e)
                     if tcfg.save_on_oom and save_fn:
-                        save_fn(state, int(state.step))
+                        try:
+                            save_fn(state, int(state.step))
+                        except RuntimeError as se:
+                            # the jitted step donates the TrainState
+                            # buffers; after an execution-time OOM they
+                            # may already be invalidated — the last
+                            # periodic checkpoint is then the best state
+                            _logger.error(
+                                "emergency save failed (state buffers "
+                                "donated to the failed step): %s", se)
                     raise
                 raise
-            step = int(state.step)
+            # ONE device->host transfer for step + all metrics (each
+            # relay fetch costs ~50-100 ms; float(v) per scalar is a
+            # fetch per metric)
+            import jax as _jax
+            step, metrics = _jax.device_get((state.step, metrics))
+            step = int(step)
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics.update({
                 "it": step,
