@@ -100,3 +100,44 @@ def test_dataset_uses_native_loader(tmp_path):
     assert batch["text"].shape == (4, 16)
     assert batch["codes"].shape == (4, 32)
     assert batch["latents"].shape == (4, 1024)
+
+
+def test_dataset_melbin_row_mapping(tmp_path):
+    """Sampler indices address the FILTERED/REORDERED dataset order;
+    the pack rows are raw order — the sidecar mapping must reconcile
+    them (a mismatch silently trains on wrong utterances)."""
+    from tortoise_tts_tpu.config import (Config, DatasetConfig,
+                                         Hyperparameters)
+    from tortoise_tts_tpu.data import Dataset
+    from tortoise_tts_tpu.data.dataset import load_artifact
+    import numpy as np
+    d = tmp_path / "data" / "g" / "s"
+    paths = []
+    for i in range(6):
+        p = d / f"u{i}.mel"
+        _write_artifact(p, n_codes=28 - 3 * i, seed=i, dim=1024)
+        paths.append(p)
+    for p in paths:
+        art = np.load(p, allow_pickle=True)[()]
+        art["latent"] = (np.zeros((1, 1024), np.float32),
+                         np.zeros((1, 2048), np.float32))
+        # durations DESCEND in raw order, so the duration sort reverses
+        # the pack order — any index-mapping bug mismatches every row
+        with open(p, "wb") as f:
+            np.save(f, art)
+    pack_melbin(paths, tmp_path / "data.melbin")
+    cfg = Config(
+        yaml_path=str(tmp_path / "cfg.yaml"),
+        hyperparameters=Hyperparameters(batch_size=2),
+        dataset=DatasetConfig(training=(str(tmp_path / "data"),),
+                              validate=False, text_bucket=16,
+                              mel_bucket=64, sample_order="duration",
+                              use_melbin=True))
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+    assert ds._melbin is not None
+    got = ds._native_batch([0, len(ds.paths) - 1])
+    for row, idx in ((0, 0), (1, len(ds.paths) - 1)):
+        want = np.asarray(load_artifact(ds.paths[idx])["codes"],
+                          np.int32)
+        n = min(len(want), 64)
+        np.testing.assert_array_equal(got["codes"][row, :n], want[:n])

@@ -139,6 +139,35 @@ class Dataset:
                         for i, p in enumerate(self.paths)}
         self._rng = np.random.RandomState(0)
 
+        # Map sample indices -> melbin pack rows.  self.paths is pruned,
+        # host-sharded, duration-filtered and reordered; the pack holds
+        # records in its own (raw training+validation) order, recorded
+        # in the .paths.json sidecar at pack time.  Without the mapping
+        # the fast path would silently batch the WRONG utterances.
+        if self._melbin is not None:
+            sidecar = Path(str(melbin) + ".paths.json")
+            rows = None
+            if sidecar.exists():
+                import json as _json
+                packed = _json.loads(sidecar.read_text())
+                pos = {s: i for i, s in enumerate(packed)}
+                try:
+                    rows = np.asarray([pos[str(p)] for p in self.paths],
+                                      dtype=np.int64)
+                except KeyError as e:
+                    _logger.warning("melbin pack missing %s; disabling "
+                                    "native loader", e)
+            else:
+                _logger.warning(
+                    "data.melbin has no .paths.json sidecar (re-run "
+                    "`python -m tortoise_tts_tpu.data melbin`); native "
+                    "loader disabled — pack order cannot be trusted to "
+                    "match the filtered dataset order")
+            if rows is None:
+                self._melbin = None
+            else:
+                self._melbin_rows = rows
+
         self.sampler = self._make_sampler()
 
     def _speaker_of(self, p) -> str:
@@ -321,6 +350,9 @@ class Dataset:
             m[:, :n1] = mel[:, :n1]
             out["mel"] = m
             out["mel_lengths"] = np.int32(n1)
+        # guarded independently of "mel" — artifacts/H5 groups may carry
+        # either target without the other
+        if self.dcfg.load_mels and "mel_diff" in art:
             md = np.asarray(art["mel_diff"], np.float32)
             md = md[0] if md.ndim == 3 else md
             df = self.diff_frames
@@ -347,7 +379,8 @@ class Dataset:
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def _native_batch(self, indices) -> Dict[str, np.ndarray]:
-        return self._melbin.batch(indices, self.dcfg.text_bucket,
+        rows = self._melbin_rows[np.asarray(indices)]
+        return self._melbin.batch(rows, self.dcfg.text_bucket,
                                   self.dcfg.mel_bucket)
 
     # ------------------------------------------------------------------

@@ -75,7 +75,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def pack_melbin(mel_paths: Sequence[str | Path], out_path: str | Path) -> int:
-    """Pack reference-format .mel artifacts into one melbin file."""
+    """Pack reference-format .mel artifacts into one melbin file.
+
+    A ``<out>.paths.json`` sidecar records the packed record order so
+    the Dataset can map its (pruned/sharded/filtered/reordered) sample
+    indices onto pack rows — sampler indices and raw pack order do NOT
+    coincide in general."""
     from .dataset import load_artifact
     records = []
     for p in mel_paths:
@@ -104,6 +109,9 @@ def pack_melbin(mel_paths: Sequence[str | Path], out_path: str | Path) -> int:
             f.write(text.tobytes())
             f.write(lat.tobytes())
             f.write(dlat.tobytes())
+    import json
+    Path(str(out_path) + ".paths.json").write_text(
+        json.dumps([str(p) for p in mel_paths]))
     return len(records)
 
 

@@ -54,6 +54,7 @@ def _segments_from_words(words, total_dur: float):
     for w in words:
         t0, t1 = w["timestamp"]
         t0 = prev_end if t0 is None else t0
+        open_end = t1 is None      # common for the FINAL word chunk
         t1 = t0 if t1 is None else t1
         if cur is not None and (
                 t0 - cur["end"] > MAX_GAP_S
@@ -72,7 +73,9 @@ def _segments_from_words(words, total_dur: float):
             segments.append(cur)
             cur = None
     if cur is not None:
-        if not cur["end"]:
+        if not cur["end"] or open_end:
+            # the last word's end was missing: extend the segment to the
+            # end of the audio so slicing keeps the final word
             cur["end"] = total_dur
         segments.append(cur)
     return segments
@@ -107,8 +110,10 @@ def transcribe_batch(input_audio: Path, output_metadata: Path,
                      word_timestamps: bool = True) -> int:
     """Walk voices/<group>/<speaker>/ and write whisper.json per speaker
     (reference transcribe_batch, transcribe.py:268-336)."""
-    speakers = sorted(p for p in input_audio.rglob("*") if p.is_dir()) or \
-        [input_audio]
+    speakers = sorted(p for p in input_audio.rglob("*") if p.is_dir())
+    if not speakers or any(p.suffix.lower() in (".wav", ".mp3", ".flac")
+                           for p in input_audio.iterdir()):
+        speakers = [input_audio] + speakers
     if stride:
         speakers = [s for i, s in enumerate(speakers)
                     if (i + stride_offset) % stride == 0]

@@ -28,8 +28,12 @@ def main(argv=None):
     from .utils.io import load_state_dict, save_state_dict
 
     cfg = Config.load(args.yaml)
-    name = (cfg.lora.full_name if (args.lora and cfg.lora)
-            else args.module_name)
+    if args.lora and cfg.lora is None:
+        # silently exporting the base model where LoRA weights were
+        # requested would ship the wrong artifact
+        raise SystemExit("--lora requested but the config defines no "
+                         "loras entry")
+    name = cfg.lora.full_name if args.lora else args.module_name
     ckpt = st.latest_checkpoint(cfg.ckpt_dir, name)
     if ckpt is None:
         raise SystemExit(f"no checkpoint for {name} under {cfg.ckpt_dir}")

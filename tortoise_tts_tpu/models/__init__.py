@@ -163,7 +163,6 @@ def load_mel_norms() -> Optional[np.ndarray]:
     return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
 
 
-@lru_cache(maxsize=None)
 def convert_torch_sd(name: str, sd, cfg):
     """Reference torch-layout flat state dict -> this package's params
     (the same converters load_model's registry path uses; serves the
@@ -190,6 +189,7 @@ def convert_torch_sd(name: str, sd, cfg):
     raise KeyError(f"no torch-layout converter for model: {name}")
 
 
+@lru_cache(maxsize=None)
 def load_model(name: str, dtype: str = "float32",
                seed: int = 0) -> LoadedModel:
     """Resolve + construct a model by name (reference load_model,

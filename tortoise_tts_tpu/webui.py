@@ -43,7 +43,7 @@ def random_prompt() -> str:
 
 _FORM = """<!doctype html><html><head><title>tortoise-tts-tpu</title>
 <style>body{{font-family:sans-serif;max-width:720px;margin:2em auto}}
-label{{display:block;margin-top:.6em}}input,select,textarea{{width:100%%}}
+label{{display:block;margin-top:.6em}}input,select,textarea{{width:100%}}
 .row{{display:flex;gap:1em}}.row>div{{flex:1}}</style></head><body>
 <h2>tortoise-tts-tpu</h2>
 <form method="post" action="/generate">
@@ -85,16 +85,25 @@ label{{display:block;margin-top:.6em}}input,select,textarea{{width:100%%}}
 
 def _make_handler(tts):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer encoding is HTTP/1.1-only; the BaseHTTPRequest
+        # default (HTTP/1.0) would make clients treat the chunk framing
+        # as audio bytes
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             _logger.info(fmt, *args)
 
         def _page(self, text="", references="", result=""):
-            body = _FORM.format(text=text or random_prompt(),
-                                references=references, result=result)
+            import html as _html
+            body = _FORM.format(
+                text=_html.escape(text or random_prompt()),
+                references=_html.escape(references), result=result)
+            payload = body.encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
-            self.wfile.write(body.encode())
+            self.wfile.write(payload)
 
         def do_GET(self):
             if self.path.startswith("/stream"):
@@ -129,17 +138,18 @@ def _make_handler(tts):
                         pcm = _np.clip(_np.asarray(wav), -1, 1)
                         chunk((pcm * 32767).astype("<i2").tobytes())
                     chunk(b"")
-                    self.wfile.write(b"\r\n")
                 except Exception:
                     _logger.exception("streaming failed")
                 return
             if self.path.startswith("/audio/"):
                 p = Path("/tmp/tortoise_tpu_webui") / Path(self.path).name
                 if p.exists():
+                    payload = p.read_bytes()
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(payload)))
                     self.end_headers()
-                    self.wfile.write(p.read_bytes())
+                    self.wfile.write(payload)
                     return
                 self.send_error(404)
                 return
@@ -182,7 +192,8 @@ def _make_handler(tts):
                           f'src="/audio/{name}"></audio>')
             except Exception as e:  # surface errors in the UI
                 _logger.exception("generation failed")
-                result = f"<pre>error: {e}</pre>"
+                import html as _html
+                result = f"<pre>error: {_html.escape(str(e))}</pre>"
             self._page(text=text, references=refs or "", result=result)
 
     return Handler
