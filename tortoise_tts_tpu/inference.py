@@ -52,6 +52,13 @@ from functools import partial
 from .models import diffusion as _dtts
 
 
+@jax.jit
+def _jit_latent_window(latents, idx):
+    """Streaming window gather + fp32 cast in ONE program (the eager
+    fancy-index form costs 2-3 relay dispatches per 40-token chunk)."""
+    return jnp.take(latents[0], idx, axis=0)[None].astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _jit_latent_pass(params, cond, text, text_lengths, codes, wav_lengths,
                      cfg):
@@ -332,7 +339,6 @@ class TTS:
             f"lora.{self.cfg.weights_format}", ".sft", ".safetensors")
         if not path.exists():
             return m
-        import jax
         lora = init_lora(jax.random.PRNGKey(0), m.params, rank=lcfg.rank)
         lora = unflatten_like(lora, load_state_dict(path), strict=False)
         merged = merge_lora(m.params, lora, lcfg.alpha, lcfg.rank)
@@ -622,12 +628,12 @@ class TTS:
                       max_ar_steps: int, key, candidates: int = 1,
                       collect_latents: bool = False) -> DecodeResult:
         ar = self._model("autoregressive")
-        tokens = self._bucket_text(self.encode_text(line))[None]
+        toks = self.encode_text(line)
+        tokens = self._bucket_text(toks)[None]
         if candidates > 1:
             tokens = np.repeat(tokens, candidates, axis=0)
         lengths = np.minimum(
-            np.full((tokens.shape[0],), len(self.encode_text(line))),
-            tokens.shape[1])
+            np.full((tokens.shape[0],), len(toks)), tokens.shape[1])
         # host-side broadcast: a jnp.broadcast_to here is an eager
         # dispatch through the remote relay
         lat = np.broadcast_to(np.asarray(ar_latent),
@@ -660,7 +666,9 @@ class TTS:
             stm = int(stops.min())
             codes[i][stops] = CALM_TOKEN
             codes[i][stm:] = CALM_TOKEN
-            codes[i][-3:] = TAIL_TOKENS
+            # rows shorter than the tail (stop at step 0/1) take what fits
+            t = min(3, codes.shape[1])
+            codes[i][-t:] = np.asarray(TAIL_TOKENS)[3 - t:]
         return codes
 
     @staticmethod
@@ -698,7 +706,6 @@ class TTS:
                     diffusion_sampler, cond_free, vocoder_type, candidates,
                     key, diffusion_pad_multiple,
                     mel_pad_multiple: int = 0, defer_fetch: bool = False):
-        import os
         timing = os.environ.get("TTS_STAGE_TIMING") == "1"
 
         def tick(name, out=None):
@@ -884,12 +891,14 @@ class TTS:
         from .models.unified_voice import decode_chunk, decode_start
         ar = self._model("autoregressive")
         voc = self._model("hifigan")
-        tokens = self._bucket_text(self.encode_text(line))[None]
-        lengths = np.asarray([min(len(self.encode_text(line)),
-                                  tokens.shape[1])])
-        lat = jnp.broadcast_to(jnp.asarray(ar_latent),
-                               (1, ar_latent.shape[-1]))
-        g = lat.astype(jnp.float32)
+        toks = self.encode_text(line)
+        tokens = self._bucket_text(toks)[None]
+        lengths = np.asarray([min(len(toks), tokens.shape[1])])
+        # host-side broadcast/cast: eager jnp ops here are relay
+        # round trips (CLAUDE.md)
+        lat = np.broadcast_to(np.asarray(ar_latent),
+                              (1, np.asarray(ar_latent).shape[-1]))
+        g = np.asarray(lat, np.float32)
 
         state = decode_start(ar.params, lat, jnp.asarray(tokens),
                              jnp.asarray(lengths), key, ar.config,
@@ -940,12 +949,14 @@ class TTS:
         from .models.unified_voice import decode_chunk, decode_start
         ar = self._model("autoregressive")
         voc = self._model("hifigan")
-        tokens = self._bucket_text(self.encode_text(line))[None]
-        lengths = np.asarray([min(len(self.encode_text(line)),
-                                  tokens.shape[1])])
-        lat = jnp.broadcast_to(jnp.asarray(ar_latent),
-                               (1, ar_latent.shape[-1]))
-        g = lat.astype(jnp.float32)
+        toks = self.encode_text(line)
+        tokens = self._bucket_text(toks)[None]
+        lengths = np.asarray([min(len(toks), tokens.shape[1])])
+        # host-side broadcast/cast: eager jnp ops here are relay
+        # round trips (CLAUDE.md)
+        lat = np.broadcast_to(np.asarray(ar_latent),
+                              (1, np.asarray(ar_latent).shape[-1]))
+        g = np.asarray(lat, np.float32)
 
         state = decode_start(ar.params, lat, jnp.asarray(tokens),
                              jnp.asarray(lengths), key, ar.config,
@@ -973,8 +984,7 @@ class TTS:
             # repeating the first latent when the prefix is short)
             start = max(0, upto - window)
             idx = np.clip(np.arange(upto - window, upto), 0, None)
-            win_lat = state.latents[0, jnp.asarray(idx)][None].astype(
-                jnp.float32)
+            win_lat = _jit_latent_window(state.latents, jnp.asarray(idx))
             wav_win = np.asarray(_jit_hifigan(
                 voc.params, win_lat, g, voc.config))[0, 0]
             # samples for the new (upto-emitted) latents + crossfade lead-in

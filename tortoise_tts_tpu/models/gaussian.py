@@ -109,8 +109,11 @@ def get_schedule(steps: int = 80, cond_free: bool = True,
         sqrt_recip_alphas_cumprod=np.sqrt(1.0 / abar),
         sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / abar - 1),
         posterior_variance=post_var,
-        posterior_log_variance_clipped=np.log(
-            np.append(post_var[1], post_var[1:])),
+        # [post_var[1], post_var[1:]] like the reference; a 1-step
+        # schedule (smoke runs) has no t=1 entry — floor t=0's zero
+        posterior_log_variance_clipped=np.log(np.maximum(
+            np.append(post_var[min(1, len(post_var) - 1)], post_var[1:]),
+            1e-20)),
         posterior_mean_coef1=betas * np.sqrt(abar_prev) / (1.0 - abar),
         posterior_mean_coef2=(1.0 - abar_prev) * np.sqrt(alphas) / (1.0 - abar),
         log_betas=np.log(betas),

@@ -108,8 +108,15 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
 def stft_magnitude(x: jnp.ndarray, n_fft: int = 1024, hop: int = 256,
                    win_length: int = 1024, power: float = 1.0) -> jnp.ndarray:
-    """|STFT|^power. x: (B, T) -> (B, n_fft//2+1, n_frames). fp32 compute."""
-    window = jnp.asarray(hann_window(win_length))
+    """|STFT|^power. x: (B, T) -> (B, n_fft//2+1, n_frames). fp32 compute.
+
+    win_length < n_fft centers the window inside the frame like
+    torch.stft (symmetric zero pad)."""
+    window = np.asarray(hann_window(win_length))
+    if win_length != n_fft:
+        lo = (n_fft - win_length) // 2
+        window = np.pad(window, (lo, n_fft - win_length - lo))
+    window = jnp.asarray(window)
     frames = frame_signal(x.astype(jnp.float32), n_fft, hop) * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     mag = jnp.abs(spec)
@@ -182,7 +189,6 @@ def griffin_lim_from_mel(mel_log: jnp.ndarray, sr: int = 22050,
     mel_log: (B, n_mels, T) natural-log mel. Pseudo-inverse filterbank +
     Griffin-Lim phase recovery. Quality is 'debug-listenable' only.
     """
-    import jax
     fb = mel_filterbank(sr, n_fft, n_mels, 0.0, fmax, scale=scale)
     pinv = jnp.asarray(np.linalg.pinv(fb))             # (F, n_mels)
     mag = jnp.sqrt(jnp.clip(jnp.einsum(

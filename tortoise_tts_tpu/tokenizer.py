@@ -33,7 +33,12 @@ _UNITS = ["zero", "one", "two", "three", "four", "five", "six", "seven",
           "fifteen", "sixteen", "seventeen", "eighteen", "nineteen"]
 _TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
          "eighty", "ninety"]
-_SCALES = [(10 ** 9, "billion"), (10 ** 6, "million"), (10 ** 3, "thousand")]
+_SCALES = [(10 ** 33, "decillion"), (10 ** 30, "nonillion"),
+           (10 ** 27, "octillion"), (10 ** 24, "septillion"),
+           (10 ** 21, "sextillion"), (10 ** 18, "quintillion"),
+           (10 ** 15, "quadrillion"), (10 ** 12, "trillion"),
+           (10 ** 9, "billion"), (10 ** 6, "million"),
+           (10 ** 3, "thousand")]
 
 _ORDINAL_MAP = {
     "one": "first", "two": "second", "three": "third", "five": "fifth",
@@ -89,7 +94,11 @@ def number_to_words(n: int, group: int = 0, zero: str = "zero") -> str:
     for scale, name in _SCALES:
         q, n = divmod(n, scale)
         if q:
-            parts.append(_three_digits(q) + " " + name)
+            # q can exceed 999 only past the top scale (>= 10^36):
+            # recurse rather than crash _three_digits
+            word = (_three_digits(q) if q < 1000
+                    else number_to_words(q, 0, zero))
+            parts.append(word + " " + name)
     if n:
         parts.append(_three_digits(n))
     return ", ".join(parts)
@@ -99,6 +108,7 @@ def ordinal_to_words(n: int) -> str:
     words = number_to_words(n)
     # make the final word ordinal
     head, _, last = words.rpartition(" ")
+    head = head.rstrip(",")   # 'one thousand, first' -> 'one thousand first'
     hy_head, _, hy_last = last.rpartition("-")
     if hy_last in _ORDINAL_MAP:
         ord_last = _ORDINAL_MAP[hy_last]
@@ -132,8 +142,30 @@ _ABBREVIATIONS = [(re.compile(r"\b%s\." % abbr, re.IGNORECASE), full)
 ]]
 
 
+_LATIN_MAP = {"æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss",
+              "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "þ": "th",
+              "Þ": "Th", "ð": "d", "Ð": "D", "ł": "l", "Ł": "L",
+              "—": "-", "–": "-", "‘": "'", "’": "'", "“": '"',
+              "”": '"', "…": "...", "€": " euro ", "£": " pound ",
+              "¥": " yen "}
+# unidecode-style transliteration for the two most common non-Latin
+# scripts — deleting them outright collapses e.g. 'Москва' to ''
+_CYRILLIC = {"а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+             "ё": "e", "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k",
+             "л": "l", "м": "m", "н": "n", "о": "o", "п": "p", "р": "r",
+             "с": "s", "т": "t", "у": "u", "ф": "f", "х": "kh",
+             "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch", "ъ": "",
+             "ы": "y", "ь": "", "э": "e", "ю": "yu", "я": "ya"}
+_GREEK = {"α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+          "η": "e", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+          "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s",
+          "ς": "s", "τ": "t", "υ": "y", "φ": "ph", "χ": "ch",
+          "ψ": "ps", "ω": "o"}
+
+
 def convert_to_ascii(text: str) -> str:
-    """unidecode-equivalent for the common case: NFKD + strip combining."""
+    """unidecode-equivalent for the common cases: NFKD + strip
+    combining, Latin special forms, Cyrillic/Greek transliteration."""
     out = []
     for ch in unicodedata.normalize("NFKD", text):
         if unicodedata.combining(ch):
@@ -141,12 +173,15 @@ def convert_to_ascii(text: str) -> str:
         if ord(ch) < 128:
             out.append(ch)
             continue
-        name_map = {"æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss",
-                    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "þ": "th",
-                    "Þ": "Th", "ð": "d", "Ð": "D", "ł": "l", "Ł": "L",
-                    "—": "-", "–": "-", "‘": "'", "’": "'", "“": '"',
-                    "”": '"', "…": "..."}
-        out.append(name_map.get(ch, ""))
+        if ch in _LATIN_MAP:
+            out.append(_LATIN_MAP[ch])
+            continue
+        low = ch.lower()
+        tr = _CYRILLIC.get(low) or _GREEK.get(low)
+        if tr is not None:
+            out.append(tr.capitalize() if ch != low else tr)
+        else:
+            out.append("")
     return "".join(out)
 
 
