@@ -124,7 +124,11 @@ def _ref_greedy_decode(ref_model, cond, text, max_steps):
             if tok == m.stop_mel_token:
                 break
             nxt = m.mel_embedding(torch.tensor([[tok]]))
-            nxt = nxt + m.mel_pos_embedding.emb.weight[step + 1]
+            # HF GPT2InferenceModel feeds sampled tokens with position
+            # attention_mask.shape[1]-mel_len = step+2 (the reference's
+            # off-by-one: start_mel got 0, position 1 is never used) —
+            # reference unified_voice.py:214
+            nxt = nxt + m.mel_pos_embedding.emb.weight[step + 2]
             out = m.gpt(inputs_embeds=nxt, past_key_values=past,
                         use_cache=True, return_dict=True)
             past = out.past_key_values

@@ -120,7 +120,7 @@ def bench_decode():
     print("decode quant:", quant)
 
     def run(state):
-        return uv.decode_chunk(p, state, cfg, samp, max_len, None, False,
+        return uv.decode_chunk(p, state, cfg, samp, None, False,
                                qgpt=qgpt, quant_mode=quant
                                if quant != "none" else "int8")
 

@@ -910,8 +910,7 @@ class TTS:
                 else stream_chunk_size
             first = False
             state = decode_chunk(ar.params, state, ar.config, sampling,
-                                 max_ar_steps, chunk=chunk,
-                                 collect_latents=True,
+                                 chunk=chunk, collect_latents=True,
                                  qgpt=self._ar_qgpt(), quant_mode=self._quant_mode)
             pos = int(state.step)
             n = int(np.asarray(state.lengths)[0])
@@ -968,8 +967,7 @@ class TTS:
             chunk = window if first else stream_chunk_size
             first = False
             state = decode_chunk(ar.params, state, ar.config, sampling,
-                                 max_ar_steps, chunk=chunk,
-                                 collect_latents=True,
+                                 chunk=chunk, collect_latents=True,
                                  qgpt=self._ar_qgpt(), quant_mode=self._quant_mode)
             pos = int(state.step)
             n = int(np.asarray(state.lengths)[0])

@@ -188,10 +188,13 @@ def legacy_encoder(p: Params, x: jnp.ndarray,
 
 def init(key, cfg: CLVPConfig = CLVPConfig()) -> Params:
     ks = jax.random.split(key, 8)
+    # token embeddings are plain nn.Embedding in the reference
+    # (clvp.py:48-51) -> torch default N(0, 1), not the GPT-2 0.02
     return {
-        "text_emb": embedding_init(ks[0], cfg.num_text_tokens, cfg.dim_text),
+        "text_emb": embedding_init(ks[0], cfg.num_text_tokens, cfg.dim_text,
+                                   std=1.0),
         "speech_emb": embedding_init(ks[1], cfg.num_speech_tokens,
-                                     cfg.dim_speech),
+                                     cfg.dim_speech, std=1.0),
         "to_text_latent": linear_init(ks[2], cfg.dim_text, cfg.dim_latent,
                                       bias=False),
         "to_speech_latent": linear_init(ks[3], cfg.dim_speech, cfg.dim_latent,

@@ -109,11 +109,11 @@ def get_codebook_indices(p: Params, mel: jnp.ndarray,
     return jnp.argmin(dist, axis=-1).astype(jnp.int32)
 
 
-def decode(p: Params, codes: jnp.ndarray,
-           cfg: DVAEConfig = DVAEConfig()) -> jnp.ndarray:
-    """codes (B, T) -> mel (B, 80, T*4). dvae.py:248-270."""
-    emb = jnp.take(p["codebook"]["embed"].T, codes, axis=0)  # (B, T, D)
-    h = jnp.transpose(emb, (0, 2, 1))
+def _decode_features(p: Params, feats: jnp.ndarray,
+                     cfg: DVAEConfig) -> jnp.ndarray:
+    """Decoder body shared by decode()/forward(): (B, T, D) features
+    (codebook lookup or straight-through quantized) -> mel (B, 80, T*4)."""
+    h = jnp.transpose(feats, (0, 2, 1))
     h = conv1d(p["dec_in"], h)
     for r in p["dec_res"]:
         h = _res(r, h)
@@ -122,6 +122,13 @@ def decode(p: Params, codes: jnp.ndarray,
         h = interpolate_nearest_scale(h, cfg.stride)   # UpsampledConv
         h = jax.nn.relu(conv1d(conv, h, padding=pad))
     return conv1d(p["dec_out"], h)
+
+
+def decode(p: Params, codes: jnp.ndarray,
+           cfg: DVAEConfig = DVAEConfig()) -> jnp.ndarray:
+    """codes (B, T) -> mel (B, 80, T*4). dvae.py:248-270."""
+    emb = jnp.take(p["codebook"]["embed"].T, codes, axis=0)  # (B, T, D)
+    return _decode_features(p, emb, cfg)
 
 
 def quantize_ema(state: VQState, flat: jnp.ndarray,
@@ -173,14 +180,6 @@ def forward(p: Params, mel: jnp.ndarray, cfg: DVAEConfig = DVAEConfig(),
                     p["codebook"]["embed_avg"])
     quant, codes, commit, new_state = quantize_ema(
         state, flat, cfg, training=training, axis_name=axis_name)
-    h = jnp.transpose(quant, (0, 2, 1))
-    h = conv1d(p["dec_in"], h)
-    for r in p["dec_res"]:
-        h = _res(r, h)
-    pad = (cfg.kernel_size - 1) // 2
-    for conv in p["dec_convs"]:
-        h = interpolate_nearest_scale(h, cfg.stride)
-        h = jax.nn.relu(conv1d(conv, h, padding=pad))
-    recon = conv1d(p["dec_out"], h)
+    recon = _decode_features(p, quant, cfg)
     recon_loss = (mel - recon) ** 2
     return recon_loss, commit, recon, codes, new_state

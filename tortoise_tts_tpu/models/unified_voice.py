@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.attention import NEG_INF, mha
+from ..ops.attention import mha
 from ..ops.pallas_attention import flash_attention
-from ..ops.sampling import SamplingConfig, sample_token, warp_logits
+from ..ops.sampling import SamplingConfig, sample_token
 
 
 def _trunk_attention(q, k, v, key_mask=None):
@@ -67,6 +67,18 @@ class UnifiedVoiceConfig:
     start_mel_token: int = 8192
     stop_mel_token: int = 8193
     types: int = 1
+    # The reference's GPT2InferenceModel computes the fed token's mel
+    # position as ``attention_mask.shape[1] - mel_len`` (reference
+    # unified_voice.py:214).  Under HF generate() the mask already
+    # includes the token being fed, so the first *sampled* token gets
+    # mel position 2 (start_mel got 0; position 1 is never used) and
+    # every later one is shifted +1 from the training layout.  True
+    # reproduces that off-by-one so decode output matches the reference
+    # pipeline on converted checkpoints; False uses training-consistent
+    # positions (step+1).  Latents for diffusion are unaffected on the
+    # non-streaming path (recomputed by forward(return_latent=True),
+    # like reference inference.py:371-379).
+    hf_decode_positions: bool = True
 
     @property
     def max_mel_seq_len(self) -> int:   # unified_voice.py:405
@@ -89,14 +101,18 @@ class UnifiedVoiceConfig:
 def init(key, cfg: UnifiedVoiceConfig = UnifiedVoiceConfig()) -> Params:
     ks = jax.random.split(key, 16)
     d, L = cfg.model_dim, cfg.layers
-    glorot = lambda k, sh: jax.random.normal(k, sh) * 0.02
+    normal = lambda k, sh, std=0.02: jax.random.normal(k, sh) * std
+    # Residual-path projections use the GPT-2 scaled init
+    # 0.02/sqrt(2*layers) (HF GPT2PreTrainedModel._init_weights applies
+    # it to every c_proj.weight of the reference's trunk).
+    proj_std = 0.02 / (2 * L) ** 0.5
     gpt = {
         "ln_1": {"scale": jnp.ones((L, d)), "bias": jnp.zeros((L, d))},
-        "attn_qkv": {"w": glorot(ks[0], (L, d, 3 * d)), "b": jnp.zeros((L, 3 * d))},
-        "attn_proj": {"w": glorot(ks[1], (L, d, d)), "b": jnp.zeros((L, d))},
+        "attn_qkv": {"w": normal(ks[0], (L, d, 3 * d)), "b": jnp.zeros((L, 3 * d))},
+        "attn_proj": {"w": normal(ks[1], (L, d, d), proj_std), "b": jnp.zeros((L, d))},
         "ln_2": {"scale": jnp.ones((L, d)), "bias": jnp.zeros((L, d))},
-        "mlp_fc": {"w": glorot(ks[2], (L, d, 4 * d)), "b": jnp.zeros((L, 4 * d))},
-        "mlp_proj": {"w": glorot(ks[3], (L, 4 * d, d)), "b": jnp.zeros((L, d))},
+        "mlp_fc": {"w": normal(ks[2], (L, d, 4 * d)), "b": jnp.zeros((L, 4 * d))},
+        "mlp_proj": {"w": normal(ks[3], (L, 4 * d, d), proj_std), "b": jnp.zeros((L, d))},
         "ln_f": layer_norm_init(d),
     }
     return {
@@ -264,8 +280,13 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     step at decode shapes — measured ~0.2 ms/token on v5e).
     """
     import os
-    if os.environ.get("TTS_DECODE_SCANYS") == "1":  # perf A/B fallback
-        return _gpt_decode_step_scanys(gpt, x, heads, cache, pos, key_mask)
+    # perf A/B fallback (cache through scan ys).  w8a8 stays on the main
+    # path — its in-kernel activation quant has no scan-ys analogue, and
+    # silently dropping quantization would conflate the A/B.
+    if (os.environ.get("TTS_DECODE_SCANYS") == "1"
+            and not (qgpt is not None and quant_mode == "w8a8")):
+        return _gpt_decode_step_scanys(gpt, x, heads, cache, pos, key_mask,
+                                       qgpt=qgpt)
     b, _, d = x.shape
     hd = d // heads
     s = cache.k.shape[3]
@@ -354,19 +375,25 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
 
 def _gpt_decode_step_scanys(gpt: Params, x: jnp.ndarray, heads: int,
                             cache: KVCache, pos: jnp.ndarray,
-                            key_mask: jnp.ndarray
+                            key_mask: jnp.ndarray,
+                            qgpt: Optional[Params] = None
                             ) -> Tuple[jnp.ndarray, KVCache]:
-    """Former decode step (cache through scan ys) — kept for perf A/B."""
+    """Former decode step (cache through scan ys) — kept for perf A/B.
+    Weight-only int8 params (qgpt) dequantize through _qlinear so the
+    A/B isolates cache routing, not quantization."""
     b, _, d = x.shape
     hd = d // heads
     s = cache.k.shape[3]
     valid = key_mask & (jnp.arange(s)[None, :] <= pos)  # (B, S)
     mask = valid[:, None, None, :]
+    lp_all = _layer_params(gpt)
+    if qgpt is not None:
+        lp_all = {**lp_all, **qgpt}
 
     def body(x, layer):
         lp, kc, vc = layer
         h = layer_norm(lp["ln_1"], x)
-        qkv = linear(lp["attn_qkv"], h)
+        qkv = _qlinear(lp["attn_qkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
@@ -375,12 +402,12 @@ def _gpt_decode_step_scanys(gpt: Params, x: jnp.ndarray, heads: int,
         vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos, 0))
         a = mha(q, kc, vc, mask=mask)
         a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
-        x = x + linear(lp["attn_proj"], a)
+        x = x + _qlinear(lp["attn_proj"], a)
         h2 = layer_norm(lp["ln_2"], x)
-        x = x + linear(lp["mlp_proj"], gelu_new(linear(lp["mlp_fc"], h2)))
+        x = x + _qlinear(lp["mlp_proj"], gelu_new(_qlinear(lp["mlp_fc"], h2)))
         return x, (kc, vc)
 
-    x, (nk, nv) = lax.scan(body, x, (_layer_params(gpt), cache.k, cache.v))
+    x, (nk, nv) = lax.scan(body, x, (lp_all, cache.k, cache.v))
     return layer_norm(gpt["ln_f"], x), KVCache(nk, nv)
 
 
@@ -573,12 +600,12 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
         jnp.zeros((b,), jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("quant_mode", "cfg", "sampling", "max_length",
+@partial(jax.jit, static_argnames=("quant_mode", "cfg", "sampling",
                                    "chunk", "collect_latents"))
 def decode_chunk(params: Params, state: DecodeState,
                  cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
                  sampling: SamplingConfig = SamplingConfig(),
-                 max_length: int = 500, chunk: Optional[int] = None,
+                 chunk: Optional[int] = None,
                  collect_latents: bool = False,
                  qgpt: Optional[Params] = None,
                  quant_mode: str = "int8") -> DecodeState:
@@ -640,7 +667,8 @@ def decode_chunk(params: Params, state: DecodeState,
             latents = latents.at[:, c.step].set(c.lat.astype(latents.dtype))
 
         emb = embedding(params["mel_embedding"], tok)[:, None]
-        emb = emb + params["mel_pos_embedding"]["w"][c.step + 1][None, None]
+        pos_off = 2 if cfg.hf_decode_positions else 1
+        emb = emb + params["mel_pos_embedding"]["w"][c.step + pos_off][None, None]
         pos = prefix_len + 1 + c.step
         h, cache = _gpt_decode_step(params["gpt"], emb.astype(dtype),
                                     cfg.heads, c.cache, pos, c.key_mask,
@@ -666,7 +694,7 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
     one jitted prefill + full-budget while_loop with stop early-exit."""
     state = decode_start(params, cond_latent, text, text_lengths, key, cfg,
                          max_length)
-    out = decode_chunk(params, state, cfg, sampling, max_length, None,
+    out = decode_chunk(params, state, cfg, sampling, None,
                        collect_latents, qgpt=qgpt, quant_mode=quant_mode)
     return DecodeResult(out.tokens, out.lengths, out.latents)
 
@@ -769,7 +797,8 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
         finished = finished | (tok == cfg.stop_mel_token)
 
         emb = embedding(params["mel_embedding"], tok.reshape(-1))[:, None]
-        emb = emb + params["mel_pos_embedding"]["w"][c.step + 1][None, None]
+        pos_off = 2 if cfg.hf_decode_positions else 1
+        emb = emb + params["mel_pos_embedding"]["w"][c.step + pos_off][None, None]
         pos = prefix_len + 1 + c.step
         h, cache3 = _gpt_decode_step(params["gpt"], emb.astype(dtype),
                                      cfg.heads, cache2, pos, key_mask)

@@ -22,20 +22,6 @@ import numpy as np
 _logger = logging.getLogger(__name__)
 
 
-def mel_stft_distance(hyp: np.ndarray, ref: np.ndarray,
-                      sr: int = 24_000) -> float:
-    """Mel-spectrogram L1 distance (stand-in for auraloss MelSTFTLoss,
-    train.py:33,209-213) over the shorter common length."""
-    import jax.numpy as jnp
-    from .ops.stft import mel_diffusion
-    n = min(hyp.shape[-1], ref.shape[-1])
-    if n < 1024:
-        return float("nan")
-    h = mel_diffusion(jnp.asarray(hyp[None, :n]))
-    r = mel_diffusion(jnp.asarray(ref[None, :n]))
-    return float(jnp.mean(jnp.abs(h - r)))
-
-
 def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
              base_params=None, max_samples: int = 4) -> dict:
     """Generative round-trip eval (reference run_eval, train.py:65-256).
@@ -72,9 +58,16 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
         "autoregressive", ar.module, ar.config, params, True)
     dvae = load_model("dvae", cfg.trainer.weight_dtype)
 
+    from .models import load_mel_norms
     from .ops.stft import mel_ar, resample
     from .tokenizer import default_tokenizer
     tok = default_tokenizer()
+    # DVAE codes were produced from mel_norms-divided mels
+    # (emb/mel.py:100-102), so dvae.decode returns mels in that
+    # normalized space; the hyp mel must be computed with the same
+    # norms or the L1 mixes two scales.
+    mel_norms = load_mel_norms()
+    norms = jnp.asarray(mel_norms) if mel_norms is not None else None
     dists = []
     it = val_ds.batches(batch_size=1)
     for i in range(min(max_samples, len(val_ds))):
@@ -104,7 +97,7 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
         write_wav(out_dir / f"{i}_hyp.wav", hyp_wav, 24_000)
         # hyp audio -> 22.05 kHz 80-bin mel, L1 vs ref over common frames
         hyp22 = resample(jnp.asarray(hyp_wav[None]), 24_000, 22_050)
-        hyp_mel = mel_ar(hyp22)
+        hyp_mel = mel_ar(hyp22, norms)
         t = min(hyp_mel.shape[-1], ref_mel.shape[-1])
         if t > 4:
             d = float(jnp.mean(jnp.abs(hyp_mel[..., :t]
