@@ -136,6 +136,43 @@ def _ref_greedy_decode(ref_model, cond, text, max_steps):
     return tokens
 
 
+def _ref_hf_greedy_decode(ref_model, cond, text, max_steps):
+    """Greedy loop through the reference's actual GPT2InferenceModel
+    *forward* (unified_voice.py:178-254), driven exactly as HF
+    generate() drives it: full-prompt prefill with fake input_ids, then
+    one-token steps with a growing attention mask — so the reference's
+    own ``attention_mask.shape[1] - mel_len`` position arithmetic picks
+    the mel positions (the +2 quirk), not our re-derivation of it."""
+    import torch.nn.functional as F
+    m = ref_model
+    if not hasattr(m, "inference_model"):
+        m.post_init_gpt2_config(kv_cache=True)
+    im = m.inference_model
+    ti = F.pad(torch.tensor(text), (0, 1), value=m.stop_text_token)
+    inp, _ = m.build_aligned_inputs_and_targets(
+        ti, m.start_text_token, m.stop_text_token)
+    emb = m.text_embedding(inp) + m.text_pos_embedding(inp)
+    emb = torch.cat([cond.unsqueeze(1), emb], dim=1)
+    im.store_mel_emb(emb)
+    fake = torch.full((1, 1 + emb.shape[1]), 1, dtype=torch.long)
+    fake[:, -1] = m.start_mel_token
+    tokens, past, n = [], None, fake.shape[1]
+    with torch.no_grad():
+        out = im(input_ids=fake, attention_mask=torch.ones_like(fake),
+                 use_cache=True, return_dict=True)
+        for _ in range(max_steps):
+            past = out.past_key_values
+            tok = int(out.logits[:, -1].argmax(-1))
+            tokens.append(tok)
+            if tok == m.stop_mel_token:
+                break
+            n += 1
+            out = im(input_ids=torch.tensor([[tok]]),
+                     attention_mask=torch.ones((1, n), dtype=torch.long),
+                     past_key_values=past, use_cache=True, return_dict=True)
+    return tokens
+
+
 def test_greedy_decode_parity(ref_model, params):
     rng = np.random.RandomState(3)
     text = rng.randint(3, 255, size=(1, 10)).astype(np.int64)
@@ -143,6 +180,10 @@ def test_greedy_decode_parity(ref_model, params):
     max_steps = 24
 
     ref_tokens = _ref_greedy_decode(ref_model, cond, text, max_steps)
+    # the manual loop must agree with the reference's own inference
+    # forward — pins the mel-position quirk to the real torch code path
+    assert ref_tokens == _ref_hf_greedy_decode(ref_model, cond, text,
+                                               max_steps)
 
     res = uv.inference_speech(
         params, jnp.asarray(cond.numpy()), jnp.asarray(text),

@@ -127,6 +127,12 @@ def main(argv=None):
 
     cfg = Config.load(args.yaml)
 
+    if cfg.trainer.detect_grad_anomaly:
+        # torch.autograd.set_detect_anomaly equivalent (reference
+        # trainer.py:183): error out at the op that first produces a
+        # NaN instead of training on silently
+        jax.config.update("jax_debug_nans", True)
+
     train_ds, val_ds = create_train_val_dataloader(
         cfg, jax.process_index(), jax.process_count())
 
