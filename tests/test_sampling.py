@@ -129,13 +129,11 @@ def test_dynamic_temperature_and_length_penalty_decode():
                                 max_text_tokens=20, max_mel_tokens=24)
     params = uv.init(jax.random.PRNGKey(0), cfg)
     text = jnp.asarray(np.random.RandomState(0).randint(3, 255, (1, 8)))
-    # high length penalty strongly boosts stop as decode lengthens ->
-    # decodes must be no longer than the unpenalized ones on average
     res_pen = uv.inference_speech(
         params, jnp.zeros((1, 32)), text, jnp.asarray([8]),
         jax.random.PRNGKey(1), cfg,
         SamplingConfig(temperature=0.9, min_temperature=0.3,
-                       length_penalty=8.0),
+                       length_penalty_factor=2.0),
         max_length=16)
     assert np.asarray(res_pen.codes).shape == (1, 16)
     assert np.isfinite(np.asarray(res_pen.lengths)).all()
@@ -146,3 +144,79 @@ def test_dynamic_temperature_interpolates():
     hot = apply_dynamic_temperature(logits, 1.0, 0.999)
     np.testing.assert_allclose(np.asarray(hot), np.asarray(logits / 1.0),
                                rtol=1e-2)
+
+
+def test_dynamic_temperature_matches_reference(logits):
+    from tests.ref.harness import import_ref
+    rs = import_ref("samplers")
+    ref = rs.dynamic_temperature(torch.tensor(logits).clone(),
+                                 temperature=0.9,
+                                 min_temperature=0.3).numpy()
+    got = np.asarray(apply_dynamic_temperature(jnp.asarray(logits),
+                                               0.9, 0.3))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_length_penalty_matches_reference(logits):
+    from tests.ref.harness import import_ref
+    rs = import_ref("samplers")
+    stop_tok = 7
+    for factor in (2.0, -1.0):
+        for length in (3, 40):
+            ref = rs.length_penalize(torch.tensor(logits).clone(),
+                                     length=length, factor=factor,
+                                     token=stop_tok).numpy()
+            got = np.asarray(S.apply_length_penalty(
+                jnp.asarray(logits[:, stop_tok]),
+                jnp.asarray(length), factor))
+            np.testing.assert_allclose(got, ref[:, stop_tok],
+                                       atol=1e-5, rtol=1e-5)
+
+
+def test_greedy_applies_processors():
+    """HF greedy applies repetition penalty (a logits *processor*)
+    before argmax; the reference also routes TypicalLogitsWarper through
+    generate()'s logits_processor list (unified_voice.py:659), so both
+    must shift the greedy argmax."""
+    import jax
+    logits = jnp.asarray([[1.0, 5.0, 4.0]])
+    counts = jnp.asarray([[0, 3, 0]])
+    tok = S.sample_token(jax.random.PRNGKey(0), logits,
+                         S.SamplingConfig(greedy=True,
+                                          repetition_penalty=2.0),
+                         token_counts=counts)
+    # 5.0/2.0 = 2.5 < 4.0 -> the repeat-penalized top-1 loses
+    assert int(tok[0]) == 2
+
+
+def test_mirostat_matches_reference_formula():
+    """k (Zipf fit + round+1) and the mu update match the reference
+    compute_k / surprise math (samplers.py:117-157) for the token our
+    step sampled."""
+    import jax, math
+    rng = np.random.RandomState(2)
+    logits = rng.randn(1, 500).astype(np.float32) * 2
+    mu0 = 8.0
+    tok, new_mu = S.mirostat_step(jax.random.PRNGKey(3),
+                                  jnp.asarray(logits),
+                                  jnp.full((1,), mu0), tau=4.0, eta=0.1)
+    srt = np.sort(logits[0])[::-1]
+    prob = np.exp(srt - srt.max())
+    prob /= prob.sum()
+    num = den = 0.0
+    for i in range(100):
+        b = prob[i] / prob[i + 1]
+        t = (i + 2) / (i + 1)
+        num += math.log(b) * math.log(t)
+        den += math.log(t) ** 2
+    s = num / den
+    eps = s - 1
+    k_ref = round(((eps * 2 ** mu0) / (1 - 500 ** -eps)) ** (1 / s)) + 1
+    # the sampled token must come from the top-k_ref set
+    rank = int(np.sum(logits[0] > logits[0, int(tok[0])]))
+    assert rank < k_ref
+    p_full = np.exp(logits[0] - logits[0].max())
+    p_full /= p_full.sum()
+    surprise = math.log2(1 / p_full[int(tok[0])])
+    np.testing.assert_allclose(float(new_mu[0]),
+                               mu0 - 0.1 * (surprise - 4.0), rtol=1e-3)

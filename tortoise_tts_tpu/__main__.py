@@ -23,7 +23,11 @@ def main(argv=None):
     parser.add_argument("--top-p", type=float, default=1.0)
     parser.add_argument("--top-k", type=int, default=0)
     parser.add_argument("--repetition-penalty", type=float, default=1.0)
-    parser.add_argument("--length-penalty", type=float, default=1.0)
+    parser.add_argument("--length-penalty", type=float, default=1.0,
+                        help="beam-selection length penalty (HF semantics)")
+    parser.add_argument("--length-penalty-factor", type=float, default=0.0,
+                        help="stop-logit length penalty for the sampled "
+                             "path: stop /= length**factor (>0 = longer)")
     parser.add_argument("--beam-width", type=int, default=1)
     parser.add_argument("--diffusion-sampler", type=str, default="ddim",
                         choices=["ddim", "p", "dpm++"])
@@ -62,7 +66,9 @@ def main(argv=None):
         ar_temp=args.ar_temp, diffusion_temp=args.diffusion_temp,
         top_p=args.top_p, top_k=args.top_k,
         repetition_penalty=args.repetition_penalty,
-        length_penalty=args.length_penalty, beam_width=args.beam_width,
+        length_penalty=args.length_penalty,
+        length_penalty_factor=args.length_penalty_factor,
+        beam_width=args.beam_width,
         diffusion_sampler=args.diffusion_sampler, cond_free=args.cond_free,
         vocoder_type=args.vocoder, candidates=args.candidates,
         typical_sampling=args.typical_sampling,

@@ -453,6 +453,7 @@ class TTS:
         top_k: int = 0,
         repetition_penalty: float = 1.0,
         length_penalty: float = 1.0,
+        length_penalty_factor: float = 0.0,
         beam_width: int = 1,
         typical_sampling: bool = False,
         typical_mass: float = 0.9,
@@ -501,7 +502,9 @@ class TTS:
             temperature=ar_temp, top_k=top_k, top_p=top_p,
             typical_mass=typical_mass if typical_sampling else 0.0,
             repetition_penalty=repetition_penalty,
-            length_penalty=length_penalty, beam_width=beam_width,
+            length_penalty=length_penalty,
+            length_penalty_factor=length_penalty_factor,
+            beam_width=beam_width,
             mirostat_tau=mirostat_tau, mirostat_eta=mirostat_eta,
             min_temperature=min_temperature)
 

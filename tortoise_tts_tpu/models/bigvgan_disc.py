@@ -126,9 +126,13 @@ def _disc_r_init(key, mult: int) -> Params:
 
 
 def _resolution_spectrogram(x: jnp.ndarray, n_fft: int, hop: int,
-                            win: int) -> jnp.ndarray:
+                            win: int, window: str = "hann") -> jnp.ndarray:
     """|STFT| with center=False + reflect pad (n_fft-hop)/2 on both sides
-    (bigvgan.py:648-655). x: (B, T) -> (B, F, frames)."""
+    (bigvgan.py:648-655). x: (B, T) -> (B, F, frames).
+
+    window: "hann" (mel_spectrogram, bigvgan.py:700,706) or "ones"
+    (DiscriminatorR.spectrogram passes window=None to torch.stft, i.e. a
+    rectangular window, bigvgan.py:653)."""
     pad = (n_fft - hop) // 2
     x = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (x.shape[-1] - n_fft) // hop
@@ -140,8 +144,10 @@ def _resolution_spectrogram(x: jnp.ndarray, n_fft: int, hop: int,
     idx = (np.arange(n_frames)[:, None] * hop + off
            + np.arange(win)[None, :])
     frames = x[:, idx]
-    window = jnp.asarray(np.hanning(win + 1)[:-1].astype(np.float32))
-    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+    if window == "hann":
+        frames = frames * jnp.asarray(
+            np.hanning(win + 1)[:-1].astype(np.float32))
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     # sqrt(re^2+im^2+eps): jnp.abs(complex) has a NaN gradient at
     # exactly-zero bins (reference guards its mel path the same way,
     # bigvgan.py mel_spectrogram sqrt(...+1e-9))
@@ -154,7 +160,8 @@ def _disc_r_apply(p: Params, x: jnp.ndarray,
                   ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """x: (B, 1, T) -> (score, fmaps)."""
     n_fft, hop, win = resolution
-    mag = _resolution_spectrogram(x[:, 0], n_fft, hop, win)[:, None]
+    mag = _resolution_spectrogram(x[:, 0], n_fft, hop, win,
+                                  window="ones")[:, None]
     fmap = []
     h = mag
     strides = [(1, 1), (1, 2), (1, 2), (1, 2), (1, 1)]

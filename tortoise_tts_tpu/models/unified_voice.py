@@ -637,12 +637,13 @@ def decode_chunk(params: Params, state: DecodeState,
     def body_fn(c: DecodeState):
         rng, sub = jax.random.split(c.rng)
         logits = logits_of(c.lat)
-        if sampling.length_penalty != 1.0:
+        if sampling.length_penalty_factor != 0.0:
             # stop-logit length penalty in the *sampled* path
-            # (reference samplers.py:35-40; HF only uses it in beams)
+            # (reference samplers.py:35-40: stop /= length**factor; the
+            # HF-style length_penalty only applies to beam selection)
             from ..ops.sampling import apply_length_penalty
             sl = apply_length_penalty(logits[:, cfg.stop_mel_token],
-                                      c.step, sampling.length_penalty)
+                                      c.step, sampling.length_penalty_factor)
             logits = logits.at[:, cfg.stop_mel_token].set(sl)
         if sampling.mirostat_tau > 0:
             from ..ops.sampling import (apply_repetition_penalty,

@@ -28,6 +28,14 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
+
+def _mosaic_ok() -> bool:
+    """Mosaic lowering is only available when the *backend* is TPU —
+    the pallas.tpu module itself imports fine on CPU-only jax builds,
+    so gating on the import alone would crash instead of falling back
+    (interpret=True bypasses this for tests)."""
+    return _HAS_PLTPU and jax.default_backend() == "tpu"
+
 from .attention import NEG_INF, mha
 
 BLOCK_Q = 256
@@ -72,7 +80,7 @@ def flash_attention_bias_cm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qkv_attention: softmax(q.k/sqrt(D) + bias).
     """
     b, h, d, s = q.shape
-    if not _HAS_PLTPU and not interpret:
+    if not _mosaic_ok() and not interpret:
         out = mha(jnp.swapaxes(q, -1, -2), jnp.swapaxes(k, -1, -2),
                   jnp.swapaxes(v, -1, -2), bias=bias[None])
         return jnp.swapaxes(out, -1, -2)
@@ -92,7 +100,7 @@ def flash_attention_bias_qkv(qkv: jnp.ndarray, bias: jnp.ndarray,
     Returns (B, H*D, T)."""
     b, width, s = qkv.shape
     d = width // (3 * n_heads)
-    if not _HAS_PLTPU and not interpret:
+    if not _mosaic_ok() and not interpret:
         from .attention import qkv_attention
         return qkv_attention(qkv, n_heads, bias=bias)
     f = qkv.reshape(b * n_heads * 3, d, s)
@@ -169,7 +177,7 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
     of the kernel at ~1.6 MB/tile)."""
     b, width, s = qkv.shape
     d = width // (3 * n_heads)
-    if not _HAS_PLTPU and not interpret:
+    if not _mosaic_ok() and not interpret:
         from .attention import qkv_attention
         return qkv_attention(qkv, n_heads, bias=bias)
     h = n_heads
@@ -271,7 +279,7 @@ def flash_attention_bias_qkv_kq(qkv: jnp.ndarray, bias_t: jnp.ndarray,
     tile across the batch."""
     b, width, s = qkv.shape
     d = width // (3 * n_heads)
-    if not _HAS_PLTPU and not interpret:
+    if not _mosaic_ok() and not interpret:
         from .attention import qkv_attention
         return qkv_attention(qkv, n_heads,
                              bias=jnp.swapaxes(bias_t, 1, 2))
@@ -414,7 +422,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """q,k,v: (B, H, S, D) -> (B, H, S, D); key_mask: (B, S) bool."""
     b, h, s, d = q.shape
-    if not _HAS_PLTPU and not interpret:
+    if not _mosaic_ok() and not interpret:
         mask = key_mask[:, None, None, :] if key_mask is not None else None
         return mha(q, k, v, mask=mask, causal=causal)
 

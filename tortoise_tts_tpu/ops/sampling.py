@@ -28,10 +28,16 @@ class SamplingConfig:
     typical_mass: float = 0.0  # 0 = disabled (reference default .9 when on)
     repetition_penalty: float = 1.0
     beam_width: int = 1
+    # HF beam length penalty (final-beam selection exponent); sampling
+    # mode ignores it, exactly like HF generate()
     length_penalty: float = 1.0
+    # stop-logit length penalty for the *sampled* path (reference
+    # samplers.py:35-40: stop_logit /= length**factor; >0 = longer
+    # sequences, <0 = shorter, 0 = disabled)
+    length_penalty_factor: float = 0.0
     greedy: bool = False
-    # entropy-scaled dynamic temperature (samplers.py:78-91): active when
-    # 0 < min_temperature < temperature
+    # max-probability-sigmoid dynamic temperature (samplers.py:78-91):
+    # active when 0 < min_temperature < temperature
     min_temperature: float = 0.0
     # mirostat v1 (samplers.py:117-157): active when tau > 0
     mirostat_tau: float = 0.0
@@ -147,37 +153,48 @@ def sample_token(key: jax.Array, logits: jnp.ndarray,
                  token_counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Warp + draw one token per row. logits (B, V) -> (B,) int32."""
     if cfg.greedy:
-        # argmax is invariant under temperature and top-k/p/typical masks
-        # (the top-1 token always survives); skip the warp entirely
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # HF greedy applies logits *processors* before argmax but skips
+        # the warpers.  Repetition penalty is a default processor, and
+        # the reference passes TypicalLogitsWarper through generate()'s
+        # logits_processor list (unified_voice.py:659), so both apply
+        # here; temperature/top-k/top-p are warpers (sample-mode only)
+        # and never change an argmax anyway.
+        x = logits.astype(jnp.float32)
+        if token_counts is not None:
+            x = apply_repetition_penalty(x, token_counts,
+                                         cfg.repetition_penalty)
+        x = apply_typical(x, cfg.typical_mass)
+        return jnp.argmax(x, axis=-1).astype(jnp.int32)
     warped = warp_logits(logits, cfg, token_counts)
     return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
 
 
 def apply_dynamic_temperature(logits: jnp.ndarray, temperature: float,
-                              min_temperature: float = 0.0) -> jnp.ndarray:
-    """Entropy-scaled dynamic temperature (reference samplers.py:78-91):
-    interpolate between min and max temperature by normalized entropy."""
+                              min_temperature: float = 0.0,
+                              k: float = 10.0,
+                              sigmoid_center: float = 0.5) -> jnp.ndarray:
+    """Dynamic temperature (reference samplers.py:78-91): the per-row
+    temperature slides from `temperature` toward `min_temperature` by a
+    sigmoid of the pre-temperature max-token probability —
+    t = T - (T - T_min) / (1 + exp(-k * (p_max - center)))."""
     if min_temperature >= temperature:
         return apply_temperature(logits, temperature)
-    probs = jax.nn.softmax(logits, axis=-1)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ent = -jnp.sum(jnp.where(probs > 0, probs * logp, 0.0), axis=-1,
-                   keepdims=True)
-    max_ent = jnp.log(jnp.asarray(logits.shape[-1], jnp.float32))
-    t = min_temperature + (temperature - min_temperature) * (ent / max_ent)
+    p_max = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+                    axis=-1, keepdims=True)
+    t = temperature - (temperature - min_temperature) \
+        / (1.0 + jnp.exp(-k * (p_max - sigmoid_center)))
     return logits / jnp.maximum(t, 1e-5)
 
 
 def apply_length_penalty(stop_logit: jnp.ndarray, length: jnp.ndarray,
-                         penalty: float, threshold: int = 0) -> jnp.ndarray:
-    """Length penalty on the stop logit (reference samplers.py:35-40
-    semantics: discourage/encourage stopping as length grows)."""
-    if penalty == 1.0:
+                         factor: float) -> jnp.ndarray:
+    """Stop-logit length penalty (reference samplers.py:35-40):
+    stop_logit /= length**factor.  factor>0 shrinks the stop logit as
+    the sequence grows (longer audio), factor<0 amplifies it."""
+    if factor == 0.0:
         return stop_logit
-    factor = jnp.where(length > threshold,
-                       (length - threshold).astype(jnp.float32), 0.0)
-    return stop_logit + factor * (penalty - 1.0)
+    scale = jnp.power(jnp.maximum(length.astype(jnp.float32), 1.0), factor)
+    return stop_logit / scale
 
 
 def mirostat_step(key: jax.Array, logits: jnp.ndarray, mu: jnp.ndarray,
@@ -191,22 +208,27 @@ def mirostat_step(key: jax.Array, logits: jnp.ndarray, mu: jnp.ndarray,
     v = logits.shape[-1]
     n = n_vocab or v
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-    # estimate Zipf exponent s from the top-100 distribution
+    # estimate Zipf exponent s from the top-100 probability ratios
+    # (compute_k, samplers.py:118-131): log b_i = logit[i] - logit[i+1],
+    # t_i = (i+2)/(i+1), i = 0..99 (needs 101 sorted logits)
     m = 100
-    top = sorted_logits[:, :m]
-    i = jnp.arange(1, m, dtype=jnp.float32)
-    b = jnp.log((i + 1) / i)
-    t = top[:, :-1] - top[:, 1:]
-    s_hat = jnp.sum(t * b[None], axis=-1) / jnp.sum(b * b)
+    top = sorted_logits[:, :m + 1]
+    i = jnp.arange(m, dtype=jnp.float32)
+    logt = jnp.log((i + 2) / (i + 1))
+    logb = top[:, :-1] - top[:, 1:]
+    s_hat = jnp.sum(logb * logt[None], axis=-1) / jnp.sum(logt * logt)
     eps = s_hat - 1.0
     k = jnp.power((eps * jnp.power(2.0, mu)) / (1 - jnp.power(n, -eps)),
                   1.0 / jnp.maximum(s_hat, 1e-3))
-    k = jnp.clip(k, 1, v).astype(jnp.int32)
+    # reference: k = round(k) + 1 (samplers.py:130, 145)
+    k = jnp.clip(jnp.round(k) + 1, 1, v).astype(jnp.int32)
     # top-k mask with per-row dynamic k
     ranks = jnp.argsort(jnp.argsort(-logits, axis=-1), axis=-1)
     masked = jnp.where(ranks < k[:, None], logits, NEG_INF)
     tok = jax.random.categorical(key, masked, axis=-1)
-    logp = jax.nn.log_softmax(masked, axis=-1)
+    # surprise uses the ORIGINAL (unmasked) distribution
+    # (samplers.py:143,152: prob_original)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     surprise = -jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0] \
         / jnp.log(2.0)
     new_mu = mu - eta * (surprise - tau)

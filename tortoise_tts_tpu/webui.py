@@ -65,6 +65,7 @@ label{{display:block;margin-top:.6em}}input,select,textarea{{width:100%}}
 <div class="row">
 <div><label>beam width <input name="beam_width" value="1"></label></div>
 <div><label>length penalty <input name="length_penalty" value="1.0"></label></div>
+<div><label>length factor <input name="length_penalty_factor" value="0.0"></label></div>
 <div><label>candidates <input name="candidates" value="1"></label></div>
 <div><label>typical <select name="typical_sampling">
 <option>false</option><option>true</option></select></label></div>
@@ -180,6 +181,8 @@ def _make_handler(tts):
                     repetition_penalty=get("repetition_penalty", 1.0, float),
                     beam_width=get("beam_width", 1, int),
                     length_penalty=get("length_penalty", 1.0, float),
+                    length_penalty_factor=get("length_penalty_factor",
+                                              0.0, float),
                     candidates=get("candidates", 1, int),
                     typical_sampling=get("typical_sampling",
                                          "false") == "true",
