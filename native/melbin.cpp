@@ -6,13 +6,17 @@
 // done off the Python thread). Exposed to Python via ctypes
 // (tortoise_tts_tpu/data/native_loader.py).
 //
-// File layout (little endian):
+// File layout (little endian, version 2):
 //   magic "MELB" | u32 version | u64 count
 //   count x record index:
 //     u64 offset | u32 n_codes | u32 n_text | u32 lat_dim | u32 dlat_dim
 //     | u64 wav_length | f32 duration | u32 pad
-//   data region per record: u16 codes[n_codes] | u8 text[n_text]
-//     | f32 lat[lat_dim] | f32 dlat[dlat_dim]
+//   data region per record (offset 4-byte aligned):
+//     u16 codes[n_codes] | u8 text[n_text] | pad to 4 | f32 lat[lat_dim]
+//     | f32 dlat[dlat_dim] | pad to 4
+//   The alignment guarantees rec pointers satisfy their natural
+//   alignment (v1 packed payloads back-to-back, making u16/f32 loads
+//   UB on strict-alignment builds; v1 files are rejected — repack).
 
 #include <cstdint>
 #include <cstring>
@@ -28,6 +32,9 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x424c454d;  // "MELB"
+constexpr uint32_t kVersion = 2;
+
+inline uint64_t align4(uint64_t x) { return (x + 3) & ~uint64_t{3}; }
 
 #pragma pack(push, 1)
 struct RecordIndex {
@@ -72,14 +79,32 @@ void* mb_open(const char* path) {
   ds->base = static_cast<const uint8_t*>(mem);
   ds->size = st.st_size;
   ds->header = reinterpret_cast<const Header*>(ds->base);
-  if (ds->header->magic != kMagic ||
-      sizeof(Header) + ds->header->count * sizeof(RecordIndex) > ds->size) {
+  auto reject = [&]() {
     munmap(mem, st.st_size);
     ::close(fd);
     delete ds;
     return nullptr;
-  }
+  };
+  // header validation: magic, version, count (overflow-safe), and every
+  // record's extent inside the mapping — a truncated/corrupt pack must
+  // fail here with a Python-level error, not SIGBUS inside mb_batch
+  if (ds->size < sizeof(Header) || ds->header->magic != kMagic ||
+      ds->header->version != kVersion)
+    return reject();
+  const uint64_t count = ds->header->count;
+  if (count > (ds->size - sizeof(Header)) / sizeof(RecordIndex))
+    return reject();
   ds->index = reinterpret_cast<const RecordIndex*>(ds->base + sizeof(Header));
+  const uint64_t data_start = sizeof(Header) + count * sizeof(RecordIndex);
+  for (uint64_t i = 0; i < count; ++i) {
+    const RecordIndex& r = ds->index[i];
+    const uint64_t payload =
+        align4(uint64_t{r.n_codes} * 2 + r.n_text) +
+        (uint64_t{r.lat_dim} + r.dlat_dim) * 4;
+    if (r.offset < data_start || (r.offset & 3) != 0 ||
+        r.offset > ds->size || payload > ds->size - r.offset)
+      return reject();
+  }
   return ds;
 }
 
@@ -129,8 +154,9 @@ int mb_batch(void* handle, const uint32_t* indices, int n,
       const uint8_t* p = ds->base + r.offset;
       const uint16_t* rec_codes = reinterpret_cast<const uint16_t*>(p);
       const uint8_t* rec_text = p + r.n_codes * sizeof(uint16_t);
+      // lat starts at the next 4-byte boundary after text (v2 layout)
       const float* rec_lat = reinterpret_cast<const float*>(
-          rec_text + r.n_text);
+          p + align4(r.n_codes * sizeof(uint16_t) + r.n_text));
       const float* rec_dlat = rec_lat + r.lat_dim;
 
       int tl = (int)r.n_text < text_bucket ? (int)r.n_text : text_bucket;

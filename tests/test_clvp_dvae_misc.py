@@ -93,6 +93,26 @@ def test_dvae_ema_update_moves_codebook():
     assert np.isfinite(float(commit))
 
 
+def test_dvae_codes_bucketed_matches_exact():
+    """emb.mel pads full-utterance mels to a frame bucket (one relay
+    compile per bucket instead of per segment length); edge padding may
+    only perturb codes within the encoder's receptive field of the true
+    end — the prefix must be exact and the count unchanged."""
+    from types import SimpleNamespace
+    import tortoise_tts_tpu.emb.mel as emel
+    cfg = dvae_m.DVAEConfig(num_tokens=64, codebook_dim=16, hidden_dim=32)
+    params = dvae_m.init(jax.random.PRNGKey(0), cfg)
+    loaded = SimpleNamespace(params=params, config=cfg)
+    for t in (100, 256, 301):
+        mel = jax.random.normal(jax.random.PRNGKey(t), (1, 80, t))
+        exact = np.asarray(dvae_m.get_codebook_indices(params, mel, cfg))
+        got = np.asarray(emel._dvae_codes_bucketed(loaded, mel))
+        assert got.shape == exact.shape
+        # receptive-field tail: allow the last few codes to differ
+        tail = 8
+        np.testing.assert_array_equal(got[:, :-tail], exact[:, :-tail])
+
+
 def test_rlg_parity():
     rrlg = import_ref("models.random_latent_generator")
     torch.manual_seed(2)
@@ -111,14 +131,29 @@ def test_classifier_forward():
     """NOTE: the reference classifier cannot be constructed against its own
     arch_utils (classifier.py:111 passes do_checkpoint= to AttentionBlock,
     which only accepts use_checkpoint — a reference bug), so golden parity
-    is impossible; we verify our classifier's structure/shapes instead."""
-    params = clf.init(jax.random.PRNGKey(0), classes=2, spec_dim=80,
-                      embedding_dim=64, base_channels=32)
-    mel = jnp.asarray(np.random.RandomState(0).randn(2, 80, 64),
+    is impossible; we verify our classifier's structure/shapes instead.
+    Shrunk from the published classifier.pth architecture (spec_dim=1 raw
+    audio, base 32, depth 5, downsample 4, kernel 5)."""
+    cfg = clf.ClassifierConfig(embedding_dim=64, depth=2)
+    params = clf.init(jax.random.PRNGKey(0), cfg)
+    # depth=2 x downsample 4 = 16x reduction; raw audio input
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 1, 256),
                       dtype=jnp.float32)
-    logits = clf.forward(params, mel)
+    logits = clf.forward(params, wav, cfg)
     assert logits.shape == (2, 2)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_classifier_checkpoint_shape_contract():
+    """init() at published defaults produces the exact parameter tree the
+    classifier.pth converter expects: depth=5 (10 res + 5 downs), enc.init
+    conv (32, 1, 3), final norm/conv over 32*2**5=1024 channels."""
+    params = clf.init(jax.random.PRNGKey(0))
+    assert params["enc"]["init"]["w"].shape == (32, 1, 3)
+    res = params["enc"]["res"]
+    assert len(res) == 15 and sum("down" in b for b in res) == 5
+    assert params["enc"]["final_conv"]["w"].shape == (512, 1024, 1)
+    assert params["head"]["w"].shape == (512, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,46 @@ def test_durations_and_bad_index(packed):
         ds.batch([99], text_bucket=8, mel_bucket=8)
 
 
+def test_corrupt_pack_rejected(packed, tmp_path):
+    """mb_open must fail cleanly (Python IOError) on truncated/corrupt
+    packs instead of SIGBUS-ing later inside mb_batch."""
+    _, out = packed
+    data = Path(out).read_bytes()
+    # truncated mid-data-region
+    trunc = tmp_path / "trunc.melbin"
+    trunc.write_bytes(data[:len(data) - 16])
+    with pytest.raises(IOError):
+        MelBinDataset(trunc, lat_dim=64, dlat_dim=128)
+    # wrong version (v1 back-to-back layout is rejected: repack)
+    import struct
+    v1 = tmp_path / "v1.melbin"
+    v1.write_bytes(struct.pack("<II", 0x424C454D, 1) + data[8:])
+    with pytest.raises(IOError):
+        MelBinDataset(v1, lat_dim=64, dlat_dim=128)
+    # absurd record count (overflow guard)
+    big = tmp_path / "big.melbin"
+    big.write_bytes(data[:8] + struct.pack("<Q", 2**61) + data[16:])
+    with pytest.raises(IOError):
+        MelBinDataset(big, lat_dim=64, dlat_dim=128)
+
+
+def test_record_payloads_aligned(packed):
+    """v2 layout: every record offset is 4-aligned and the float section
+    lands on a 4-byte boundary (odd n_text exercised by the fixture)."""
+    import struct as _s
+    from tortoise_tts_tpu.data.native_loader import (_HEADER_SIZE,
+                                                     _INDEX_FMT,
+                                                     _INDEX_SIZE)
+    _, out = packed
+    data = Path(out).read_bytes()
+    count = _s.unpack("<Q", data[8:16])[0]
+    for i in range(count):
+        rec = _s.unpack_from(_INDEX_FMT, data, _HEADER_SIZE + i * _INDEX_SIZE)
+        offset, n_codes, n_text = rec[0], rec[1], rec[2]
+        assert offset % 4 == 0
+        assert (offset + ((n_codes * 2 + n_text + 3) & ~3)) % 4 == 0
+
+
 def test_truncation(packed):
     _, out = packed
     ds = MelBinDataset(out, lat_dim=64, dlat_dim=128)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import struct
 import subprocess
 from pathlib import Path
@@ -28,7 +29,11 @@ NATIVE_DIR = Path(__file__).parent.parent.parent / "native"
 SO_PATH = NATIVE_DIR / "libmelbin.so"
 
 MAGIC = 0x424C454D  # "MELB"
-VERSION = 1
+# v2: record payloads are 4-byte aligned (record start aligned; pad
+# between text and lat) so the C++ reader's u16/f32 pointers satisfy
+# natural alignment — v1 packed back-to-back, which was UB on
+# strict-alignment builds.  The reader rejects v1 files; repack.
+VERSION = 2
 _INDEX_FMT = "<QIIIIQfI"          # offset, n_codes, n_text, lat, dlat,
 _INDEX_SIZE = struct.calcsize(_INDEX_FMT)  # wav_length, duration, pad
 _HEADER_FMT = "<IIQ"
@@ -95,20 +100,38 @@ def pack_melbin(mel_paths: Sequence[str | Path], out_path: str | Path) -> int:
                          wav_length / md.get("sample_rate", 22050))
         records.append((codes, text, lat, dlat, wav_length, duration))
 
+    def _align4(x: int) -> int:
+        return (x + 3) & ~3
+
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(out_path, "wb") as f:
+    # write to a temp file + atomic rename: an interrupted pack must
+    # never leave a truncated file that a later run mmaps
+    tmp_path = out_path.with_suffix(out_path.suffix + ".tmp")
+    with open(tmp_path, "wb") as f:
         f.write(struct.pack(_HEADER_FMT, MAGIC, VERSION, len(records)))
-        offset = _HEADER_SIZE + len(records) * _INDEX_SIZE
+        offset = _align4(_HEADER_SIZE + len(records) * _INDEX_SIZE)
         for codes, text, lat, dlat, wav_length, duration in records:
             f.write(struct.pack(_INDEX_FMT, offset, len(codes), len(text),
                                 len(lat), len(dlat), wav_length, duration, 0))
-            offset += (codes.nbytes + text.nbytes + lat.nbytes + dlat.nbytes)
+            offset = _align4(
+                offset + _align4(codes.nbytes + text.nbytes)
+                + lat.nbytes + dlat.nbytes)
+        pos = _HEADER_SIZE + len(records) * _INDEX_SIZE
+        f.write(b"\0" * (_align4(pos) - pos))
+        pos = _align4(pos)
         for codes, text, lat, dlat, _, _ in records:
             f.write(codes.tobytes())
             f.write(text.tobytes())
+            pos += codes.nbytes + text.nbytes
+            f.write(b"\0" * (_align4(pos) - pos))
+            pos = _align4(pos)
             f.write(lat.tobytes())
             f.write(dlat.tobytes())
+            pos += lat.nbytes + dlat.nbytes
+            f.write(b"\0" * (_align4(pos) - pos))
+            pos = _align4(pos)
+    os.replace(tmp_path, out_path)
     import json
     Path(str(out_path) + ".paths.json").write_text(
         json.dumps([str(p) for p in mel_paths]))

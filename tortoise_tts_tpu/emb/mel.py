@@ -27,11 +27,35 @@ DIFF_COND_SAMPLES = 102_400  # emb/mel.py:72
 # jitted stage functions (params as args; cached per input-length bucket)
 from functools import partial as _partial
 
+# DVAE-codes frame bucket: full-utterance mels are edge-padded up to a
+# multiple of this many frames so dataset prep compiles one program per
+# bucket instead of one per distinct segment length (each new shape is
+# minutes through the remote-compile relay).  Edge padding only
+# perturbs codes within the encoder's receptive field of the true end,
+# and those are sliced off below; TTS_MEL_EXACT=1 restores exact-shape
+# encoding (one compile per length, reference-exact trailing codes).
+MEL_FRAME_BUCKET = 256
+
 
 @_partial(jax.jit, static_argnames=("cfg",))
 def _jit_dvae_codes(params, mel, cfg):
     from ..models import dvae as _dvae
     return _dvae.get_codebook_indices(params, mel, cfg)
+
+
+def _dvae_codes_bucketed(dvae, mel_full: jnp.ndarray) -> jnp.ndarray:
+    import os
+    from ..models import dvae as _dvae
+    t = mel_full.shape[-1]
+    if os.environ.get("TTS_MEL_EXACT") == "1":
+        return _jit_dvae_codes(dvae.params, mel_full, dvae.config)
+    bt = -(-t // MEL_FRAME_BUCKET) * MEL_FRAME_BUCKET
+    # the exact-shape code count, from shape arithmetic only (no compile)
+    n_codes = jax.eval_shape(
+        lambda m: _dvae.get_codebook_indices(dvae.params, m, dvae.config),
+        jax.ShapeDtypeStruct(mel_full.shape, mel_full.dtype)).shape[-1]
+    padded = jnp.pad(mel_full, [(0, 0), (0, 0), (0, bt - t)], mode="edge")
+    return _jit_dvae_codes(dvae.params, padded, dvae.config)[:, :n_codes]
 
 
 @_partial(jax.jit, static_argnames=("cfg",))
@@ -66,11 +90,16 @@ def format_autoregressive_conditioning(wav22: np.ndarray,
     return stft.mel_ar(jnp.asarray(wav22, dtype=jnp.float32), norms)
 
 
-def format_diffusion_conditioning(wav22: np.ndarray) -> jnp.ndarray:
+def format_diffusion_conditioning(wav22: np.ndarray,
+                                  wav24: Optional[jnp.ndarray] = None
+                                  ) -> jnp.ndarray:
     """(B?, T) 22.05 kHz -> (B, 100, frames) diffusion-conditioning mel
-    (emb/mel.py:67-78: resample to 24 kHz, pad/truncate to 102400)."""
-    wav22 = np.atleast_2d(np.asarray(wav22))
-    wav24 = stft.resample(jnp.asarray(wav22, dtype=jnp.float32), 22050, 24000)
+    (emb/mel.py:67-78: resample to 24 kHz, pad/truncate to 102400).
+    Pass a precomputed ``wav24`` to skip the resample."""
+    if wav24 is None:
+        wav22 = np.atleast_2d(np.asarray(wav22))
+        wav24 = stft.resample(jnp.asarray(wav22, dtype=jnp.float32),
+                              22050, 24000)
     t = wav24.shape[-1]
     if t < DIFF_COND_SAMPLES:
         wav24 = jnp.pad(wav24, [(0, 0), (0, DIFF_COND_SAMPLES - t)])
@@ -101,10 +130,11 @@ def encode(wav: np.ndarray, sr: int, dtype: str = "float32",
     norms = jnp.asarray(mel_norms) if mel_norms is not None else None
     mel_full = stft.mel_ar(jnp.asarray(wav22), norms)
 
+    wav24 = stft.resample(jnp.asarray(wav22), 22050, 24000)
     ar_conds = format_autoregressive_conditioning(wav22, rng=rng)[:, None]
-    diff_conds = format_diffusion_conditioning(wav22)[:, None]
+    diff_conds = format_diffusion_conditioning(wav22, wav24=wav24)[:, None]
 
-    codes = _jit_dvae_codes(dvae.params, mel_full, dvae.config)
+    codes = _dvae_codes_bucketed(dvae, mel_full)
     ar_latent = _jit_ar_conditioning(ar.params, ar_conds, ar.config)
     diff_latent = _jit_diff_conditioning(diff.params, diff_conds,
                                          diff.config)
@@ -119,7 +149,6 @@ def encode(wav: np.ndarray, sr: int, dtype: str = "float32",
         },
     }
     if return_mels:
-        wav24 = stft.resample(jnp.asarray(wav22), 22050, 24000)
         out["mel"] = mel_full
         out["mel_diff"] = stft.normalize_tacotron_mel(
             stft.mel_diffusion(wav24))

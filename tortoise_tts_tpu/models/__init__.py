@@ -151,8 +151,11 @@ class LoadedModel:
     from_checkpoint: bool
 
 
+@lru_cache(maxsize=1)
 def load_mel_norms() -> Optional[np.ndarray]:
-    """The 80-bin mel normalisation vector (arch_utils.py:378-394)."""
+    """The 80-bin mel normalisation vector (arch_utils.py:378-394).
+    Cached: it sits on the per-segment dataset-prep hot path (two calls
+    per encode), and the vector is read-only."""
     p = find_weight_file("mel_norms")
     if p is None:
         return None
@@ -257,9 +260,9 @@ def load_model(name: str, dtype: str = "float32",
         params = convert.convert_rlg(sd) if sd else rlg.init(key, ch)
         module = rlg
     elif cname == "classifier":
-        cfg = None
-        params = (convert.convert_classifier(sd) if sd
-                  else classifier.init(key))
+        cfg = classifier.ClassifierConfig()
+        params = (convert.convert_classifier(sd, depth=cfg.depth) if sd
+                  else classifier.init(key, cfg))
         module = classifier
     else:
         raise KeyError(f"unknown model name: {name}")

@@ -369,8 +369,10 @@ def convert_rlg(sd: StateDict) -> Dict[str, Any]:
     }
 
 
-def convert_classifier(sd: StateDict, depth: int = 2, resnet_blocks: int = 2,
+def convert_classifier(sd: StateDict, depth: int = 5, resnet_blocks: int = 2,
                        attn_blocks: int = 4) -> Dict[str, Any]:
+    """Published classifier.pth: depth=5 (15 enc.res entries), raw-audio
+    init conv (32, 1, 3) — see classifier.ClassifierConfig."""
     res = []
     idx = 0
     for _ in range(depth):

@@ -51,9 +51,12 @@ def load_state_dict(path: str | Path, key: Optional[str] = None
     sd = torch.load(str(path), map_location="cpu", weights_only=False)
     if key is not None and key in sd:
         sd = sd[key]
-    if isinstance(sd, dict) and "model" in sd and all(
-            not hasattr(v, "numpy") for k, v in list(sd.items())[:1]):
-        pass
+    # trainer-style checkpoints nest the weights under 'model'
+    # (engine/state.py layout; reference engines/base.py:152-165) —
+    # unwrap so converters see the flat tensor dict
+    if (isinstance(sd, dict) and isinstance(sd.get("model"), dict)
+            and not hasattr(sd["model"], "detach")):
+        sd = sd["model"]
     out = {}
     for k, v in sd.items():
         if hasattr(v, "detach"):

@@ -19,12 +19,16 @@ _logger = logging.getLogger(__name__)
 def timer(name: str = "", callback=None):
     """Wall-clock timer context (reference utils/utils.py:89-104)."""
     t0 = time.time()
-    yield
-    dt = time.time() - t0
-    if callback:
-        callback(dt)
-    else:
-        _logger.info("%s took %.3fs", name or "block", dt)
+    try:
+        yield
+    finally:
+        # log even when the timed block raises — failing runs are the
+        # ones whose timing matters most
+        dt = time.time() - t0
+        if callback:
+            callback(dt)
+        else:
+            _logger.info("%s took %.3fs", name or "block", dt)
 
 
 @contextlib.contextmanager
