@@ -58,7 +58,7 @@ def attention_block(p: Params, x: jnp.ndarray, num_heads: int,
     import os
     c = x.shape[1]
     qkv = None
-    if (os.environ.get("TTS_FUSED_RESBLOCK", "0") == "1"
+    if (os.environ.get("TTS_FUSED_RESBLOCK", "1") == "1"
             and (jax.default_backend() == "tpu"
                  or os.environ.get("TTS_FUSED_RESBLOCK_INTERPRET") == "1")):
         # fused [groupnorm + qkv conv1x1] Pallas head (the same env

@@ -66,7 +66,7 @@ def _ts_res_block(p: Params, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
     import os
     c = x.shape[1]
     emb_out = linear(p["emb"], silu(emb))            # (B, 2C)
-    if (os.environ.get("TTS_FUSED_RESBLOCK", "0") == "1"
+    if (os.environ.get("TTS_FUSED_RESBLOCK", "1") == "1"
             and (jax.default_backend() == "tpu"
                  or os.environ.get("TTS_FUSED_RESBLOCK_INTERPRET") == "1")):
         from ..ops.pallas_resblock import fused_ts_res_block

@@ -327,9 +327,10 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     # LayerNorms fuse into the GEMV kernels on the quantized paths
     # (~60 tiny LN op-chains per token otherwise); stacked gamma/beta
     # are indexed by the same scalar-prefetched layer index.
-    # TTS_QGEMV_LN=0 keeps the XLA LNs (default until measured on-chip)
+    # TTS_QGEMV_LN=0 keeps the XLA LNs (chip-measured: 0.96 vs 1.03
+    # ms/token with the fusion on, so it defaults on)
     fuse_ln = (qgpt is not None and (use_kernel or quant_mode == "w8a8")
-               and os.environ.get("TTS_QGEMV_LN", "0") == "1")
+               and os.environ.get("TTS_QGEMV_LN", "1") == "1")
     ln1 = ((gpt["ln_1"]["scale"], gpt["ln_1"]["bias"])
            if fuse_ln else None)
     ln2 = ((gpt["ln_2"]["scale"], gpt["ln_2"]["bias"])

@@ -57,7 +57,7 @@ def _gemv_body(x_ref, g_ref, b_ref, w_ref, s_ref, bias_ref, o_ref,
                w8a8: bool):
     xf = x_ref[...].astype(jnp.float32)
     if g_ref is not None:
-        xf = _ln_f32(xf, g_ref[...], b_ref[...])
+        xf = _ln_f32(xf, g_ref[0], b_ref[0])
     if w8a8:
         sx = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0 + 1e-12
         xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
@@ -109,9 +109,14 @@ def _stacked_call(acts, wq, s, b, li, bn, out_dtype, interpret: bool,
     kernel = functools.partial(_qgemv_kernel, w8a8=w8a8)
     if ln is not None:
         g, bl = ln
-        ln_ops = (g.astype(jnp.float32), bl.astype(jnp.float32))
-        ln_specs = [pl.BlockSpec((1, k), lambda i, sref: (sref[0], 0)),
-                    pl.BlockSpec((1, k), lambda i, sref: (sref[0], 0))]
+        # (L, 1, K) with a (1, 1, K) block: the last two block dims
+        # EQUAL the array dims, satisfying Mosaic's last-two-dims rule
+        # (a (1, K) block on (L, K) does not — 1 is neither divisible
+        # by 8 nor equal to L).
+        ln_ops = (g.astype(jnp.float32).reshape(L, 1, k),
+                  bl.astype(jnp.float32).reshape(L, 1, k))
+        ln_specs = [pl.BlockSpec((1, 1, k), lambda i, sref: (sref[0], 0, 0)),
+                    pl.BlockSpec((1, 1, k), lambda i, sref: (sref[0], 0, 0))]
         kernel = functools.partial(_qgemv_ln_kernel, w8a8=w8a8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -84,7 +84,10 @@ def _gn_conv_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, o_ref, *,
     mu, rs = _group_stats(xf, groups, eps)
     y = ((xf - mu) * rs * g_ref[...] + b_ref[...]).astype(x.dtype)
     if act:
-        y = y * jax.nn.sigmoid(y)                        # silu at dt
+        # silu: sigmoid at fp32 (Mosaic rejects jax.nn.sigmoid on bf16
+        # vectors — the 1.0 literal broadcasts as f32 -> vector<bf16>),
+        # product at dt; one dt rounding from a pure-dt silu.
+        y = y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(x.dtype)
     acc = jax.lax.dot_general(w_ref[...].astype(x.dtype), y,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -141,7 +144,7 @@ def _rb_out_kernel(h_ref, x_ref, g_ref, b_ref, sc_ref, sh_ref, w_ref,
     yn = (hf - mu) * rs * g_ref[...] + b_ref[...]
     yn = yn * (1.0 + sc_ref[0]) + sh_ref[0]
     yb = yn.astype(h.dtype)
-    a = yb * jax.nn.sigmoid(yb)
+    a = yb * jax.nn.sigmoid(yb.astype(jnp.float32)).astype(h.dtype)
     ap = jnp.pad(a, ((0, 0), (1, 1)))                    # zero pad T+2
     w = w_ref[...].astype(h.dtype)
     acc = None

@@ -60,12 +60,11 @@ _SIN2_COEFS = (9.8696043382019916, -32.469677318903273,
 
 
 def _sin2(y: jnp.ndarray) -> jnp.ndarray:
-    """sin(y)^2 via range-reduced even polynomial (TTS_SNAKE_SIN=poly;
-    default stays on the transcendental until the polynomial's Mosaic
-    lowering is validated on a real chip — an unvalidated default here
-    would turn a lowering failure into a bench crash)."""
+    """sin(y)^2 via range-reduced even polynomial — chip-validated
+    default (BigVGAN 896 frames: 128.8 ms vs 152.6 ms exact on v5e);
+    TTS_SNAKE_SIN=exact reverts to the transcendental."""
     import os
-    if os.environ.get("TTS_SNAKE_SIN", "exact") == "exact":
+    if os.environ.get("TTS_SNAKE_SIN", "poly") == "exact":
         return jnp.square(jnp.sin(y))
     z = y * jnp.float32(1.0 / math.pi)
     fr = z - jnp.round(z)
