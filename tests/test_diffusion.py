@@ -326,3 +326,40 @@ def test_fused_gn_conv_kernel_parity():
                                block_n=bn, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=3e-5, rtol=1e-5)
+
+
+def test_fused_resblock_grad_matches_xla():
+    """Training must differentiate through the fused-default resblock:
+    the custom_vjp runs the Pallas kernel forward (interpret here) and
+    the XLA formulation backward, so grads match the pure-XLA path."""
+    import os
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.models import diffusion as dm
+    from tortoise_tts_tpu.models import arch
+
+    b, c, t = 2, 128, 128
+    p = dm._ts_res_block_init(jax.random.PRNGKey(0), c, c)
+    pa = arch.attention_block_init(jax.random.PRNGKey(1), c, 4)
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, c, t), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(3), (b, c), jnp.float32)
+
+    def loss(params, px):
+        y = dm._ts_res_block(params, px, emb)
+        y = arch.attention_block(pa, y, 4)
+        return jnp.sum(y * y)
+
+    os.environ.pop("TTS_FUSED_RESBLOCK", None)
+    ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+    os.environ["TTS_FUSED_RESBLOCK_INTERPRET"] = "1"
+    try:
+        got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+    finally:
+        os.environ.pop("TTS_FUSED_RESBLOCK_INTERPRET", None)
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+    flat_r = jax.tree_util.tree_leaves(ref_g)
+    flat_g = jax.tree_util.tree_leaves(got_g)
+    for r, g in zip(flat_r, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-3, rtol=1e-3)

@@ -44,6 +44,33 @@ def attention_block_init(key, channels: int, num_heads: int = 1,
     return p
 
 
+def _gn_qkv_xla(pn: Params, pq: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = group_norm(pn, x, norm_groups(x.shape[1]))
+    return conv1d(pq, h)
+
+
+@jax.custom_vjp
+def _gn_qkv_fused(pn: Params, pq: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Pallas [groupnorm + qkv conv1x1] forward with an XLA-recompute
+    backward (pallas_call has no autodiff rule; the XLA formulation is
+    bf16-equivalent)."""
+    from ..ops.pallas_resblock import fused_gn_conv1x1
+    out = fused_gn_conv1x1(pn, pq, x, norm_groups(x.shape[1]), act=False,
+                           interpret=jax.default_backend() != "tpu")
+    return out if out is not None else _gn_qkv_xla(pn, pq, x)
+
+
+def _gn_qkv_fwd(pn, pq, x):
+    return _gn_qkv_fused(pn, pq, x), (pn, pq, x)
+
+
+def _gn_qkv_bwd(res, g):
+    return jax.vjp(_gn_qkv_xla, *res)[1](g)
+
+
+_gn_qkv_fused.defvjp(_gn_qkv_fwd, _gn_qkv_bwd)
+
+
 def attention_block(p: Params, x: jnp.ndarray, num_heads: int,
                     mask: Optional[jnp.ndarray] = None,
                     bias: Optional[jnp.ndarray] = None,
@@ -57,19 +84,14 @@ def attention_block(p: Params, x: jnp.ndarray, num_heads: int,
     Pallas attention path."""
     import os
     c = x.shape[1]
-    qkv = None
     if (os.environ.get("TTS_FUSED_RESBLOCK", "1") == "1"
             and (jax.default_backend() == "tpu"
                  or os.environ.get("TTS_FUSED_RESBLOCK_INTERPRET") == "1")):
         # fused [groupnorm + qkv conv1x1] Pallas head (the same env
         # gates the denoiser resblock fusion — both or neither)
-        from ..ops.pallas_resblock import fused_gn_conv1x1
-        qkv = fused_gn_conv1x1(
-            p["norm"], p["qkv"], x, norm_groups(c), act=False,
-            interpret=jax.default_backend() != "tpu")
-    if qkv is None:
-        h = group_norm(p["norm"], x, norm_groups(c))
-        qkv = conv1d(p["qkv"], h)
+        qkv = _gn_qkv_fused(p["norm"], p["qkv"], x)
+    else:
+        qkv = _gn_qkv_xla(p["norm"], p["qkv"], x)
     if bias_kq is not None:
         a = qkv_attention(qkv, num_heads, bias_kq=bias_kq, mask=mask)
     elif bias is not None:

@@ -61,20 +61,9 @@ def _ts_res_block_init(key, channels: int, emb_channels: int,
     }
 
 
-def _ts_res_block(p: Params, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, C, T); emb: (B, C) -> (B, C, T). use_scale_shift_norm path."""
-    import os
+def _ts_res_block_xla(p: Params, x: jnp.ndarray,
+                      emb_out: jnp.ndarray) -> jnp.ndarray:
     c = x.shape[1]
-    emb_out = linear(p["emb"], silu(emb))            # (B, 2C)
-    if (os.environ.get("TTS_FUSED_RESBLOCK", "1") == "1"
-            and (jax.default_backend() == "tpu"
-                 or os.environ.get("TTS_FUSED_RESBLOCK_INTERPRET") == "1")):
-        from ..ops.pallas_resblock import fused_ts_res_block
-        out = fused_ts_res_block(
-            p, x, emb_out, norm_groups(c),
-            interpret=jax.default_backend() != "tpu")
-        if out is not None:
-            return out
     h = group_norm(p["in_norm"], x, norm_groups(c))
     h = silu(h)
     h = conv1d(p["in_conv"], h)
@@ -83,6 +72,41 @@ def _ts_res_block(p: Params, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
     h = silu(h)
     h = conv1d(p["out_conv"], h, padding=1)
     return x + h
+
+
+@jax.custom_vjp
+def _ts_res_block_fused(p: Params, x: jnp.ndarray,
+                        emb_out: jnp.ndarray) -> jnp.ndarray:
+    """Pallas forward with an XLA-recompute backward: pallas_call has no
+    autodiff rule, so training differentiates the (bf16-equivalent) XLA
+    formulation instead — standard rematerialisation, one extra forward
+    in the backward pass."""
+    from ..ops.pallas_resblock import fused_ts_res_block
+    out = fused_ts_res_block(p, x, emb_out, norm_groups(x.shape[1]),
+                             interpret=jax.default_backend() != "tpu")
+    return out if out is not None else _ts_res_block_xla(p, x, emb_out)
+
+
+def _ts_rb_fwd(p, x, emb_out):
+    return _ts_res_block_fused(p, x, emb_out), (p, x, emb_out)
+
+
+def _ts_rb_bwd(res, g):
+    return jax.vjp(_ts_res_block_xla, *res)[1](g)
+
+
+_ts_res_block_fused.defvjp(_ts_rb_fwd, _ts_rb_bwd)
+
+
+def _ts_res_block(p: Params, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, C, T); emb: (B, C) -> (B, C, T). use_scale_shift_norm path."""
+    import os
+    emb_out = linear(p["emb"], silu(emb))            # (B, 2C)
+    if (os.environ.get("TTS_FUSED_RESBLOCK", "1") == "1"
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("TTS_FUSED_RESBLOCK_INTERPRET") == "1")):
+        return _ts_res_block_fused(p, x, emb_out)
+    return _ts_res_block_xla(p, x, emb_out)
 
 
 def _diffusion_layer_init(key, channels: int, num_heads: int) -> Params:
