@@ -178,6 +178,18 @@ def fused_ts_res_block(p, x: jnp.ndarray, emb_out: jnp.ndarray,
     h = fused_gn_conv1x1(p["in_norm"], p["in_conv"], x, groups,
                          act=True, eps=eps, interpret=interpret)
 
+    if b > 2 and t > 896:
+        # The out kernel holds the (C, 3C) tap matrix + fp32 temps per
+        # (C, T) row: ~20 MB scoped VMEM at (8, 1024, 1024) vs the
+        # ~16 MB/core budget (measured compile OOM).  Chip-validated
+        # shapes (B<=2 any T; any B at T<=896) stay fully fused; big
+        # batched rows run the fused in-half + XLA out-half.
+        from ..models.common import conv1d, group_norm, silu
+        scale, shift = jnp.split(emb_out[..., None], 2, axis=1)
+        hx = group_norm(p["out_norm"], h, groups) * (1 + scale) + shift
+        hx = silu(hx)
+        return x + conv1d(p["out_conv"], hx, padding=1)
+
     scale = emb_out[:, :c].astype(jnp.float32).reshape(b, c, 1)
     shift = emb_out[:, c:].astype(jnp.float32).reshape(b, c, 1)
     g2 = jnp.asarray(p["out_norm"]["scale"], jnp.float32).reshape(c, 1)
