@@ -328,7 +328,7 @@ def test_fused_gn_conv_kernel_parity():
                                    atol=3e-5, rtol=1e-5)
 
 
-def test_fused_resblock_grad_matches_xla():
+def test_fused_resblock_grad_matches_xla(monkeypatch):
     """Training must differentiate through the fused-default resblock:
     the custom_vjp runs the Pallas kernel forward (interpret here) and
     the XLA formulation backward, so grads match the pure-XLA path."""
@@ -350,13 +350,14 @@ def test_fused_resblock_grad_matches_xla():
         y = arch.attention_block(pa, y, 4)
         return jnp.sum(y * y)
 
-    os.environ.pop("TTS_FUSED_RESBLOCK", None)
+    # force the ref side onto the XLA path explicitly (on a TPU backend
+    # the fused path would otherwise be the default on BOTH sides and
+    # the comparison would be vacuous); monkeypatch restores the env.
+    monkeypatch.setenv("TTS_FUSED_RESBLOCK", "0")
     ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
-    os.environ["TTS_FUSED_RESBLOCK_INTERPRET"] = "1"
-    try:
-        got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
-    finally:
-        os.environ.pop("TTS_FUSED_RESBLOCK_INTERPRET", None)
+    monkeypatch.setenv("TTS_FUSED_RESBLOCK", "1")
+    monkeypatch.setenv("TTS_FUSED_RESBLOCK_INTERPRET", "1")
+    got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
     np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
     flat_r = jax.tree_util.tree_leaves(ref_g)
     flat_g = jax.tree_util.tree_leaves(got_g)

@@ -180,6 +180,43 @@ def test_diffusion_train_step():
     assert np.isfinite(float(m["loss.vb"]))
 
 
+def test_diffusion_train_step_seeded_resume():
+    """seed=<int> mode: rng derives in-graph from state.step, so a run
+    resumed from a checkpoint replays the exact loss trajectory of the
+    uninterrupted run (VERDICT r2: itertools.count rng was neither
+    seedable nor resume-consistent)."""
+    cfg = diff_m.DiffusionConfig(model_channels=64, num_layers=2,
+                                 in_latent_channels=64, num_heads=4)
+    params = diff_m.init(jax.random.PRNGKey(0), cfg)
+    sched = gaussian.get_schedule(steps=100, cond_free=False)
+    tx = optax.adamw(1e-4)
+    step = ts.make_diffusion_train_step(cfg, tx, sched, donate=False,
+                                        seed=7)
+    rng = np.random.RandomState(0)
+    batch = {
+        "mel": jnp.asarray(rng.randn(2, 100, 64), dtype=jnp.float32),
+        "latents": jnp.asarray(rng.randn(2, 16, 64), dtype=jnp.float32),
+        "conditioning_latents": jnp.asarray(rng.randn(2, 128),
+                                            dtype=jnp.float32),
+    }
+    state = st.init_state(params, tx)
+    losses, ckpt = [], None
+    for i in range(4):
+        if i == 2:  # "checkpoint" = host copy of the full state
+            ckpt = jax.tree_util.tree_map(np.asarray, state)
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    # distinct steps draw distinct t/noise
+    assert losses[0] != losses[1]
+    # resume from the copy: steps 3-4 must replay identically
+    state2 = jax.tree_util.tree_map(jnp.asarray, ckpt)
+    resumed = []
+    for _ in range(2):
+        state2, m = step(state2, batch)
+        resumed.append(float(m["loss"]))
+    np.testing.assert_allclose(resumed, losses[2:], rtol=0, atol=0)
+
+
 def test_dvae_train_step():
     cfg = dvae_m.DVAEConfig(num_tokens=128, codebook_dim=32, hidden_dim=32)
     params = dvae_m.init(jax.random.PRNGKey(0), cfg)

@@ -5,11 +5,12 @@ cd "$(dirname "$0")/.."
 L=${1:-/tmp/chip_trim.log}
 : > "$L"
 run() { echo "=== $*" | tee -a "$L"; timeout 900 env "${@:2}" \
-        python tools/perf_lab.py "$1" 2>&1 | grep -v WARNING | tee -a "$L"; }
+        python tools/perf_lab.py "$1" 2>&1 | grep -v '^WARNING' | tee -a "$L"; }
 
 # denoiser: XLA default vs vt attention vs fused resblock vs both
 run denoiser TTS_DENOISER_T=896
 run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1
+run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1 TTS_FLASH_VT_EXP2=1
 run denoiser TTS_DENOISER_T=896 TTS_FUSED_RESBLOCK=1
 run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1 TTS_FUSED_RESBLOCK=1
 
@@ -21,5 +22,4 @@ run vocoder TTS_SNAKE_SIN=poly
 run decode TTS_DECODE_QUANT=int8
 run decode TTS_DECODE_QUANT=int8 TTS_QGEMV_LN=1
 run decode TTS_DECODE_QUANT=w8a8
-run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1 TTS_FLASH_VT_EXP2=1
 echo "=== done" | tee -a "$L"

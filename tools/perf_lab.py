@@ -53,10 +53,12 @@ def bench_denoiser():
     N = 20
     Ts = tuple(int(t) for t in os.environ.get(
         "TTS_DENOISER_T", "896,1024").split(","))
+    # batch: 2 = one utterance's cond-free pair; 16 = batch-8 serving
+    B = int(os.environ.get("TTS_DENOISER_B", "2"))
     for T in Ts:
-        x = jnp.zeros((2, 100, T), jnp.bfloat16)
-        ts = jnp.zeros((2,), jnp.int32)
-        ce = jnp.zeros((2, cfg.model_channels, T), jnp.bfloat16)
+        x = jnp.zeros((B, 100, T), jnp.bfloat16)
+        ts = jnp.zeros((B,), jnp.int32)
+        ce = jnp.zeros((B, cfg.model_channels, T), jnp.bfloat16)
         biases = diff_m.precompute_rel_biases(
             p, T, cfg, jnp.bfloat16,
             transposed=os.environ.get("TTS_LAB_KQ") == "1")
@@ -73,7 +75,8 @@ def bench_denoiser():
             return h
 
         dt = timeit(loop, p, x, ts, ce, biases, n=3, warmup=1) / N
-        print(f"denoiser T={T} flash={os.environ.get('TTS_FLASH_BIAS','1')}:"
+        print(f"denoiser B={B} T={T} "
+              f"flash={os.environ.get('TTS_FLASH_BIAS','1')}:"
               f" {dt*1e3:.2f} ms/step  ({80*dt:.3f} s per 80-step DDIM)")
 
 
@@ -316,8 +319,9 @@ def bench_vocoder():
     N = 10
     Ts = tuple(int(t) for t in os.environ.get(
         "TTS_VOCODER_T", "896").split(","))
+    B = int(os.environ.get("TTS_VOCODER_B", "1"))
     for T in Ts:
-        mel = jnp.zeros((1, 100, T), jnp.bfloat16)
+        mel = jnp.zeros((B, 100, T), jnp.bfloat16)
 
         @jax.jit
         def loop(p, m):
@@ -329,7 +333,7 @@ def bench_vocoder():
             return c
 
         dt = timeit(loop, p, mel, n=3, warmup=1) / N
-        print(f"bigvgan T={T} poly={os.environ.get('TTS_BV_POLY','?')}:"
+        print(f"bigvgan B={B} T={T} poly={os.environ.get('TTS_BV_POLY','?')}:"
               f" {dt*1e3:.1f} ms")
 
 

@@ -132,6 +132,17 @@ class Trainer:
     mesh_shape: Tuple[int, ...] = (-1,)
     wandb: bool = False
     detect_grad_anomaly: bool = False
+    # global training seed (reference utils.set_seed); drives the
+    # diffusion step's in-graph t/noise rng via fold_in(seed, step)
+    seed: int = 0
+    # metric device->host fetch cadence: through the remote relay every
+    # fetch is a ~50-100 ms round trip, so fetching per step caps real
+    # TPU step rate; off-cadence steps are dispatch-only
+    log_frequency: int = 10
+    # training param layout: "replicated" (DDP role) or "fsdp"
+    # (ZeRO-3 role — params sharded over 'data', allgathered per use by
+    # GSPMD; reference config.py:533-545 zero_optimization stages)
+    param_sharding: str = "replicated"
 
     def dtype(self):
         import jax.numpy as jnp
@@ -225,6 +236,9 @@ class Config:
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
     optimizations: Optional[dict] = None  # accepted, ignored
     weights_format: str = "sft"
+    # wildcard dataset paths that match nothing: () instead of raising
+    # (reference config.py:795-800)
+    silent_errors: bool = False
 
     # ---- path conventions (reference config.py:38-67) ----
     @property
@@ -263,7 +277,103 @@ class Config:
     def model(self) -> ModelConfig:
         return self.models[0]
 
+    # ---- provenance capture (reference config.py:73-87) ----
+    @property
+    def git_commit(self) -> str:
+        import subprocess
+        try:
+            return subprocess.check_output(
+                ["git", "rev-parse", "HEAD"],
+                stderr=subprocess.DEVNULL).decode().strip()
+        except Exception:
+            return ""
+
+    @property
+    def git_status(self) -> str:
+        import subprocess
+        try:
+            return subprocess.check_output(
+                ["git", "status"], stderr=subprocess.DEVNULL).decode().strip()
+        except Exception:
+            return ""
+
+    def dumps(self) -> str:
+        """JSON dump of the full config + git provenance
+        (reference config.py:88-99 dumps/dump)."""
+        import json
+        data = dataclasses.asdict(self)
+        data["git_commit"] = self.git_commit
+        data["git_status"] = self.git_status
+        return json.dumps(data, indent=2, default=str)
+
+    def dump(self, path: Optional[str | Path] = None):
+        p = Path(path) if path else self.log_dir / "cfg.json"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(self.dumps())
+        return p
+
+    # ---- wildcard dataset expansion (reference config.py:767-800) ----
+    def _expand_path(self, path: str) -> Tuple[str, ...]:
+        if "*" not in str(path):
+            return (path,)
+        rel = Path(path)
+        name = rel.name
+        # metadata dir first (HDF5-keyed paths), then the data dir
+        for parent, keep_stem in ((self.metadata_dir / rel.parent, True),
+                                  (self.data_dir / rel.parent, False)):
+            if parent.exists():
+                found = sorted(parent.glob(name))
+                if found:
+                    return tuple(str(rel.parent / (c.stem if keep_stem
+                                                   else c.name))
+                                 for c in found)
+        if self.silent_errors:
+            return ()
+        raise ValueError(f"cannot expand dataset path: {path}")
+
+    def _expand_datasets(self) -> "Config":
+        ds = self.dataset
+        if not any("*" in str(p) for group in (ds.training, ds.validation,
+                                               ds.noise) for p in group):
+            return self
+        def exp(group):
+            return tuple(q for p in group for q in self._expand_path(p))
+        return dataclasses.replace(
+            self, dataset=dataclasses.replace(
+                ds, training=exp(ds.training),
+                validation=exp(ds.validation), noise=exp(ds.noise)))
+
     # ---- loading ----
+    @classmethod
+    def from_cli(cls, args: Optional[List[str]] = None) -> "Config":
+        """--yaml / --model / --lora with TORTOISE_YAML / TORTOISE_MODEL /
+        TORTOISE_LORA env-var defaults (reference config.py:145-163 —
+        env vars so a HuggingFace-Space-style host can configure it)."""
+        import argparse
+        import os
+        import sys
+        argv = list(sys.argv[1:] if args is None else args)
+        for i, a in enumerate(argv):   # legacy `yaml=...` form
+            if a.startswith("yaml="):
+                argv[i] = f"--{a}"
+        p = argparse.ArgumentParser(allow_abbrev=False, add_help=False)
+        p.add_argument("--yaml", type=Path,
+                       default=os.environ.get("TORTOISE_YAML"))
+        p.add_argument("--model", type=Path,
+                       default=os.environ.get("TORTOISE_MODEL"))
+        p.add_argument("--lora", type=Path,
+                       default=os.environ.get("TORTOISE_LORA"))
+        ns, _ = p.parse_known_args(argv)
+        overrides: Dict[str, Any] = {}
+        if ns.lora:
+            overrides["loras"] = (LoRAConfig(path=str(ns.lora),
+                                             training=False),)
+        if ns.model:
+            return cls.load_model(ns.model, **overrides)
+        if ns.yaml:
+            return cls.load(ns.yaml, **overrides)
+        return cls(**overrides)
+
     @staticmethod
     def load(path: Optional[str | Path] = None, **overrides) -> "Config":
         """Load from YAML, or from a weights file with embedded config
@@ -305,8 +415,9 @@ class Config:
             if key in raw:
                 kwargs[key] = _build(cls, raw[key], key + ".")
         for key in ["device", "mode", "audio_backend", "sample_rate",
-                    "vocoder", "weights_format", "optimizations"]:
+                    "vocoder", "weights_format", "optimizations",
+                    "silent_errors"]:
             if key in raw:
                 kwargs[key] = raw[key]
         kwargs.update(overrides)
-        return Config(**kwargs)
+        return Config(**kwargs)._expand_datasets()

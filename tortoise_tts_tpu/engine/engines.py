@@ -46,6 +46,9 @@ class Engines:
             "state": state, "step": step_fn,
             "select": batch_selector or (lambda b: b),
             "config": config or {},
+            # host-side mirror of state.step: reading the device scalar
+            # costs a ~50-100 ms relay fetch per engine per access
+            "host_step": int(state.step),
         }
 
     def __getitem__(self, name: str) -> TrainState:
@@ -59,14 +62,20 @@ class Engines:
 
     @property
     def global_step(self) -> int:
-        return max((int(e["state"].step) for e in self._engines.values()),
+        return max((e["host_step"] for e in self._engines.values()),
                    default=0)
 
-    def step(self, batch) -> Dict[str, float]:
+    def step(self, batch, fetch_metrics: bool = True) -> Dict[str, float]:
         """Step every engine on (its view of) the batch; metrics are
         namespaced `engine.metric` plus flat averages, with per-engine
         elapsed time and grad-norm aggregation
         (engines/base.py:508-656).
+
+        ``fetch_metrics=False`` dispatches the step but leaves every
+        metric on device and returns ``{}`` — through the remote relay
+        a device->host fetch is a ~50-100 ms round trip per engine per
+        step, so the trainer fetches only on its log cadence
+        (trainer.log_frequency).
 
         OOM semantics (engines/base.py:541-597): a RESOURCE_EXHAUSTED
         during an engine's forward/step raises a local OOM flag; all
@@ -99,6 +108,9 @@ class Engines:
                     f"rank-local OOM in {name} without all-rank "
                     "agreement; aborting step")
             e["state"] = state
+            e["host_step"] += 1
+            if not fetch_metrics:
+                continue
             # one device->host transfer for the engine's metric dict
             # (float(v) per scalar costs a ~50-100 ms relay fetch each)
             import jax
@@ -111,7 +123,7 @@ class Engines:
             if e.get("wandb") is not None:
                 try:
                     e["wandb"].log({k: float(v) for k, v in m.items()},
-                                   step=int(e["state"].step))
+                                   step=e["host_step"])
                 except Exception:
                     pass
         # averaged top-level loss across engines
@@ -178,8 +190,8 @@ class Engines:
             try:
                 e["state"] = load_checkpoint(ckpt_dir, name, e["state"],
                                              strict=strict)
-                _logger.info("%s resumed at step %d", name,
-                             int(e["state"].step))
+                e["host_step"] = int(e["state"].step)
+                _logger.info("%s resumed at step %d", name, e["host_step"])
             except FileNotFoundError:
                 pass
 

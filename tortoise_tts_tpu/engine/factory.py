@@ -18,7 +18,6 @@ latents, reference diffusion.py:1487-1515).
 
 from __future__ import annotations
 
-import itertools
 import logging
 from functools import partial
 from typing import Any, Dict, Optional
@@ -189,13 +188,11 @@ def load_engines(cfg: Config, training: bool = True,
             # training samples over the full original schedule
             # (reference get_diffuser trained_diffusion_steps=4000)
             sched = gaussian.get_schedule(steps=4000, cond_free=False)
-            dstep = ts.make_diffusion_train_step(lm.config, tx, sched)
-            counter = itertools.count()
-
-            def diff_step(s, b, _dstep=dstep):
-                rng = jax.random.fold_in(jax.random.PRNGKey(0),
-                                         next(counter))
-                return _dstep(s, b, rng)
+            # rng derives in-graph from trainer.seed + state.step:
+            # config-seedable and resume-consistent (a resumed run
+            # replays the t/noise draws of the uninterrupted one)
+            diff_step = ts.make_diffusion_train_step(
+                lm.config, tx, sched, seed=cfg.trainer.seed)
 
             def diff_select(batch):
                 if "mel_diff" not in batch:

@@ -109,12 +109,19 @@ def make_ar_train_step(cfg: uv.UnifiedVoiceConfig,
 
 
 def make_diffusion_train_step(cfg, tx, sched: gaussian.DiffusionSchedule,
-                              donate: bool = True):
+                              donate: bool = True,
+                              seed: int | None = None):
     """Diffusion decoder training (reference trains via
     GaussianDiffusion.training_losses, diffusion.py:847-933).
 
     Batch: mel (B, 100, T) normalized targets, latents (B, Tl, 1024),
     conditioning_latents (B, 2C), rng for t/noise.
+
+    ``seed=None``: the returned step takes an explicit rng argument.
+    ``seed=<int>``: the step takes (state, batch) and derives its rng
+    IN-GRAPH as fold_in(PRNGKey(seed), state.step) — seedable from
+    config and resume-consistent (a checkpointed step counter replays
+    the exact t/noise sequence the uninterrupted run would draw).
     """
     from ..models import diffusion as dtts
 
@@ -145,7 +152,14 @@ def make_diffusion_train_step(cfg, tx, sched: gaussian.DiffusionSchedule,
         return new, {"loss": loss, "grad_norm": optax.global_norm(grads),
                      **parts}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if seed is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def step_seeded(state: TrainState, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        return step(state, batch, rng)
+
+    return jax.jit(step_seeded, donate_argnums=(0,) if donate else ())
 
 
 def make_dvae_train_step(cfg, tx, donate: bool = True):

@@ -112,7 +112,7 @@ def _jit_cleanup_latents(params, cond, text, text_lengths, codes, lengths,
 def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
                    sampler, seq_len, cond_free, diffusion_temp=1.0,
                    cond_free_k=2.0, n_lat=None, t_lat=None,
-                   pad_seq_len=None, uncond_h=None):
+                   pad_seq_len=None, uncond_h=None, rows=None):
     """timestep_independent + noise + full DDIM/P scan in one compiled
     program (noise is generated in-graph — a host-side
     jax.random.normal would be one extra eager dispatch through the
@@ -133,6 +133,13 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
     caller trims the vocoded wav to the exact length as before."""
     sched = gaussian.get_schedule(steps=steps, cond_free=cond_free,
                                   cond_free_k=cond_free_k)
+    if rows is not None:
+        # row-bucketed batch serving: gather this bucket's rows in-graph
+        # (a host-side fancy index would be an eager relay dispatch AND
+        # break GSPMD propagation from the sharded latent pass)
+        latents = jnp.take(latents, rows, axis=0)
+        if t_lat is not None:
+            t_lat = jnp.take(jnp.atleast_1d(t_lat), rows, axis=0)
     b = latents.shape[0]
     if n_lat is not None:
         t = jnp.atleast_1d(t_lat)
@@ -287,7 +294,14 @@ class TTS:
 
     def __init__(self, config: Optional[Config | str | Path] = None,
                  lora=None, device=None, amp=None, dtype: Optional[str] = None,
-                 attention=None):
+                 attention=None, mesh=None):
+        if config is None:
+            # TORTOISE_YAML / TORTOISE_MODEL / TORTOISE_LORA env modes
+            # (reference config.py:154-156 from_cli defaults)
+            if (os.environ.get("TORTOISE_YAML")
+                    or os.environ.get("TORTOISE_MODEL")
+                    or os.environ.get("TORTOISE_LORA")):
+                config = Config.from_cli([])
         if isinstance(config, (str, Path)):
             config = Config.load(config)
         self.cfg = config or Config()
@@ -296,6 +310,41 @@ class TTS:
         self.lora = lora
         self.cache_voice = True
         self._models = {}
+        # serving mesh: batched utterances / candidate fan-out are
+        # sharded over its 'data' axis (BASELINE configs #2/#3/#5)
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def serving_mesh(n_devices: Optional[int] = None):
+        """1-D ('data',) mesh over the first n visible devices — the
+        multi-chip serving layout (batch rows / candidates shard over
+        'data'; every model fits one chip so no 'model' axis is needed
+        at inference)."""
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if n_devices is not None:
+            devs = devs[:n_devices]
+        return Mesh(np.asarray(devs), ("data",))
+
+    def _data_sharding(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(mesh, P("data"))
+
+    def _sharded_params(self, name: str, mesh, params=None):
+        """Model params replicated onto every mesh device (cached per
+        (model, mesh)).  With mesh=None returns the plain params."""
+        params = self._model(name).params if params is None else params
+        if mesh is None:
+            return params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cache = self.__dict__.setdefault("_mesh_params", {})
+        key = (name, tuple(mesh.devices.flat))
+        if key not in cache:
+            rep = NamedSharding(mesh, P())
+            cache[key] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params)
+        return cache[key]
 
     def _model(self, name: str):
         if name not in self._models:
@@ -305,7 +354,7 @@ class TTS:
             self._models[name] = m
         return self._models[name]
 
-    def _ar_qgpt(self):
+    def _ar_qgpt(self, mesh=None):
         """Cached int8 decode weights when decode_quant='int8' (weight
         only) or 'w8a8' (+ dynamic per-row activation quantization on
         the int8 MXU; see ops/pallas_gemv.qgemv_stacked_w8a8)."""
@@ -316,7 +365,9 @@ class TTS:
             from .models.unified_voice import quantize_decode_weights
             ar = self._model("autoregressive")
             self._qgpt = jax.jit(quantize_decode_weights)(ar.params)
-        return self._qgpt
+        if mesh is None:
+            return self._qgpt
+        return self._sharded_params("__qgpt__", mesh, params=self._qgpt)
 
     @property
     def _quant_mode(self) -> str:
@@ -354,6 +405,7 @@ class TTS:
         from .models import load_model
         self._models.pop("autoregressive", None)
         self.__dict__.pop("_qgpt", None)   # int8 cache follows the weights
+        self.__dict__.pop("_mesh_params", None)  # mesh copies follow too
         if enabled:
             self._model("autoregressive")      # re-merges if cfg.lora
         else:
@@ -553,12 +605,45 @@ class TTS:
         seed: Optional[int] = None,
         diffusion_pad_multiple: int = 32,
         mel_pad_multiple: int = 0,
+        mesh=None,
+        row_buckets: bool = True,
     ) -> Tuple[list, int]:
-        """Batched multi-utterance inference (one jitted program per stage
-        over the whole batch; shard the batch over a mesh for multi-chip
-        throughput).  Returns (list of wavs, sr)."""
+        """Batched multi-utterance inference (one jitted program per
+        stage over the whole batch) — the product path for BASELINE
+        configs #2 (batch throughput) and #5 (multi-chip serving).
+
+        ``mesh`` (or ``TTS(mesh=...)``): a ('data',) jax.sharding.Mesh —
+        rows are device_put sharded over 'data' and every stage runs
+        SPMD via GSPMD (the batch is padded to a multiple of the axis
+        size).  Matches the reference's batched entry
+        (inference.py:142-237) scaled over chips instead of one CUDA
+        stream.
+
+        ``row_buckets``: after the AR decode, spend ONE ~50-100 ms relay
+        fetch on the per-row trim points and run diffusion+vocoder per
+        length bucket (geometric ladder of diffusion_pad_multiple·2^k)
+        instead of every row paying the longest row's T — the
+        shared-max sizing was the r2 batch-throughput gap.  Bucket row
+        counts are padded to powers of two (and the mesh axis) so
+        steady-state serving stays within a handful of compiled shapes.
+
+        Returns (list of per-row float32 wavs, 24000)."""
         seed = int(time.time()) if seed is None else seed
         sr = 24_000
+        mesh = mesh if mesh is not None else self.mesh
+        nshard = int(mesh.shape["data"]) if mesh is not None else 1
+        timing = os.environ.get("TTS_STAGE_TIMING") == "1"
+        t_wall = [time.perf_counter()]
+
+        def tick(name, out=None):
+            if not timing:
+                return
+            if out is not None:
+                np.asarray(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[:1])
+            now = time.perf_counter()
+            _logger.info("batch stage %-14s %.3f s", name, now - t_wall[0])
+            t_wall[0] = now
+
         ar = self._model("autoregressive")
         diffusion = self._model("diffusion")
 
@@ -573,51 +658,126 @@ class TTS:
             diff_latent = rlg_m.sample(rgd.params, k2, 1, int(rgd.config))
 
         b = len(texts)
+        bp = b + (-b) % nshard                 # pad rows to the mesh axis
         toks = [self.encode_text(t) for t in texts]
         bucket = self._bucket_text(max(toks, key=len)).shape[-1]
         tokens = np.stack([np.pad(t[:bucket], (0, bucket - len(t[:bucket])))
-                           for t in toks])
-        lengths = np.asarray([min(len(t), bucket) for t in toks])
+                           for t in toks]
+                          + [np.zeros((bucket,), np.int32)] * (bp - b))
+        lengths = np.asarray([min(len(t), bucket) for t in toks]
+                             + [1] * (bp - b))
         sampling = SamplingConfig(temperature=ar_temp, top_k=top_k,
                                   top_p=top_p,
                                   repetition_penalty=repetition_penalty)
         k_ar, k_diff, k_voc = _host_keys(seed * 2654435761 + 17, 3)
         lat = np.broadcast_to(np.asarray(ar_latent),
-                              (b, np.asarray(ar_latent).shape[-1]))
-        res = inference_speech(ar.params, lat, jnp.asarray(tokens),
+                              (bp, np.asarray(ar_latent).shape[-1]))
+
+        ar_params = self._sharded_params("autoregressive", mesh,
+                                         params=ar.params)
+        if mesh is not None:
+            ds = self._data_sharding(mesh)
+            tokens = jax.device_put(tokens, ds)
+            lengths = jax.device_put(lengths, ds)
+            lat = jax.device_put(np.ascontiguousarray(lat), ds)
+
+        res = inference_speech(ar_params, lat, jnp.asarray(tokens),
                                jnp.asarray(lengths), k_ar, ar.config,
                                sampling, max_length=max_ar_steps,
-                               qgpt=self._ar_qgpt(), quant_mode=self._quant_mode)
+                               qgpt=self._ar_qgpt(mesh),
+                               quant_mode=self._quant_mode)
+        tick("ar_decode", res.codes)
         # Device-resident handoff: cleanup + per-row calm trim + latent
-        # pass in one program, per-row trim points packed into the wav
-        # payload -> a single device->host fetch for the whole batch
-        # (every relay fetch is a ~50-100 ms round trip).
+        # pass in one program (every relay fetch is a ~50-100 ms round
+        # trip; the host path would fetch codes AND lengths first).
         latents, t_lat = _jit_cleanup_latents(
-            ar.params, lat, tokens, lengths, res.codes, res.lengths,
+            ar_params, lat, tokens, lengths, res.codes, res.lengths,
             ar.config)
+        tick("latent_pass", latents)
 
+        dparams = self._sharded_params("diffusion", mesh,
+                                       params=diffusion.params)
+        voc_name = "bigvgan" if vocoder_type == "bigvgan" else "vocoder"
+        voc = self._model(voc_name)
+        vparams = self._sharded_params(voc_name, mesh, params=voc.params)
+        diff_cond = np.asarray(diff_latent, np.float32)
+
+        if row_buckets:
+            # ONE fetch: per-row trim points size the diffusion work
+            t_np = np.asarray(jax.device_get(t_lat)).astype(np.int64)
+            tick("t_lat_fetch")
+            budget = max(int(t_np.max()), 1)
+            mult = max(diffusion_pad_multiple, 1)
+            cap = ((budget + mult - 1) // mult) * mult
+
+            # geometric n_lat ladder: mult * 2^k, capped at the budget
+            def ladder(t):
+                n = mult
+                while n < min(t, budget):
+                    n *= 2
+                return min(n, cap)
+
+            n_lats = np.asarray([ladder(max(int(t), 1)) for t in t_np])
+            pending = []          # (rows, wav_handle, kind)
+            for n_lat in sorted(set(n_lats.tolist())):
+                rows = np.nonzero(n_lats == n_lat)[0]
+                k = len(rows)
+                kp = max(nshard, 1 << (k - 1).bit_length())  # pow2 pad
+                rows_p = np.concatenate(
+                    [rows, np.repeat(rows[:1], kp - k)]).astype(np.int32)
+                seq_len = n_lat * 4 * 24000 // 22050
+                pad_seq_len = None
+                if mel_pad_multiple > 1:
+                    pad_seq_len = seq_len + ((-seq_len) % mel_pad_multiple)
+                uh = (self._uncond_integrated(
+                    diffusion, max_diffusion_steps, 2.0,
+                    pad_seq_len or seq_len) if cond_free else None)
+                mel = _jit_diffusion(
+                    dparams, latents, diff_cond, k_diff,
+                    diffusion.config, max_diffusion_steps,
+                    diffusion_sampler, seq_len, cond_free, diffusion_temp,
+                    n_lat=n_lat, t_lat=t_lat, pad_seq_len=pad_seq_len,
+                    uncond_h=uh, rows=rows_p)
+                if vocoder_type == "bigvgan":
+                    wav = _jit_bigvgan(vparams, mel, voc.config,
+                                       as_i16=True)
+                    pending.append((rows[:k], wav, "i16"))
+                else:
+                    wav = _jit_univnet(vparams, mel, k_voc, voc.config)
+                    pending.append((rows[:k], wav, "f32"))
+            tick("diffusion+voc dispatch")
+            out = [None] * bp
+            for rows, wav, kind in pending:   # fetch after ALL dispatch
+                arr = np.asarray(wav)
+                for j, r in enumerate(rows):
+                    n = int(t_np[r] * 4 * 24000 // 22050) * 256
+                    w = arr[j, 0, :n]
+                    out[r] = (w.astype(np.float32) / 32767.0
+                              if kind == "i16" else w)
+            tick("fetch")
+            return out[:b], sr
+
+        # single shared-max program (zero mid-pipeline fetches): sized
+        # by the decode budget — every row pays the longest row's T
         n_lat, seq_len, pad_seq_len, uh = self._diffusion_geometry(
             diffusion, self._decode_budget_latents(max_ar_steps,
                                                    res.lengths),
             diffusion_pad_multiple, mel_pad_multiple,
             max_diffusion_steps, cond_free)
         mel = _jit_diffusion(
-            diffusion.params, latents, np.asarray(diff_latent, np.float32),
+            dparams, latents, diff_cond,
             k_diff, diffusion.config, max_diffusion_steps,
             diffusion_sampler, seq_len, cond_free, diffusion_temp,
             n_lat=n_lat, t_lat=t_lat, pad_seq_len=pad_seq_len,
             uncond_h=uh)
-
-        voc = self._model("bigvgan" if vocoder_type == "bigvgan"
-                          else "vocoder")
         if vocoder_type == "bigvgan":
-            arr = np.asarray(_jit_bigvgan(voc.params, mel, voc.config,
+            arr = np.asarray(_jit_bigvgan(vparams, mel, voc.config,
                                           as_i16=True, prefix=t_lat))
             row_lengths = arr[:, 0, 0].astype(np.int64)
             wavs = arr[..., 1:].astype(np.float32) / 32767.0
         else:
             row_lengths = np.asarray(t_lat).astype(np.int64)
-            wavs = np.asarray(_jit_univnet(voc.params, mel, k_voc,
+            wavs = np.asarray(_jit_univnet(vparams, mel, k_voc,
                                            voc.config))
         # trim each row to its own generated length
         out = []

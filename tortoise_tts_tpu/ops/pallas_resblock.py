@@ -177,13 +177,20 @@ def fused_ts_res_block(p, x: jnp.ndarray, emb_out: jnp.ndarray,
     dt = x.dtype
     h = fused_gn_conv1x1(p["in_norm"], p["in_conv"], x, groups,
                          act=True, eps=eps, interpret=interpret)
+    if h is None:
+        # the inner kernel has an extra alignment guard (c_out % block);
+        # engage the caller's full XLA fallback rather than crash
+        return None
 
-    if b > 2 and t > 896:
-        # The out kernel holds the (C, 3C) tap matrix + fp32 temps per
-        # (C, T) row: ~20 MB scoped VMEM at (8, 1024, 1024) vs the
-        # ~16 MB/core budget (measured compile OOM).  Chip-validated
-        # shapes (B<=2 any T; any B at T<=896) stay fully fused; big
-        # batched rows run the fused in-half + XLA out-half.
+    # The out kernel holds the (C, 3C) tap matrix + fp32 temps for a
+    # (C, T) row per grid step, and Mosaic's scoped-VMEM accounting
+    # grows with the batch grid: chip-measured compile OOMs at
+    # (16, 1024, 896) = 18.6 MB and (8, 1024, 1024) ≈ 20 MB vs the
+    # 16 MB limit, while the production single-stream shapes
+    # (B<=2 cond-free pair, T<=1024) compile and win (~4%/step).
+    # Outside that validated envelope run the fused in-half + XLA
+    # out-half.
+    if not (b <= 2 and t <= 1024):
         from ..models.common import conv1d, group_norm, silu
         scale, shift = jnp.split(emb_out[..., None], 2, axis=1)
         hx = group_norm(p["out_norm"], h, groups) * (1 + scale) + shift

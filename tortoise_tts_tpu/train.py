@@ -110,8 +110,11 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
 
 
 def main(argv=None):
+    import os
     parser = argparse.ArgumentParser("tortoise_tts_tpu.train")
-    parser.add_argument("--yaml", type=Path, required=True)
+    parser.add_argument("--yaml", type=Path,
+                        default=os.environ.get("TORTOISE_YAML"),
+                        required="TORTOISE_YAML" not in os.environ)
     parser.add_argument("--iterations", type=int, default=None)
     args = parser.parse_args(argv)
 

@@ -102,25 +102,31 @@ def train_engines(cfg: Config,
         return engines
 
     try:
+        log_every = max(1, getattr(tcfg, "log_frequency", 1))
         for batch in dataset.batches():
             if engines.global_step >= it:
                 break
             step_start = time.time()
-            metrics = engines.step(batch)
+            # fetch metrics only on the log cadence: each device->host
+            # fetch is a ~50-100 ms relay round trip per engine, which
+            # would otherwise cap the step rate
+            will_log = (engines.global_step + 1) % log_every == 0
+            metrics = engines.step(batch, fetch_metrics=will_log)
             step = engines.global_step
             elapsed = time.time() - step_start
-            metrics.update({
-                "it": step,
-                "epoch": step * cfg.hyperparameters.batch_size
-                / max(1, len(dataset)),
-                "elapsed_time": elapsed,
-            })
-            line = json.dumps(metrics)
-            if is_leader():
-                _logger.info(line)
-                if log_f:
-                    log_f.write(line + "\n")
-                    log_f.flush()
+            if will_log:
+                metrics.update({
+                    "it": step,
+                    "epoch": step * cfg.hyperparameters.batch_size
+                    / max(1, len(dataset)),
+                    "elapsed_time": elapsed,
+                })
+                line = json.dumps(metrics)
+                if is_leader():
+                    _logger.info(line)
+                    if log_f:
+                        log_f.write(line + "\n")
+                        log_f.flush()
 
             command = _non_blocking_input()
             # deferred events: `<cmd>@<step>` (trainer.py:198-207)
@@ -218,6 +224,8 @@ def train(cfg: Config,
     log_f = open(log_path, "a") if (log_path and is_leader()) else None
 
     last_save_step = int(state.step)
+    host_step = last_save_step
+    log_every = max(1, getattr(tcfg, "log_frequency", 1))
     start = time.time()
     try:
         for batch in dataset.batches():
@@ -243,25 +251,28 @@ def train(cfg: Config,
                                 "donated to the failed step): %s", se)
                     raise
                 raise
-            # ONE device->host transfer for step + all metrics (each
-            # relay fetch costs ~50-100 ms; float(v) per scalar is a
-            # fetch per metric)
-            import jax as _jax
-            step, metrics = _jax.device_get((state.step, metrics))
-            step = int(step)
-            metrics = {k: float(v) for k, v in metrics.items()}
-            metrics.update({
-                "it": step,
-                "epoch": step * cfg.hyperparameters.batch_size
-                / max(1, len(dataset)),
-                "elapsed_time": time.time() - step_start,
-            })
-            line = json.dumps(metrics)
-            if is_leader():
-                _logger.info(line)
-                if log_f:
-                    log_f.write(line + "\n")
-                    log_f.flush()
+            # host-side step mirror; metrics are fetched only on the log
+            # cadence — and then as ONE device->host transfer (each relay
+            # fetch costs ~50-100 ms; float(v) per scalar is a fetch per
+            # metric, and a per-step fetch caps the real TPU step rate)
+            host_step += 1
+            step = host_step
+            if step % log_every == 0:
+                import jax as _jax
+                metrics = {k: float(v) for k, v in
+                           _jax.device_get(metrics).items()}
+                metrics.update({
+                    "it": step,
+                    "epoch": step * cfg.hyperparameters.batch_size
+                    / max(1, len(dataset)),
+                    "elapsed_time": time.time() - step_start,
+                })
+                line = json.dumps(metrics)
+                if is_leader():
+                    _logger.info(line)
+                    if log_f:
+                        log_f.write(line + "\n")
+                        log_f.flush()
 
             cmd = _non_blocking_input()
             if cmd == "quit":
