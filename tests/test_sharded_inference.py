@@ -60,6 +60,10 @@ def _tiny_tts(mesh=None):
     t = TTS(config=Config(inference=Inference(weight_dtype="float32",
                                               text_buckets=(32,))),
             dtype="float32", mesh=mesh)
+    cl_cfg = clvp_m.CLVPConfig(dim_text=32, dim_speech=32, dim_latent=32,
+                               text_enc_depth=1, speech_enc_depth=1,
+                               text_heads=2, speech_heads=2, dim_head=16,
+                               rotary_dim=16)
     t._models = {
         "autoregressive": LoadedModel("autoregressive", uv_m, ar_cfg,
                                       uv_m.init(ks[0], ar_cfg), False),
@@ -73,6 +77,8 @@ def _tiny_tts(mesh=None):
                                 rlg_m.init(ks[3], D), False),
         "rlg_diffuser": LoadedModel("rlg_diffuser", rlg_m, 2 * D,
                                     rlg_m.init(ks[4], 2 * D), False),
+        "clvp": LoadedModel("clvp", clvp_m, cl_cfg,
+                            clvp_m.init(ks[5], cl_cfg), False),
     }
     return t
 
@@ -112,6 +118,21 @@ def test_tts_batch_row_buckets_match_shared_max():
     for wb, ws in zip(w_b, w_s):
         assert wb.shape == ws.shape
         assert np.isfinite(wb).all()
+
+
+def test_tts_candidates_on_mesh_match_unsharded():
+    """inference(candidates=8) through the PUBLIC API with a serving
+    mesh: the AR fan-out and CLVP scoring shard over 'data' and the
+    reranked winner matches the unsharded run (config #3)."""
+    from tortoise_tts_tpu.inference import TTS
+    kw = dict(max_ar_steps=16, max_diffusion_steps=4, seed=3,
+              candidates=8, diffusion_pad_multiple=8)
+    ref, sr = _tiny_tts(mesh=None).inference("a line of text", **kw)
+    got, _ = _tiny_tts(mesh=TTS.serving_mesh(8)).inference(
+        "a line of text", **kw)
+    assert sr == 24_000
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
 def test_candidate_fanout_with_sharded_clvp_scores():

@@ -134,6 +134,31 @@ class Engines:
             metrics["grad_norm"] = float(np.mean(grad_norms))
         return metrics
 
+    def shard(self, mesh, mode: str = "replicated"):
+        """Lay every engine's TrainState out on `mesh` per
+        trainer.param_sharding: 'replicated' = DDP (+ megatron TP when
+        the mesh has a model axis) with ZeRO-1 optimizer sharding;
+        'fsdp' = ZeRO-3-role param sharding over 'data'."""
+        import jax
+        from ..parallel import mesh as pmesh
+        rep = None
+        for name, e in self._engines.items():
+            s = e["state"]
+            ps = pmesh.train_param_shardings(mesh, s.params, mode)
+            oss = pmesh.opt_state_shardings(mesh, s.opt_state, s.params,
+                                            mode=mode)
+            if rep is None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(mesh, P())
+            e["state"] = TrainState(
+                jax.device_put(s.params, ps),
+                jax.device_put(s.opt_state, oss),
+                jax.device_put(s.step, rep),
+                jax.device_put(s.samples_processed, rep),
+                jax.device_put(s.tokens_processed, rep))
+            _logger.info("%s: state sharded (%s) over %s", name, mode,
+                         dict(mesh.shape))
+
     def set_lr(self, rate: float):
         """Apply `lr <x>` (reference engines.set_lr via trainer REPL):
         rewrites every engine's mutable LR scale so the *effective* LR

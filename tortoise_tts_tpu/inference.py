@@ -708,14 +708,17 @@ class TTS:
             tick("t_lat_fetch")
             budget = max(int(t_np.max()), 1)
             mult = max(diffusion_pad_multiple, 1)
-            cap = ((budget + mult - 1) // mult) * mult
 
-            # geometric n_lat ladder: mult * 2^k, capped at the budget
+            # geometric n_lat ladder: mult * 2^k, capped at the longest
+            # row EXACTLY — mel_pad_multiple already tile-aligns the
+            # denoiser T, so rounding n_lat up past the cap would only
+            # inflate T (budget 200 -> T=896; the r2 shared-max path's
+            # n_lat=224 -> T=1024 paid ~14% extra denoiser time)
             def ladder(t):
                 n = mult
                 while n < min(t, budget):
                     n *= 2
-                return min(n, cap)
+                return min(n, budget)
 
             n_lats = np.asarray([ladder(max(int(t), 1)) for t in t_np])
             pending = []          # (rows, wav_handle, kind)
@@ -802,18 +805,35 @@ class TTS:
         lat = np.broadcast_to(np.asarray(ar_latent),
                               (tokens.shape[0],
                                np.asarray(ar_latent).shape[-1]))
+        # candidate fan-out over the serving mesh (BASELINE config #3:
+        # N candidates sharded over the 'data' axis, CLVP-reranked)
+        mesh = self.mesh
+        ar_params = ar.params
+        if mesh is not None and candidates > 1 \
+                and candidates % int(mesh.shape["data"]) == 0:
+            ds = self._data_sharding(mesh)
+            tokens = jax.device_put(tokens, ds)
+            lengths = jax.device_put(lengths, ds)
+            lat = jax.device_put(np.ascontiguousarray(lat), ds)
+            ar_params = self._sharded_params("autoregressive", mesh)
         if sampling.beam_width > 1:
+            # the reference always generates with do_sample=True, so
+            # beam_width>1 is HF beam_sample with the full processor
+            # stack (inference.py:330-345); greedy=True falls back to
+            # deterministic beam search
             res = inference_speech_beam(
-                ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
+                ar_params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
                 ar.config, num_beams=sampling.beam_width,
-                max_length=max_ar_steps,
-                length_penalty=sampling.length_penalty)
+                max_length=max_ar_steps, sampling=sampling, key=key,
+                do_sample=not sampling.greedy)
             return res, tokens, lengths
+        qmesh = mesh if ar_params is not ar.params else None
         return inference_speech(
-            ar.params, lat, jnp.asarray(tokens), jnp.asarray(lengths), key,
+            ar_params, lat, jnp.asarray(tokens), jnp.asarray(lengths), key,
             ar.config, sampling, max_length=max_ar_steps,
             collect_latents=collect_latents,
-            qgpt=self._ar_qgpt(), quant_mode=self._quant_mode), tokens, lengths
+            qgpt=self._ar_qgpt(qmesh),
+            quant_mode=self._quant_mode), tokens, lengths
 
     @staticmethod
     def cleanup_codes(codes: np.ndarray, lengths: np.ndarray,
@@ -906,12 +926,18 @@ class TTS:
                 ar.params, lat_b, tokens, text_lengths, res.codes,
                 res.lengths, ar.config)
             tick("latent_pass", latents)
+            # a static decode budget already keys the program shape, so
+            # skip the n_lat rounding — mel_pad_multiple tile-aligns T,
+            # and rounding 200 -> 224 latents inflated the denoiser to
+            # T=1024 where the budget fits T=896 (~14%/step)
+            dpm = (0 if (max_ar_steps <= 256 and mel_pad_multiple > 1)
+                   else diffusion_pad_multiple)
             n_lat, output_seq_len, pad_seq_len, uh = \
                 self._diffusion_geometry(
                     diffusion,
                     self._decode_budget_latents(max_ar_steps,
                                                 res.lengths),
-                    diffusion_pad_multiple, mel_pad_multiple,
+                    dpm, mel_pad_multiple,
                     max_diffusion_steps, cond_free)
             mel = _jit_diffusion(
                 diffusion.params, latents,
@@ -939,16 +965,24 @@ class TTS:
         tick("ar_decode")
         L = codes.shape[1]
 
-        # CLVP rerank (inference.py:392-396)
+        # CLVP rerank (inference.py:392-396) — candidates ride the
+        # serving mesh's 'data' axis when one is configured (config #3)
         if candidates > 1:
             clvp = self._model("clvp")
-            scores = _jit_clvp_scores(
-                clvp.params, jnp.asarray(tokens), jnp.asarray(codes),
-                clvp.config)
+            cparams = clvp.params
+            ctok, ccod = jnp.asarray(np.asarray(tokens)), jnp.asarray(codes)
+            if self.mesh is not None \
+                    and candidates % int(self.mesh.shape["data"]) == 0:
+                ds = self._data_sharding(self.mesh)
+                ctok = jax.device_put(np.asarray(tokens), ds)
+                ccod = jax.device_put(np.asarray(codes), ds)
+                cparams = self._sharded_params("clvp", self.mesh)
+            scores = _jit_clvp_scores(cparams, ctok, ccod, clvp.config)
             best = int(jnp.argmax(scores))
+            tokens = np.asarray(tokens)
             codes = codes[best:best + 1]
             tokens = tokens[best:best + 1]
-            text_lengths = text_lengths[best:best + 1]
+            text_lengths = np.asarray(text_lengths)[best:best + 1]
 
         # latent pass over [cond, text, codes] (inference.py:371-379)
         pad_codes = np.pad(codes, ((0, 0), (0, max_ar_steps - L)),

@@ -708,20 +708,47 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_beams", "max_length",
-                                   "length_penalty"))
+                                   "length_penalty", "sampling",
+                                   "do_sample"))
 def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
                           text: jnp.ndarray, text_lengths: jnp.ndarray,
                           cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
                           num_beams: int = 4, max_length: int = 500,
-                          length_penalty: float = 1.0) -> DecodeResult:
-    """Deterministic beam-search decode.
+                          length_penalty: float = 1.0,
+                          sampling: Optional[SamplingConfig] = None,
+                          key: Optional[jax.Array] = None,
+                          do_sample: bool = False) -> DecodeResult:
+    """Beam-search decode with the HF logit-processor stack.
 
     Beams live in the batch dimension (B*W); each step expands to W*V
     candidates, keeps the top W, and gathers the KV cache by beam index
     (the reference reorders HF past_key_values the same way).
     Finished beams are frozen with their score; final selection divides
     by length**length_penalty (HF semantics).
+
+    ``sampling`` wires the processor stack the reference passes through
+    ``generate()`` (inference.py:330-345 + unified_voice.py:653-668):
+    repetition penalty (per-beam count state) and the typical warper
+    apply as *processors* to the log-probs before beam expansion, and
+    the stop-logit ``length_penalty_factor`` applies as in the sampled
+    path.  With ``do_sample=True`` (the reference's actual mode —
+    do_sample=True + num_beams>1 => HF ``beam_sample``), the
+    temperature/top-k/top-p warpers then apply to score+beam totals and
+    2W candidates are drawn without replacement (Gumbel top-k == HF's
+    ``multinomial(..., 2*num_beams)``), of which the top W by warped
+    score continue.  Design delta vs HF BeamHypotheses (documented +
+    tested): finished beams stay in the active set frozen on their
+    score instead of moving to a hypothesis list, so ties near the stop
+    boundary can resolve differently; selection-by-score semantics are
+    otherwise identical.
     """
+    snap = sampling if sampling is not None else SamplingConfig(
+        temperature=1.0, repetition_penalty=1.0,
+        length_penalty=length_penalty)
+    length_penalty = snap.length_penalty if sampling is not None \
+        else length_penalty
+    if key is None:
+        key = jax.random.PRNGKey(0)
     b, tt = text.shape
     w = num_beams
     d = cfg.model_dim
@@ -764,25 +791,63 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
         scores: jnp.ndarray         # (B, W) cumulative logprob
         finished: jnp.ndarray       # (B, W)
         lengths: jnp.ndarray        # (B, W)
+        counts: jnp.ndarray         # (B, W, V) per-beam token counts
+        rng: jax.Array
 
     scores0 = jnp.tile(jnp.concatenate(
         [jnp.zeros((1,)), jnp.full((w - 1,), -1e9)])[None], (b, 1))
+    counts0 = jnp.zeros((b, w, V), jnp.int32).at[
+        :, :, cfg.start_mel_token].add(1)
     init = Carry(jnp.zeros((), jnp.int32), cache, latent_of(hidden),
                  jnp.full((b, w, max_length), cfg.stop_mel_token, jnp.int32),
                  scores0, jnp.zeros((b, w), bool),
-                 jnp.full((b, w), max_length, jnp.int32))
+                 jnp.full((b, w), max_length, jnp.int32), counts0, key)
 
     def cond_fn(c: Carry):
         return (c.step < max_length) & ~jnp.all(c.finished)
 
     def body_fn(c: Carry):
-        logp = jax.nn.log_softmax(logits_of(c.lat), axis=-1).reshape(b, w, V)
+        from ..ops.sampling import (apply_length_penalty,
+                                    apply_repetition_penalty,
+                                    apply_temperature, apply_top_k,
+                                    apply_top_p, apply_typical)
+        rng, sub = jax.random.split(c.rng)
+        x = logits_of(c.lat)                            # (B*W, V) fp32
+        # logits PROCESSORS (HF applies these in every decode mode):
+        # stop-logit length penalty, repetition penalty on per-beam
+        # counts, typical warper (the reference passes it through
+        # generate()'s logits_processor list, unified_voice.py:659)
+        if snap.length_penalty_factor != 0.0:
+            sl = apply_length_penalty(x[:, cfg.stop_mel_token], c.step,
+                                      snap.length_penalty_factor)
+            x = x.at[:, cfg.stop_mel_token].set(sl)
+        x = apply_repetition_penalty(x, c.counts.reshape(b * w, V),
+                                     snap.repetition_penalty)
+        x = apply_typical(x, snap.typical_mass)
+        logp = jax.nn.log_softmax(x, axis=-1).reshape(b, w, V)
         # frozen beams: only 'continue as stop' with 0 added score
         stop_only = jnp.full((V,), -jnp.inf).at[cfg.stop_mel_token].set(0.0)
         logp = jnp.where(c.finished[..., None], stop_only[None, None], logp)
         total = c.scores[..., None] + logp              # (B, W, V)
-        flat = total.reshape(b, w * V)
-        top_scores, top_idx = lax.top_k(flat, w)        # (B, W)
+        if do_sample:
+            # HF beam_sample: the temperature/top-k/top-p WARPERS apply
+            # to score+beam totals, then 2W candidates are drawn without
+            # replacement from softmax(flat) — Gumbel top-k is exactly
+            # that — and the top W by warped score continue.
+            warped = apply_temperature(total.reshape(b * w, V),
+                                       snap.temperature)
+            warped = apply_top_k(warped, snap.top_k)
+            warped = apply_top_p(warped, snap.top_p)
+            flat = warped.reshape(b, w * V)
+            gumbel = jax.random.gumbel(sub, flat.shape, jnp.float32)
+            _, cand = lax.top_k(jnp.where(jnp.isfinite(flat),
+                                          flat + gumbel, -jnp.inf), 2 * w)
+            cand_scores = jnp.take_along_axis(flat, cand, axis=1)
+            top_scores, order = lax.top_k(cand_scores, w)   # sort desc
+            top_idx = jnp.take_along_axis(cand, order, axis=1)
+        else:
+            flat = total.reshape(b, w * V)
+            top_scores, top_idx = lax.top_k(flat, w)    # (B, W)
         beam_idx = top_idx // V                         # (B, W)
         tok = (top_idx % V).astype(jnp.int32)
 
@@ -792,6 +857,9 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
         tokens = jnp.take_along_axis(
             c.tokens, beam_idx[..., None], axis=1)
         tokens = tokens.at[:, :, c.step].set(tok)
+        counts = jnp.take_along_axis(c.counts, beam_idx[..., None], axis=1)
+        counts = counts.at[jnp.arange(b)[:, None], jnp.arange(w)[None],
+                           tok].add(1)
         finished = jnp.take_along_axis(c.finished, beam_idx, axis=1)
         lengths = jnp.take_along_axis(c.lengths, beam_idx, axis=1)
         now_stop = (tok == cfg.stop_mel_token) & ~finished
@@ -805,7 +873,7 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
         h, cache3 = _gpt_decode_step(params["gpt"], emb.astype(dtype),
                                      cfg.heads, cache2, pos, key_mask)
         return Carry(c.step + 1, cache3, latent_of(h), tokens, top_scores,
-                     finished, lengths)
+                     finished, lengths, counts, rng)
 
     out = lax.while_loop(cond_fn, body_fn, init)
     # final beam selection with length penalty (HF BeamHypotheses)

@@ -94,10 +94,17 @@ def qkv_attention(qkv: jnp.ndarray, n_heads: int,
                 qkv, bias_kq, n_heads,
                 interpret=jax.default_backend() != "tpu")
         bias = jnp.swapaxes(bias_kq, 1, 2)
-    if (bias is not None and mask is None and t >= 256
+    # V-transposed Pallas kernel: default AUTO by batch — it loses to
+    # the XLA bf16-scores path at the single-utterance cond-free pair
+    # (8.49 vs 5.39 ms/step at B=2, T=896) but wins once the batch grid
+    # amortizes its VMEM pipeline (33.0 vs 42.1 ms/step at B=16, T=896
+    # — batched serving halves its score-traffic disadvantage).
+    # TTS_FLASH_VT=1/0 forces it on/off.
+    vt_env = os.environ.get("TTS_FLASH_VT", "auto")
+    use_vt = b >= 8 if vt_env == "auto" else vt_env == "1"
+    if (bias is not None and mask is None and t >= 256 and use_vt
             and (jax.default_backend() == "tpu"
-                 or os.environ.get("TTS_FLASH_VT_INTERPRET") == "1")
-            and os.environ.get("TTS_FLASH_VT", "0") == "1"):
+                 or os.environ.get("TTS_FLASH_VT_INTERPRET") == "1")):
         # Row-major-score Pallas path with V pre-transposed: lane-wise
         # softmax + MXU-canonical AV matmul (see _attn_bias_vt_kernel).
         from .pallas_attention import flash_attention_bias_qkv_vt

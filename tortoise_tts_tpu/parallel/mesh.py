@@ -72,6 +72,49 @@ def replicated(mesh: Mesh, tree):
         lambda _: NamedSharding(mesh, P()), tree)
 
 
+def fsdp_param_shardings(mesh: Mesh, params: Dict[str, Any],
+                         min_size: int = 65536):
+    """ZeRO-3/FSDP-grade parameter sharding as GSPMD layout (the
+    reference's zero_optimization stage-3 role, config.py:533-545 +
+    engines/deepspeed.py:35-54): every large parameter is sharded over
+    the 'data' axis — XLA inserts the allgather at each use and the
+    reduce-scatter on the gradient, exactly DeepSpeed's
+    allgather/reduce-scatter bucketing but compiler-scheduled.
+
+    Composes with the megatron TP specs: the 'data' axis is placed on
+    the largest dimension the TP spec leaves unsharded and that the
+    axis size divides.  Small params (< min_size elements) stay
+    replicated — an allgather per use costs more than it saves.
+    """
+    nd = int(mesh.shape["data"])
+
+    def to_sharding(path, leaf):
+        base = _spec_for_gpt_param(path)
+        spec = (list(base) + [None] * len(leaf.shape))[:len(leaf.shape)]
+        if nd > 1 and leaf.size >= min_size:
+            dims = sorted(range(len(leaf.shape)),
+                          key=lambda i: -leaf.shape[i])
+            for i in dims:
+                if spec[i] is None and leaf.shape[i] % nd == 0:
+                    spec[i] = "data"
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def train_param_shardings(mesh: Mesh, params: Dict[str, Any],
+                          mode: str = "replicated"):
+    """Config-selected training param layout (trainer.param_sharding):
+    'replicated' = DDP role (+ megatron TP when the mesh has a model
+    axis), 'fsdp' = ZeRO-3 role (params sharded over 'data')."""
+    if mode == "fsdp":
+        return fsdp_param_shardings(mesh, params)
+    if mode in ("replicated", "ddp", "zero1"):
+        return param_shardings(mesh, params)
+    raise ValueError(f"param_sharding must be replicated|fsdp, got {mode!r}")
+
+
 def batch_sharding(mesh: Mesh):
     """Leading-axis data sharding for batch pytrees."""
     return NamedSharding(mesh, P("data"))
@@ -83,14 +126,19 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, s), batch)
 
 
-def opt_state_shardings(mesh: Mesh, opt_state, params):
+def opt_state_shardings(mesh: Mesh, opt_state, params,
+                        mode: str = "replicated", min_size: int = 65536):
     """ZeRO-1-equivalent optimizer-state sharding: every opt-state
     subtree that mirrors the parameter pytree (Adam mu/nu, momentum,
     Apollo moments...) inherits the parameter shardings; scalars and
     counters are replicated.  The DeepSpeed-ZeRO-stage-1 role of the
     reference's config (config.py:533-545) expressed as GSPMD layout.
+    With mode='fsdp' the moments follow the ZeRO-3 param layout instead.
     """
-    pspecs = param_shardings(mesh, params)
+    if mode == "fsdp":
+        pspecs = fsdp_param_shardings(mesh, params, min_size=min_size)
+    else:
+        pspecs = param_shardings(mesh, params)
     ptree = jax.tree_util.tree_structure(params)
     rep = NamedSharding(mesh, P())
 

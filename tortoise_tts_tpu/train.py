@@ -146,6 +146,10 @@ def main(argv=None):
     # engines/__init__.py:40-338) — AR / diffusion / DVAE / CLVP /
     # BigVGAN, each with its own optimizer and feeder
     engines = load_engines(cfg, training=True)
+    if mesh.size > 1:
+        # real multi-chip layout: params/opt-state device_put per
+        # trainer.param_sharding (DDP+TP 'replicated' or ZeRO-3 'fsdp')
+        engines.shard(mesh, cfg.trainer.param_sharding)
     _logger.info("engines: %s (resumed at step %d)",
                  engines.names(), engines.global_step)
     train_ds.load_state(cfg.ckpt_dir /
