@@ -1,0 +1,234 @@
+"""Full-size converter census (r2 verdict item 4).
+
+For every published checkpoint name in the reference registry
+(/root/reference/tortoise_tts/models/__init__.py:23-44) whose torch
+module is constructable, instantiate the REFERENCE module at
+published-checkpoint scale on CPU, run its state_dict through
+``convert_torch_sd``, and assert:
+
+1. zero UNUSED reference keys (every tensor in the checkpoint is
+   consumed by the converter, minus an explicit allowlist of non-weight
+   buffers that the functional re-implementation derives statically);
+2. zero UNMATCHED parameters (the converted pytree has exactly the
+   structure and shapes of this package's ``init`` at the published
+   config).
+
+This is the last risk between the repo and real jbetker weights: no
+full checkpoints exist on this box (zero egress; only mel_norms.pth),
+so the reference module's own state_dict is the oracle for the exact
+key set and shapes the downloads will contain.
+
+Excluded names, with reasons: ``cvvp.pth`` (the reference ships no CVVP
+module — the URL is dead weight there too), ``mel_norms.pth`` (a bare
+80-vector, loaded by ``load_mel_norms``, not a model),
+``bigvgan_*.json`` (configs, covered via BigVGANConfig.from_json).
+"""
+
+import fnmatch
+import re
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.ref import harness
+
+
+class RecordingSD:
+    """Mapping wrapper that records which keys the converter consumed."""
+
+    def __init__(self, sd):
+        self.sd = {k: v for k, v in sd.items()}
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return self.sd[k]
+
+    def __contains__(self, k):
+        return k in self.sd
+
+    def __iter__(self):
+        return iter(self.sd)
+
+    def keys(self):
+        return self.sd.keys()
+
+    def items(self):
+        # mark nothing: converters that scan items() for layer counts
+        # still fetch each tensor via __getitem__
+        return self.sd.items()
+
+    def unused(self, allow=()):
+        left = set(self.sd) - self.used
+        justified = set()
+        for pat in allow:
+            hits = {k for k in left if fnmatch.fnmatch(k, pat)}
+            assert hits, f"allowlist pattern matched nothing: {pat}"
+            justified |= hits
+        return sorted(left - justified)
+
+
+def _census(name, torch_module, cfg, init_params, allow=()):
+    from tortoise_tts_tpu.models import convert_torch_sd
+
+    sd = RecordingSD({k: v.detach().cpu().numpy()
+                      for k, v in torch_module.state_dict().items()})
+    got = convert_torch_sd(name, sd, cfg)
+
+    unused = sd.unused(allow)
+    assert not unused, f"{name}: converter ignored checkpoint keys: " \
+                       f"{unused[:20]} (+{max(0, len(unused)-20)} more)"
+
+    ref_leaves = jax.tree_util.tree_leaves_with_path(got)
+    exp_leaves = dict(
+        (jax.tree_util.keystr(p), np.shape(l)) for p, l in
+        jax.tree_util.tree_leaves_with_path(init_params))
+    got_map = {jax.tree_util.keystr(p): np.shape(l) for p, l in ref_leaves}
+    missing = sorted(set(exp_leaves) - set(got_map))
+    extra = sorted(set(got_map) - set(exp_leaves))
+    assert not missing, f"{name}: converted params missing {missing[:10]}"
+    assert not extra, f"{name}: converted params extra {extra[:10]}"
+    bad = [(k, got_map[k], exp_leaves[k]) for k in exp_leaves
+           if got_map[k] != exp_leaves[k]]
+    assert not bad, f"{name}: shape mismatches {bad[:10]}"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _stubs():
+    harness.install_stubs()
+
+
+def test_census_autoregressive():
+    uvr = harness.import_ref("models.unified_voice")
+    from tortoise_tts_tpu.models import unified_voice as uv
+    cfg = uv.UnifiedVoiceConfig()
+    m = uvr.UnifiedVoice()           # published scale (30L x 1024d)
+    _census("autoregressive", m, cfg,
+            uv.init(jax.random.PRNGKey(0), cfg))
+    del m
+
+
+def test_census_diffusion():
+    dr = harness.import_ref("models.diffusion")
+    from tortoise_tts_tpu.models import diffusion as dm
+    cfg = dm.DiffusionConfig()
+    m = dr.DiffusionTTS()
+    _census("diffusion", m, cfg, dm.init(jax.random.PRNGKey(0), cfg))
+    del m
+
+
+def test_census_clvp():
+    cr = harness.import_ref("models.clvp")
+    from tortoise_tts_tpu.models import clvp as cl
+    cfg = cl.CLVPConfig()
+    m = cr.CLVP()
+    _census("clvp", m, cfg, cl.init(jax.random.PRNGKey(0), cfg),
+            # rotary inv_freq buffers: derived statically from dim here
+            allow=("*rotary_pos_emb.inv_freq",))
+    del m
+
+
+def test_census_dvae():
+    dr = harness.import_ref("models.dvae")
+    from tortoise_tts_tpu.models import dvae as dv
+    cfg = dv.DVAEConfig()
+    m = dr.DiscreteVAE()
+    _census("dvae", m, cfg, dv.init(jax.random.PRNGKey(0), cfg))
+    del m
+
+
+def test_census_vocoder_univnet():
+    vr = harness.import_ref("models.vocoder")
+    from tortoise_tts_tpu.models import univnet as un
+    from tortoise_tts_tpu.models import _univnet_random
+    cfg = un.UnivNetConfig()
+    m = vr.UnivNetGenerator()
+    _census("vocoder", m, cfg,
+            _univnet_random(jax.random.PRNGKey(0), cfg))
+    del m
+
+
+def test_census_bigvgan():
+    br = harness.import_ref("models.bigvgan")
+    from tortoise_tts_tpu.models import _bigvgan_random
+    from tortoise_tts_tpu.models.bigvgan import BigVGANConfig
+    cfg = BigVGANConfig()
+    # the published bigvgan_24khz_100band.json, inlined (zero egress box;
+    # BigVGANConfig defaults mirror the same file)
+    data = {
+        "num_mels": cfg.num_mels, "n_fft": 1024, "hop_size": cfg.hop_size,
+        "win_size": 1024, "sampling_rate": 24000,
+        "upsample_rates": list(cfg.upsample_rates),
+        "upsample_kernel_sizes": list(cfg.upsample_kernel_sizes),
+        "upsample_initial_channel": cfg.upsample_initial_channel,
+        "resblock": cfg.resblock,
+        "resblock_kernel_sizes": list(cfg.resblock_kernel_sizes),
+        "resblock_dilation_sizes": [list(x) for x in
+                                    cfg.resblock_dilation_sizes],
+        "activation": cfg.activation,
+        "snake_logscale": cfg.snake_logscale,
+        "fmin": 0, "fmax": 12000,
+    }
+    m = br.BigVGAN(data=data)
+    _census("bigvgan", m, cfg,
+            _bigvgan_random(jax.random.PRNGKey(0), cfg))
+    del m
+
+
+def test_census_hifigan():
+    hr = harness.import_ref("models.hifigan")
+    from tortoise_tts_tpu.models import _hifigan_random
+    from tortoise_tts_tpu.models.hifigan import HifiganConfig
+    cfg = HifiganConfig()
+    # exact constructor args of reference load_model
+    # (models/__init__.py:127-140)
+    m = hr.HifiganGenerator(
+        in_channels=1024, out_channels=1, resblock_type="1",
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        resblock_kernel_sizes=[3, 7, 11],
+        upsample_kernel_sizes=[16, 16, 4, 4],
+        upsample_initial_channel=512,
+        upsample_factors=[8, 8, 2, 2],
+        cond_channels=1024)
+    _census("hifigan", m, cfg,
+            _hifigan_random(jax.random.PRNGKey(0), cfg))
+    del m
+
+
+@pytest.mark.parametrize("name,ch", [("rlg_auto", 1024),
+                                     ("rlg_diffuser", 2048)])
+def test_census_rlg(name, ch):
+    rr = harness.import_ref("models.random_latent_generator")
+    from tortoise_tts_tpu.models import rlg
+    m = rr.RandomLatentConverter(ch)
+    _census(name, m, ch, rlg.init(jax.random.PRNGKey(0), ch))
+    del m
+
+
+def test_census_classifier():
+    """classifier.pth: the reference's own load_model never constructs
+    the classifier (models/__init__.py:96-155 has no branch for it —
+    the URL is registry-only), but models/classifier.py ships the
+    module; upstream tortoise constructs it as
+    AudioMiniEncoderWithClassifierHead(2, spec_dim=1, embedding_dim=512,
+    depth=5, downsample_factor=4, resnet_blocks=2, attn_blocks=4,
+    num_attn_heads=4, base_channels=32, dropout=0, kernel_size=5,
+    distribute_zero_label=False) — the published-checkpoint config."""
+    cr = harness.import_ref("models.classifier")
+    from tortoise_tts_tpu.models import classifier as clf
+    cfg = clf.ClassifierConfig()
+    # the reference module is unconstructable as shipped: classifier.py
+    # passes do_checkpoint= to arch_utils.AttentionBlock, which has no
+    # such kwarg — patch a shim so the published architecture builds
+    real_attn = cr.AttentionBlock
+    cr.AttentionBlock = lambda *a, do_checkpoint=None, **k: \
+        real_attn(*a, **k)
+    m = cr.AudioMiniEncoderWithClassifierHead(
+        2, spec_dim=1, embedding_dim=512, depth=5, downsample_factor=4,
+        resnet_blocks=2, attn_blocks=4, num_attn_heads=4,
+        base_channels=32, dropout=0, kernel_size=5,
+        distribute_zero_label=False)
+    _census("classifier", m, cfg, clf.init(jax.random.PRNGKey(0), cfg))
+    del m

@@ -189,6 +189,8 @@ def convert_torch_sd(name: str, sd, cfg):
         return convert.convert_univnet(sd)
     if c in ("rlg_auto", "rlg_diffuser"):
         return convert.convert_rlg(sd)
+    if c == "classifier":
+        return convert.convert_classifier(sd, depth=cfg.depth)
     raise KeyError(f"no torch-layout converter for model: {name}")
 
 
