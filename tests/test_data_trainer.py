@@ -56,7 +56,9 @@ def _cfg(tmp_path, **ds_kwargs):
         yaml_path=str(tmp_path / "cfg.yaml"),
         hyperparameters=Hyperparameters(batch_size=4,
                                         gradient_accumulation_steps=1),
-        trainer=Trainer(save_frequency=0, iterations=5),
+        # log_frequency=1: per-step metric lines (the default 10 defers
+        # device->host metric fetches to the log cadence on real TPUs)
+        trainer=Trainer(save_frequency=0, iterations=5, log_frequency=1),
         dataset=DatasetConfig(training=(str(tmp_path / "data"),),
                               validate=False, text_bucket=40, mel_bucket=48,
                               **ds_kwargs))
@@ -141,6 +143,33 @@ def test_trainer_loop_end_to_end(dataset_dir, tmp_path):
     restored = st.load_checkpoint(tmp_path / "ckpt", "ar",
                                   st.init_state(params, tx))
     assert int(restored.step) == 5
+
+
+def test_trainer_log_frequency_cadence(dataset_dir, tmp_path):
+    """log_frequency=2: metrics are fetched + logged every 2nd step only
+    (per-step device_get is a ~50-100 ms relay round trip on real TPU)."""
+    import dataclasses
+    cfg = _cfg(dataset_dir)
+    cfg = dataclasses.replace(cfg, trainer=dataclasses.replace(
+        cfg.trainer, log_frequency=2, iterations=4))
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+    params = uv_m.init(jax.random.PRNGKey(0), AR_CFG)
+    tx = optax.adamw(1e-4)
+    step_fn_raw = ts.make_ar_train_step(AR_CFG, tx, donate=False)
+
+    def step_fn(s, batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in ("latents", "text", "text_lengths", "codes",
+                          "wav_lengths")}
+        return step_fn_raw(s, batch)
+
+    log = tmp_path / "log2.txt"
+    final = train(cfg, ds, step_fn, st.init_state(params, tx),
+                  log_path=log, max_iterations=4)
+    assert int(final.step) == 4
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [l["it"] for l in lines] == [2, 4]
+    assert all("loss" in l for l in lines)
 
 
 def test_hdf5_pack_and_read(dataset_dir, tmp_path):

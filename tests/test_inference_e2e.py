@@ -239,6 +239,30 @@ def test_streaming_modes(tts, ref_wav):
                                outs["growing"].shape)
 
 
+def test_stream_windowed_seams(tts, ref_wav):
+    """Seam quality of the default windowed streaming mode: the linear
+    crossfade must keep the sample-to-sample jump at every chunk seam
+    within the signal's own intra-chunk jump scale (a bad window/emit
+    offset produces a hard edge ~= 2x the waveform range), and the mode
+    must be exposed on the public TTS.stream API."""
+    chunks = list(tts.stream("seam quality check line", ref_wav,
+                             max_ar_steps=32, seed=5, mode="windowed",
+                             stream_chunk_size=8, first_buffer=12))
+    assert len(chunks) >= 3          # multiple seams exercised
+    intra = max(float(np.abs(np.diff(c)).max())
+                for c in chunks if c.shape[0] > 1)
+    wav = np.concatenate(chunks)
+    seams = np.cumsum([c.shape[0] for c in chunks])[:-1]
+    for s in seams:
+        jump = abs(float(wav[s]) - float(wav[s - 1]))
+        assert jump <= 3.0 * intra + 1e-6, (s, jump, intra)
+    # growing mode rides the same public knob
+    g = np.concatenate(list(tts.stream(
+        "seam quality check line", ref_wav, max_ar_steps=32, seed=5,
+        mode="growing", stream_chunk_size=8, first_buffer=12)))
+    assert np.isfinite(g).all() and np.isfinite(wav).all()
+
+
 def test_device_cleanup_trim_matches_host(tts):
     """_jit_cleanup_latents (the single-fetch device path) reproduces
     cleanup_codes + calm_trim_point + the latent pass exactly."""

@@ -105,7 +105,7 @@ def bench_decode():
     cfg = uv.UnifiedVoiceConfig()
     p = uv.init(jax.random.PRNGKey(0), cfg)
     p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
-    b, tt, max_len = 1, 64, 200
+    b, tt, max_len = int(os.environ.get("TTS_DECODE_B", "1")), 64, 200
     cond = jnp.zeros((b, cfg.model_dim), jnp.bfloat16)
     text = jnp.zeros((b, tt), jnp.int32)
     tl = jnp.full((b,), tt, jnp.int32)
@@ -128,8 +128,9 @@ def bench_decode():
                                if quant != "none" else "int8")
 
     dt = timeit(run, st, n=3, warmup=1)
-    print(f"decode: {dt:.3f} s for {max_len} tokens "
-          f"= {dt/max_len*1e3:.2f} ms/token")
+    print(f"decode B={b}: {dt:.3f} s for {max_len} tokens "
+          f"= {dt/max_len*1e3:.2f} ms/token "
+          f"= {b*max_len/dt:.0f} mel-tokens/s/chip")
 
 
 def bench_decode_ablate():

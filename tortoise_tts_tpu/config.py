@@ -167,7 +167,10 @@ class Inference:
     # per-row activation quant + int8 MXU dots (ops/pallas_gemv.
     # qgemv_stacked_w8a8) at some extra quantization noise.
     # Prefill/latents/logits stay bf16 in every mode.
-    decode_quant: str = "none"
+    # Default int8 == the benched config (bench.py); quality guardrails:
+    # tests/test_unified_voice.py::test_int8_fullsize_quality_guardrail
+    # + the small-model e2e agreement tests.
+    decode_quant: str = "int8"
 
     def __post_init__(self):
         # fail loudly on typos (e.g. BENCH_QUANT=W8A8) — a silently

@@ -1042,10 +1042,21 @@ class TTS:
                references: Optional[str | Sequence[str | Path]] = None,
                max_ar_steps: int = 500, ar_temp: float = 0.8,
                top_p: float = 1.0, top_k: int = 0,
-               seed: Optional[int] = None) -> Iterator[np.ndarray]:
+               seed: Optional[int] = None,
+               mode: str = "windowed",
+               stream_chunk_size: int = 40,
+               first_buffer: int = 60) -> Iterator[np.ndarray]:
         """Public streaming API (HiFiGAN route, reference
         inference.py:250-329): yields 24 kHz float32 chunks as the AR
-        decode advances."""
+        decode advances.
+
+        ``mode='windowed'`` (TPU default) vocodes a fixed 60-latent
+        trailing window per chunk — one compiled program, constant
+        chunk latency; ``mode='growing'`` reproduces the reference
+        exactly (re-vocode the whole prefix per chunk: O(n^2) audio
+        work and one fresh compile per chunk length through the
+        relay).  Seam quality of the windowed mode is pinned by
+        tests/test_inference_e2e.py::test_stream_windowed_seams."""
         seed = int(time.time()) if seed is None else seed
         if references is not None:
             enc = self.encode_audio(references, seed=seed)
@@ -1061,8 +1072,10 @@ class TTS:
             if not line.strip():
                 continue
             (sub,) = _host_keys(seed * 1000003 + i, 1)
-            yield from self._stream_line(line, ar_latent, sampling,
-                                         max_ar_steps, sub)
+            yield from self._stream_line(
+                line, ar_latent, sampling, max_ar_steps, sub,
+                stream_chunk_size=stream_chunk_size,
+                first_buffer=first_buffer, mode=mode)
 
     def _stream_line(self, line, ar_latent, sampling, max_ar_steps, key,
                      stream_chunk_size: int = 40, first_buffer: int = 60,
