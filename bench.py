@@ -102,6 +102,24 @@ def main():
                   diffusion_sampler="ddim", vocoder_type="bigvgan",
                   diffusion_pad_multiple=32, mel_pad_multiple=128)
 
+    if mode == "candidates":
+        # BASELINE config #3: N-candidate generation + CLVP rerank (the
+        # candidates ride the serving mesh's 'data' axis when present);
+        # metric = wall seconds per reranked utterance, reported as RTF
+        n = int(os.environ.get("BENCH_CANDIDATES", 16))
+        tts.inference(text, ref, seed=0, candidates=n, **kwargs)
+        rtfs = []
+        for i in range(3):
+            t0 = time.time()
+            wav, sr = tts.inference(text, ref, seed=1 + i, candidates=n,
+                                    **kwargs)
+            rtfs.append((wav.shape[-1] / sr) / (time.time() - t0))
+        rtf = sorted(rtfs)[1]
+        print(json.dumps({"metric": f"candidates{n}_rtf",
+                          "value": round(rtf, 3), "unit": "x_realtime",
+                          "vs_baseline": round(rtf / 10.0, 3)}))
+        return
+
     # warmup/compile
     wav, sr = tts.inference(text, ref, seed=0, **kwargs)
     # measured runs (cached compile): median of 3 — wall time through
@@ -132,6 +150,10 @@ def _install_small_models(tts):
                                    in_latent_channels=D, num_heads=4)
     bv_cfg = BigVGANConfig(upsample_initial_channel=64)
     dv_cfg = dvae_m.DVAEConfig(codebook_dim=32, hidden_dim=32)
+    cl_cfg = clvp_m.CLVPConfig(dim_text=32, dim_speech=32, dim_latent=32,
+                               text_enc_depth=1, speech_enc_depth=1,
+                               text_heads=2, speech_heads=2, dim_head=16,
+                               rotary_dim=16)
     tts._models = {
         "autoregressive": LoadedModel("autoregressive", uv_m, ar_cfg,
                                       uv_m.init(ks[0], ar_cfg), False),
@@ -143,6 +165,8 @@ def _install_small_models(tts):
             _bigvgan_random(ks[2], bv_cfg), False),
         "dvae": LoadedModel("dvae", dvae_m, dv_cfg,
                             dvae_m.init(ks[3], dv_cfg), False),
+        "clvp": LoadedModel("clvp", clvp_m, cl_cfg,
+                            clvp_m.init(ks[4], cl_cfg), False),
     }
     from tortoise_tts_tpu.emb import mel as emb_mel
     emb_mel.load_model = lambda name, dtype="float32": tts._models[name]

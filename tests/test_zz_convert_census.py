@@ -22,7 +22,14 @@ Excluded names, with reasons: ``cvvp.pth`` (the reference ships no CVVP
 module — the URL is dead weight there too), ``mel_norms.pth`` (a bare
 80-vector, loaded by ``load_mel_norms``, not a model),
 ``bigvgan_*.json`` (configs, covered via BigVGANConfig.from_json).
+
+Named ``test_zz_*`` so the full-scale torch+jax allocations run LAST:
+interleaving these multi-GB models before other files' Pallas-kernel
+CPU compiles segfaulted XLA twice at the same site (fragmentation /
+allocator pressure; tests/test_vocoders.py snake compile).
 """
+
+import gc
 
 import fnmatch
 import re
@@ -93,6 +100,8 @@ def _census(name, torch_module, cfg, init_params, allow=()):
     bad = [(k, got_map[k], exp_leaves[k]) for k in exp_leaves
            if got_map[k] != exp_leaves[k]]
     assert not bad, f"{name}: shape mismatches {bad[:10]}"
+    del got, ref_leaves, got_map, sd
+    gc.collect()
 
 
 @pytest.fixture(scope="module", autouse=True)
