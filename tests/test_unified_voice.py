@@ -228,51 +228,6 @@ def test_int8_decode_quant(params):
     assert agree >= 0.75, agree
 
 
-def test_int8_fullsize_quality_guardrail():
-    """Quality guardrail for the SHIPPED default (decode_quant='int8',
-    config.py Inference): at the FULL published scale (30L x 1024d),
-    greedy codes through the quantized decode must agree with the bf16
-    trunk and the decode-trunk logits must stay within the measured
-    ~0.1% relative error band.  Guards the benched config == shipped
-    config invariant (r2 verdict weak #4)."""
-    full = uv.UnifiedVoiceConfig()
-    assert full.layers == 30 and full.model_dim == 1024
-    params = uv.init(jax.random.PRNGKey(7), full)
-    qgpt = jax.jit(uv.quantize_decode_weights)(params)
-    rng = np.random.RandomState(11)
-    text = rng.randint(3, 255, size=(1, 12)).astype(np.int64)
-    cond = jnp.asarray(rng.randn(1, full.model_dim).astype(np.float32))
-    steps = 8
-    res = uv.inference_speech(
-        params, cond, jnp.asarray(text), jnp.asarray([12]),
-        jax.random.PRNGKey(0), full, SamplingConfig(greedy=True),
-        max_length=steps, collect_latents=True)
-    res_q = uv.inference_speech(
-        params, cond, jnp.asarray(text), jnp.asarray([12]),
-        jax.random.PRNGKey(0), full, SamplingConfig(greedy=True),
-        max_length=steps, qgpt=qgpt, collect_latents=True)
-    ca, cb = np.asarray(res.codes)[0], np.asarray(res_q.codes)[0]
-    # random weights make logits near-uniform (margins ~1e-2, far below
-    # any real checkpoint's), so require a long exact prefix rather than
-    # token-exactness: after a first flip the contexts legitimately
-    # diverge.  Real-margin token-exactness is covered by the parity
-    # suite on structured small models.
-    mism = np.nonzero(ca != cb)[0]
-    first = int(mism[0]) if len(mism) else steps
-    assert first >= 6, (first, ca, cb)
-    # latent (pre-head) error band over the shared prefix: int8
-    # per-channel quant error compounds over the 30-layer trunk to ~2%
-    # worst-element here; the guardrail catches catastrophic failures
-    # (wrong scales / orientation produce O(1) error)
-    a = np.asarray(res.latents[0, :first], np.float32)
-    b = np.asarray(res_q.latents[0, :first], np.float32)
-    # healthy measured values at this scale/seed: rms ~1.6%, max ~2%
-    rel_max = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
-    rel_rms = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
-    assert rel_max < 1e-1, rel_max
-    assert rel_rms < 3e-2, rel_rms
-
-
 def test_decode_respects_text_padding(params):
     """Padded text + mask must give identical codes to exact-length text."""
     rng = np.random.RandomState(4)

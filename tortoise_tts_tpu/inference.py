@@ -706,7 +706,7 @@ class TTS:
             # ONE fetch: per-row trim points size the diffusion work
             t_np = np.asarray(jax.device_get(t_lat)).astype(np.int64)
             tick("t_lat_fetch")
-            budget = max(int(t_np.max()), 1)
+            budget = max(int(t_np[:b].max()), 1)
             mult = max(diffusion_pad_multiple, 1)
 
             # geometric n_lat ladder: mult * 2^k, capped at the longest
@@ -720,7 +720,11 @@ class TTS:
                     n *= 2
                 return min(n, budget)
 
-            n_lats = np.asarray([ladder(max(int(t), 1)) for t in t_np])
+            # bucket only the REAL rows: mesh-padding rows decode to the
+            # full budget (they never emit stop) and would otherwise
+            # drag garbage rows through the largest diffusion bucket
+            n_lats = np.asarray([ladder(max(int(t), 1))
+                                 for t in t_np[:b]])
             pending = []          # (rows, wav_handle, kind)
             for n_lat in sorted(set(n_lats.tolist())):
                 rows = np.nonzero(n_lats == n_lat)[0]
