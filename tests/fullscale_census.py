@@ -23,10 +23,13 @@ module — the URL is dead weight there too), ``mel_norms.pth`` (a bare
 80-vector, loaded by ``load_mel_norms``, not a model),
 ``bigvgan_*.json`` (configs, covered via BigVGANConfig.from_json).
 
-Named ``test_zz_*`` so the full-scale torch+jax allocations run LAST:
-interleaving these multi-GB models before other files' Pallas-kernel
-CPU compiles segfaulted XLA twice at the same site (fragmentation /
-allocator pressure; tests/test_vocoders.py snake compile).
+NOT collected directly (no ``test_`` filename prefix): after a full
+suite's worth of compiled CPU executables, the next large XLA CPU
+compile segfaults (observed at three different sites — vocoder snake,
+webui stream, diffusion init — always ~170 tests in), so
+tests/test_zz_fullscale.py runs this module in a FRESH subprocess
+interpreter.  ``python -m pytest tests/fullscale_census.py -q`` runs it
+directly.
 """
 
 import gc

@@ -158,3 +158,38 @@ def test_flash_bias_vt_fast_exp2():
         os.environ.pop("TTS_FLASH_VT_EXP2", None)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_trunk_flash_attention_grad_matches_xla(monkeypatch):
+    """The GPT trunk's flash-attention path must be differentiable:
+    _flash_trunk_attention runs the Pallas kernel forward (interpret
+    here) and an XLA backward via custom_vjp — without it, full-scale
+    training on real TPU died inside pallas_call's missing JVP rule."""
+    import numpy as np
+    from tortoise_tts_tpu.models import unified_voice as uvm
+    from tortoise_tts_tpu.ops import pallas_attention as pa
+
+    monkeypatch.setattr(
+        uvm, "flash_attention",
+        lambda q, k, v, key_mask=None, causal=True: pa.flash_attention(
+            q, k, v, key_mask=key_mask, causal=causal, interpret=True))
+
+    rng = np.random.RandomState(0)
+    b, h, s, d = 2, 4, 48, 64
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    km = jnp.asarray(np.arange(s)[None, :] < np.asarray([[40], [48]]))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(uvm._flash_trunk_attention(q, k, v, km) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(uvm._xla_trunk_attention(q, k, v, km) ** 2)
+
+    lf, gf = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    lx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)

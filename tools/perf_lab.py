@@ -446,6 +446,62 @@ def bench_snake():
     bv._RESAMPLE = saved
 
 
+def bench_trainstep():
+    """Full-scale AR train step on chip (BASELINE config #5's training
+    half): 30Lx1024d bf16 params, remat on, AdamW; reports steps/s and
+    mel-tokens/s/chip.  TTS_TRAIN_B / TTS_TRAIN_TT / TTS_TRAIN_TM size
+    the batch; TTS_TRAIN_LORA=1 trains a rank-128 adapter instead."""
+    import optax
+    from tortoise_tts_tpu.engine import state as st, train_step as ts
+    from tortoise_tts_tpu.models import unified_voice as uv
+    from tortoise_tts_tpu.models.lora import init_lora
+
+    cfg = uv.UnifiedVoiceConfig()
+    B = int(os.environ.get("TTS_TRAIN_B", "8"))
+    TT = int(os.environ.get("TTS_TRAIN_TT", "128"))
+    TM = int(os.environ.get("TTS_TRAIN_TM", "256"))
+    lora = os.environ.get("TTS_TRAIN_LORA") == "1"
+    params = uv.init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    tx = optax.adamw(1e-5)
+    if lora:
+        adapters = init_lora(jax.random.PRNGKey(1), params, rank=128)
+        from tortoise_tts_tpu.config import LoRAConfig
+        step = ts.make_ar_train_step(
+            cfg, tx, remat=True, donate=False,
+            lora_cfg=LoRAConfig(rank=128, alpha=128), base_params=params)
+        state = st.init_state(adapters, tx)
+    else:
+        step = ts.make_ar_train_step(cfg, tx, remat=True, donate=False)
+        state = st.init_state(params, tx)
+    rng = np.random.RandomState(0)
+    batch = {
+        "latents": jnp.asarray(rng.randn(B, cfg.model_dim), jnp.float32),
+        "text": jnp.asarray(rng.randint(3, 255, (B, TT)), jnp.int32),
+        "text_lengths": jnp.full((B,), TT, jnp.int32),
+        "codes": jnp.asarray(rng.randint(0, 8192, (B, TM)), jnp.int32),
+        "wav_lengths": jnp.full((B,), (TM - 2) * 1024, jnp.int32),
+    }
+
+    def run(s):
+        s2, m = step(s, batch)
+        return s2, m
+
+    # warm (compile)
+    state, m = run(state)
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        state, m = run(state)
+    _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    toks = B * (TT + TM)
+    print(f"trainstep{' lora' if lora else ''} B={B} TT={TT} TM={TM}: "
+          f"{dt*1e3:.0f} ms/step = {toks/dt:.0f} tokens/s/chip "
+          f"(loss {float(np.asarray(m['loss'])):.3f})")
+
+
 def bench_diffparts():
     """Decompose the diffusion program intercept: rel-bias precompute,
     timestep_independent, and the latent trim-gather, each as its own
@@ -496,6 +552,8 @@ if __name__ == "__main__":
         bench_decode_roof_int8()
     if "roofq" in which:
         bench_decode_roof_qgemv()
+    if "trainstep" in which:
+        bench_trainstep()
     if "roofq1024" in which:
         bench_decode_roof_qgemv(block_n=1024)
     if "decablate" in which:

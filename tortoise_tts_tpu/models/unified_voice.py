@@ -35,13 +35,41 @@ from ..ops.pallas_attention import flash_attention
 from ..ops.sampling import SamplingConfig, sample_token
 
 
-def _trunk_attention(q, k, v, key_mask=None):
-    """Full-sequence causal attention for the GPT trunk: the Pallas flash
-    kernel on TPU, XLA mha elsewhere (backend known at trace time)."""
-    if jax.default_backend() == "tpu" and q.shape[-1] == 64:
-        return flash_attention(q, k, v, key_mask=key_mask, causal=True)
+def _xla_trunk_attention(q, k, v, key_mask):
     mask = key_mask[:, None, None, :] if key_mask is not None else None
     return mha(q, k, v, mask=mask, causal=True)
+
+
+@jax.custom_vjp
+def _flash_trunk_attention(q, k, v, key_mask):
+    """Pallas flash forward with an XLA backward: the kernel has no
+    JVP/transpose rules, so differentiating the trunk (training at full
+    scale on real TPU) would otherwise fail inside pallas_call."""
+    return flash_attention(q, k, v, key_mask=key_mask, causal=True)
+
+
+def _flash_trunk_fwd(q, k, v, key_mask):
+    return _flash_trunk_attention(q, k, v, key_mask), (q, k, v, key_mask)
+
+
+def _flash_trunk_bwd(res, g):
+    q, k, v, key_mask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_trunk_attention(
+        q_, k_, v_, key_mask), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_trunk_attention.defvjp(_flash_trunk_fwd, _flash_trunk_bwd)
+
+
+def _trunk_attention(q, k, v, key_mask=None):
+    """Full-sequence causal attention for the GPT trunk: the Pallas flash
+    kernel on TPU (XLA backward via custom_vjp), XLA mha elsewhere
+    (backend known at trace time)."""
+    if jax.default_backend() == "tpu" and q.shape[-1] == 64:
+        return _flash_trunk_attention(q, k, v, key_mask)
+    return _xla_trunk_attention(q, k, v, key_mask)
 from .arch import conditioning_encoder, conditioning_encoder_init
 from .common import (embedding, embedding_init, gelu_new, layer_norm,
                      layer_norm_init, linear, linear_init)
