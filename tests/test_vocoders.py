@@ -206,3 +206,37 @@ def test_pallas_snake_vpu_variant_parity():
         test_pallas_snake_kernel_parity()
     finally:
         os.environ.pop("TTS_BV_SNAKE_TEST", None)
+
+
+def test_snake_pallas_grad_matches_xla(monkeypatch):
+    """BigVGAN GAN training must differentiate through the default-on
+    Pallas snake kernel: _snake_pallas runs the kernel forward
+    (interpret here) and the XLA up2->snake->down2 backward via
+    custom_vjp, so grads match the pure-XLA path."""
+    import numpy as np
+    from tortoise_tts_tpu.ops import pallas_snake as ps
+
+    # route the kernel through interpret mode on CPU
+    real = ps.snake_resample2
+    monkeypatch.setattr(
+        ps, "snake_resample2",
+        lambda x, a, binv, **kw: real(x, a, binv, interpret=True))
+
+    rng = np.random.RandomState(0)
+    B, C, T = 2, 8, 64
+    x = jnp.asarray(rng.randn(B, C, T), jnp.float32)
+    a = jnp.asarray(np.abs(rng.randn(C)) + 0.5, jnp.float32)
+    binv = jnp.asarray(1.0 / (np.abs(rng.randn(C)) + 0.5), jnp.float32)
+
+    def loss_k(x, a, binv):
+        return jnp.sum(bv._snake_pallas(x, a, binv) ** 2)
+
+    def loss_x(x, a, binv):
+        return jnp.sum(bv._snake_xla_ref(x, a, binv) ** 2)
+
+    lk, gk = jax.value_and_grad(loss_k, argnums=(0, 1, 2))(x, a, binv)
+    lx, gx = jax.value_and_grad(loss_x, argnums=(0, 1, 2))(x, a, binv)
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+    for g1, g2 in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-4, rtol=1e-4)

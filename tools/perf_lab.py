@@ -447,14 +447,23 @@ def bench_snake():
 
 
 def bench_trainstep():
-    """Full-scale AR train step on chip (BASELINE config #5's training
-    half): 30Lx1024d bf16 params, remat on, AdamW; reports steps/s and
-    mel-tokens/s/chip.  TTS_TRAIN_B / TTS_TRAIN_TT / TTS_TRAIN_TM size
-    the batch; TTS_TRAIN_LORA=1 trains a rank-128 adapter instead."""
+    """Full-scale train step on chip (BASELINE config #5's training
+    half): bf16 params, remat on, AdamW; reports ms/step and
+    tokens/s/chip.  TTS_TRAIN_B / TTS_TRAIN_TT / TTS_TRAIN_TM size the
+    batch; TTS_TRAIN_LORA=1 trains a rank-128 adapter;
+    TTS_TRAIN_MODEL=ar|diffusion|bigvgan picks the engine (the latter
+    two validate the Pallas kernels' custom_vjp backwards on the real
+    chip — CPU tests bypass the kernels)."""
     import optax
     from tortoise_tts_tpu.engine import state as st, train_step as ts
     from tortoise_tts_tpu.models import unified_voice as uv
     from tortoise_tts_tpu.models.lora import init_lora
+
+    which = os.environ.get("TTS_TRAIN_MODEL", "ar")
+    if which == "diffusion":
+        return _bench_trainstep_diffusion()
+    if which == "bigvgan":
+        return _bench_trainstep_bigvgan()
 
     cfg = uv.UnifiedVoiceConfig()
     B = int(os.environ.get("TTS_TRAIN_B", "8"))
@@ -499,6 +508,83 @@ def bench_trainstep():
     toks = B * (TT + TM)
     print(f"trainstep{' lora' if lora else ''} B={B} TT={TT} TM={TM}: "
           f"{dt*1e3:.0f} ms/step = {toks/dt:.0f} tokens/s/chip "
+          f"(loss {float(np.asarray(m['loss'])):.3f})")
+
+
+def _bench_trainstep_diffusion():
+    """Full-scale diffusion train step (10Lx1024d denoiser, remat's
+    role is minor here; exercises the fused-resblock/qkv-head
+    custom_vjp backwards on chip)."""
+    import optax
+    from tortoise_tts_tpu.engine import state as st, train_step as ts
+    from tortoise_tts_tpu.models import diffusion as dm, gaussian
+
+    cfg = dm.DiffusionConfig()
+    B = int(os.environ.get("TTS_TRAIN_B", "8"))
+    T = int(os.environ.get("TTS_TRAIN_T", "512"))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          dm.init(jax.random.PRNGKey(0), cfg))
+    sched = gaussian.get_schedule(steps=4000, cond_free=False)
+    tx = optax.adamw(1e-5)
+    step = ts.make_diffusion_train_step(cfg, tx, sched, donate=False,
+                                        seed=0)
+    state = st.init_state(params, tx)
+    rng = np.random.RandomState(0)
+    batch = {
+        "mel": jnp.asarray(rng.randn(B, 100, T), jnp.float32),
+        "latents": jnp.asarray(rng.randn(B, T // 4, 1024), jnp.float32),
+        "conditioning_latents": jnp.asarray(rng.randn(B, 2048),
+                                            jnp.float32),
+    }
+    state, m = step(state, batch)
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        state, m = step(state, batch)
+    _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(f"trainstep diffusion B={B} T={T}: {dt*1e3:.0f} ms/step "
+          f"= {B*T/dt:.0f} frames/s/chip "
+          f"(loss {float(np.asarray(m['loss'])):.3f})")
+
+
+def _bench_trainstep_bigvgan():
+    """Full-scale BigVGAN GAN train step (generator + MPD/MRD
+    discriminators; exercises the Pallas snake kernel's custom_vjp
+    backward on chip)."""
+    import optax
+    from tortoise_tts_tpu.engine import state as st, train_step as ts
+    from tortoise_tts_tpu.models import _bigvgan_random
+    from tortoise_tts_tpu.models import bigvgan_disc as bvd
+    from tortoise_tts_tpu.models.bigvgan import BigVGANConfig
+
+    cfg = BigVGANConfig()
+    B = int(os.environ.get("TTS_TRAIN_B", "4"))
+    SEG = int(os.environ.get("TTS_TRAIN_SEG", "8192"))
+    gen = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                       _bigvgan_random(jax.random.PRNGKey(0), cfg))
+    disc = bvd.init(jax.random.PRNGKey(1))
+    tx_g, tx_d = optax.adamw(1e-5), optax.adamw(1e-5)
+    step = ts.make_vocoder_train_step(cfg, tx_g, tx_d, donate=False)
+    params = {"generator": gen, "discriminator": disc}
+    state = st.TrainState(params,
+                          {"g": tx_g.init(gen), "d": tx_d.init(disc)},
+                          jnp.zeros((), jnp.int32),
+                          jnp.zeros((), jnp.int32),
+                          jnp.zeros((), jnp.int32))
+    rng = np.random.RandomState(0)
+    batch = {"wav": jnp.asarray(rng.randn(B, SEG) * 0.1, jnp.float32)}
+    state, m = step(state, batch)
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        state, m = step(state, batch)
+    _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(f"trainstep bigvgan B={B} SEG={SEG}: {dt*1e3:.0f} ms/step "
+          f"= {B*SEG/dt/24000:.2f} audio-s/s/chip "
           f"(loss {float(np.asarray(m['loss'])):.3f})")
 
 

@@ -222,6 +222,39 @@ def _snake_act_fused(p: Params, x: jnp.ndarray, logscale: bool,
     return y.astype(dt)
 
 
+def _snake_xla_ref(x, a, binv):
+    """up2 -> snake -> down2 in plain XLA at the kernel's (C,) fp32
+    parameterisation — the differentiable reference for the Pallas
+    kernel's custom_vjp (and its parity oracle in tests)."""
+    xu = _up2(x)
+    af = a[None, :, None].astype(xu.dtype)
+    bf = binv[None, :, None].astype(xu.dtype)
+    return _down2(xu + bf * jnp.square(jnp.sin(xu * af)))
+
+
+@jax.custom_vjp
+def _snake_pallas(x, a, binv):
+    """Pallas fused up2->snake->down2 forward with an XLA backward:
+    the kernel has no JVP rule, so BigVGAN GAN training on real TPU
+    (where the kernel is the default) would otherwise fail inside
+    pallas_call."""
+    from ..ops.pallas_snake import snake_resample2
+    return snake_resample2(x, a, binv)
+
+
+def _snake_pallas_fwd(x, a, binv):
+    return _snake_pallas(x, a, binv), (x, a, binv)
+
+
+def _snake_pallas_bwd(res, g):
+    x, a, binv = res
+    _, vjp = jax.vjp(_snake_xla_ref, x, a, binv)
+    return vjp(g)
+
+
+_snake_pallas.defvjp(_snake_pallas_fwd, _snake_pallas_bwd)
+
+
 def _snake_act(p: Params, x: jnp.ndarray, logscale: bool,
                beta: bool) -> jnp.ndarray:
     """Activation1d(Snake/SnakeBeta): up2 -> snake -> down2
@@ -230,12 +263,11 @@ def _snake_act(p: Params, x: jnp.ndarray, logscale: bool,
     if mode == "pallas" and jax.default_backend() != "tpu":
         mode = "blocked"   # explicit TTS_BV_RESAMPLE=pallas off-TPU
     if mode == "pallas" and x.shape[-1] >= 8:
-        from ..ops.pallas_snake import snake_resample2
         a = p["alpha"].astype(jnp.float32)
         b = p["beta"].astype(jnp.float32) if beta else a
         if logscale:
             a, b = jnp.exp(a), jnp.exp(b)
-        return snake_resample2(x, a, 1.0 / (b + 1e-9))
+        return _snake_pallas(x, a, 1.0 / (b + 1e-9))
     if mode == "fused" and x.shape[-1] >= 8:
         return _snake_act_fused(p, x, logscale, beta)
     x = _up2(x)
