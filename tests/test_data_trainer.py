@@ -196,3 +196,21 @@ def test_config_embedded_in_weights_roundtrip(tmp_path):
     loaded = Config.load(tmp_path / "model.sft")
     assert loaded.hyperparameters.batch_size == 7
     assert loaded.vocoder == "bigvgan"
+
+
+def test_batches_span_epochs_when_batch_exceeds_dataset(dataset_dir):
+    """batch_size > len(dataset): the fill buffer must carry across
+    epochs — a per-epoch reset yielded NOTHING forever (found as an
+    infinite spin in the mesh train.py integration test; the reference
+    torch DataLoader drops the partial batch but never starves)."""
+    import dataclasses
+    cfg = _cfg(dataset_dir)
+    cfg = dataclasses.replace(
+        cfg, hyperparameters=dataclasses.replace(
+            cfg.hyperparameters, batch_size=16))   # dataset has 10
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+    it = ds.batches()
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["codes"].shape[0] == 16
+    assert b2["codes"].shape[0] == 16

@@ -233,3 +233,33 @@ def test_model_path_checkpoint_loads(train_env, tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(got)[0]),
         np.asarray(want), atol=0)
+
+
+def test_train_main_on_mesh_fsdp(train_env, monkeypatch):
+    """Full train.py integration on the 8-device CPU mesh with
+    trainer.param_sharding: fsdp — config -> load_engines ->
+    Engines.shard -> DP-sharded batches -> REPL loop -> checkpoint.
+    The multi-chip training path as the PRODUCT entry, not a harness."""
+    import yaml as _yaml
+    from tortoise_tts_tpu import train as train_mod
+    from tortoise_tts_tpu.utils import trainer as tr
+
+    raw = _yaml.safe_load((train_env / "cfg.yaml").read_text())
+    raw["trainer"].update({"mesh_shape": [8, 1], "param_sharding": "fsdp",
+                           "iterations": 2, "log_frequency": 1,
+                           "export_on_save": False})
+    raw["hyperparameters"]["batch_size"] = 8
+    (train_env / "cfg_mesh.yaml").write_text(_yaml.safe_dump(raw))
+
+    monkeypatch.setattr(tr, "_non_blocking_input", lambda: "")
+    engines = train_mod.main(["--yaml", str(train_env / "cfg_mesh.yaml")])
+    assert engines.global_step == 2
+    for name in ("autoregressive", "diffusion"):
+        s = engines[name]
+        assert np.isfinite(float(jnp.sum(
+            jax.tree_util.tree_leaves(s.params)[0])))
+    # at least one large AR param is truly sharded over 'data' (the
+    # tiny test trunk stays replicated by the min_size policy, but the
+    # (8194, 64) mel embedding crosses it)
+    w = engines["autoregressive"].params["mel_embedding"]["w"]
+    assert any(str(a) == "data" for a in w.sharding.spec if a is not None)

@@ -385,12 +385,17 @@ class Dataset:
 
     # ------------------------------------------------------------------
     def _index_batches(self, bs: int) -> Iterator[list]:
-        """Infinite stream of index lists from the resumable sampler."""
+        """Infinite stream of index lists from the resumable sampler.
+
+        The fill buffer carries ACROSS epochs: with bs > len(dataset)
+        (or not dividing it) a per-epoch reset would discard the
+        partial batch every epoch — for bs > n it yielded nothing and
+        span forever."""
+        buf = []
         while True:
             if isinstance(self.sampler, BatchedOrderedSampler):
                 yield from self.sampler
             else:
-                buf = []
                 for i in self.sampler:
                     buf.append(i)
                     if len(buf) == bs:

@@ -141,6 +141,12 @@ def main(argv=None):
 
     mesh = pmesh.make_mesh(*cfg.trainer.mesh_shape) \
         if len(cfg.trainer.mesh_shape) == 2 else pmesh.make_mesh()
+    nd = int(mesh.shape["data"])
+    if cfg.hyperparameters.batch_size % nd:
+        raise ValueError(
+            f"hyperparameters.batch_size={cfg.hyperparameters.batch_size} "
+            f"must be divisible by the mesh data axis ({nd}) — each step's "
+            "host batch is DP-sharded over it")
 
     # one engine per cfg.models entry (reference load_engines,
     # engines/__init__.py:40-338) — AR / diffusion / DVAE / CLVP /
