@@ -17,6 +17,10 @@ from tortoise_tts_tpu.parallel import mesh as pmesh
 
 CFG = uv.UnifiedVoiceConfig(layers=2, model_dim=64, heads=4,
                             max_text_tokens=40, max_mel_tokens=32)
+CL_CFG = clvp_m.CLVPConfig(dim_text=32, dim_speech=32, dim_latent=32,
+                           text_enc_depth=1, speech_enc_depth=1,
+                           text_heads=2, speech_heads=2, dim_head=16,
+                           rotary_dim=16)
 
 
 def test_batched_decode_sharded_over_data_axis():
@@ -60,10 +64,7 @@ def _tiny_tts(mesh=None):
     t = TTS(config=Config(inference=Inference(weight_dtype="float32",
                                               text_buckets=(32,))),
             dtype="float32", mesh=mesh)
-    cl_cfg = clvp_m.CLVPConfig(dim_text=32, dim_speech=32, dim_latent=32,
-                               text_enc_depth=1, speech_enc_depth=1,
-                               text_heads=2, speech_heads=2, dim_head=16,
-                               rotary_dim=16)
+    cl_cfg = CL_CFG
     t._models = {
         "autoregressive": LoadedModel("autoregressive", uv_m, ar_cfg,
                                       uv_m.init(ks[0], ar_cfg), False),
@@ -140,10 +141,7 @@ def test_candidate_fanout_with_sharded_clvp_scores():
     axis (the reference reranks on one GPU; here scores come back from a
     sharded forward — inference.py:392-396 capability at mesh scale)."""
     mesh = pmesh.make_mesh(data=8, model=1)
-    cl_cfg = clvp_m.CLVPConfig(dim_text=32, dim_speech=32, dim_latent=32,
-                               text_enc_depth=1, speech_enc_depth=1,
-                               text_heads=2, speech_heads=2, dim_head=16,
-                               rotary_dim=16)
+    cl_cfg = CL_CFG
     params = clvp_m.init(jax.random.PRNGKey(0), cl_cfg)
     rng = np.random.RandomState(0)
     text = jnp.asarray(np.tile(rng.randint(0, 256, (1, 12)), (16, 1)))

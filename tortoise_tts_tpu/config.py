@@ -168,8 +168,9 @@ class Inference:
     # qgemv_stacked_w8a8) at some extra quantization noise.
     # Prefill/latents/logits stay bf16 in every mode.
     # Default int8 == the benched config (bench.py); quality guardrails:
-    # tests/test_unified_voice.py::test_int8_fullsize_quality_guardrail
-    # + the small-model e2e agreement tests.
+    # tests/fullscale_census.py::test_zz_int8_fullsize_quality_guardrail
+    # (run via tests/test_zz_fullscale.py) + the small-model int8
+    # agreement tests in tests/test_unified_voice.py.
     decode_quant: str = "int8"
 
     def __post_init__(self):
@@ -281,24 +282,25 @@ class Config:
         return self.models[0]
 
     # ---- provenance capture (reference config.py:73-87) ----
-    @property
-    def git_commit(self) -> str:
+    def _git(self, *args) -> str:
+        """Provenance is captured from the repo CONTAINING THE CONFIG
+        (rel_path), not the process CWD — a run launched from elsewhere
+        (cron, notebook) must not record another checkout's state."""
         import subprocess
         try:
             return subprocess.check_output(
-                ["git", "rev-parse", "HEAD"],
+                ["git", *args], cwd=str(self.rel_path),
                 stderr=subprocess.DEVNULL).decode().strip()
         except Exception:
             return ""
 
     @property
+    def git_commit(self) -> str:
+        return self._git("rev-parse", "HEAD")
+
+    @property
     def git_status(self) -> str:
-        import subprocess
-        try:
-            return subprocess.check_output(
-                ["git", "status"], stderr=subprocess.DEVNULL).decode().strip()
-        except Exception:
-            return ""
+        return self._git("status")
 
     def dumps(self) -> str:
         """JSON dump of the full config + git provenance

@@ -459,15 +459,26 @@ class TTS:
               if cond_free else None)
         return n_lat, seq_len, pad_seq_len, uh
 
-    @staticmethod
-    def _decode_budget_latents(max_ar_steps: int, res_lengths) -> int:
+    # budgets at or under this are STATIC program-shape keys (sized by
+    # the budget itself, zero mid-pipeline fetches); larger budgets pay
+    # one lengths fetch — keep every consumer on this one constant
+    STATIC_BUDGET_MAX = 256
+
+    @classmethod
+    def _decode_budget_latents(cls, max_ar_steps: int, res_lengths,
+                               upto: Optional[int] = None) -> int:
         """Small decode budgets: size programs by the budget itself
         (zero mid-pipeline fetches).  Large budgets: spend ONE cheap
         lengths fetch (~55 ms) so a short utterance doesn't pay for a
-        max_ar_steps-sized diffusion."""
-        if max_ar_steps <= 256:
+        max_ar_steps-sized diffusion.  ``upto`` restricts the fetch to
+        the REAL rows (mesh-padding rows never emit stop, so they always
+        report the full budget)."""
+        if max_ar_steps <= cls.STATIC_BUDGET_MAX:
             return max_ar_steps
-        return min(int(np.asarray(res_lengths).max()) + 1, max_ar_steps)
+        arr = np.asarray(res_lengths)
+        if upto is not None:
+            arr = arr[:upto]
+        return min(int(arr.max()) + 1, max_ar_steps)
 
     def _uncond_integrated(self, diffusion, steps: int,
                            cond_free_k: float, T: int):
@@ -765,10 +776,12 @@ class TTS:
             return out[:b], sr
 
         # single shared-max program (zero mid-pipeline fetches): sized
-        # by the decode budget — every row pays the longest row's T
+        # by the decode budget — every row pays the longest REAL row's T
+        # (mesh-padding rows never emit stop and would report the full
+        # budget, defeating the lengths-based sizing)
         n_lat, seq_len, pad_seq_len, uh = self._diffusion_geometry(
             diffusion, self._decode_budget_latents(max_ar_steps,
-                                                   res.lengths),
+                                                   res.lengths, upto=b),
             diffusion_pad_multiple, mel_pad_multiple,
             max_diffusion_steps, cond_free)
         mel = _jit_diffusion(
@@ -934,7 +947,8 @@ class TTS:
             # skip the n_lat rounding — mel_pad_multiple tile-aligns T,
             # and rounding 200 -> 224 latents inflated the denoiser to
             # T=1024 where the budget fits T=896 (~14%/step)
-            dpm = (0 if (max_ar_steps <= 256 and mel_pad_multiple > 1)
+            dpm = (0 if (max_ar_steps <= self.STATIC_BUDGET_MAX
+                         and mel_pad_multiple > 1)
                    else diffusion_pad_multiple)
             n_lat, output_seq_len, pad_seq_len, uh = \
                 self._diffusion_geometry(

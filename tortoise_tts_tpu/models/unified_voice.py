@@ -841,18 +841,22 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
                                     apply_top_p, apply_typical)
         rng, sub = jax.random.split(c.rng)
         x = logits_of(c.lat)                            # (B*W, V) fp32
-        # logits PROCESSORS (HF applies these in every decode mode):
-        # stop-logit length penalty, repetition penalty on per-beam
-        # counts, typical warper (the reference passes it through
-        # generate()'s logits_processor list, unified_voice.py:659)
+        # stop-logit length penalty on raw logits (reference
+        # samplers.py:35-40 operates pre-softmax)
         if snap.length_penalty_factor != 0.0:
             sl = apply_length_penalty(x[:, cfg.stop_mel_token], c.step,
                                       snap.length_penalty_factor)
             x = x.at[:, cfg.stop_mel_token].set(sl)
-        x = apply_repetition_penalty(x, c.counts.reshape(b * w, V),
-                                     snap.repetition_penalty)
-        x = apply_typical(x, snap.typical_mass)
-        logp = jax.nn.log_softmax(x, axis=-1).reshape(b, w, V)
+        logp = jax.nn.log_softmax(x, axis=-1)
+        # logits PROCESSORS on LOG-PROB scores — HF's beam modes apply
+        # the processor list to log_softmax'ed scores (generate's
+        # beam_search/beam_sample), unlike sample() which processes raw
+        # logits: repetition penalty on per-beam counts, then the
+        # typical warper (the reference passes it through generate()'s
+        # logits_processor list, unified_voice.py:659)
+        logp = apply_repetition_penalty(logp, c.counts.reshape(b * w, V),
+                                        snap.repetition_penalty)
+        logp = apply_typical(logp, snap.typical_mass).reshape(b, w, V)
         # frozen beams: only 'continue as stop' with 0 added score
         stop_only = jnp.full((V,), -jnp.inf).at[cfg.stop_mel_token].set(0.0)
         logp = jnp.where(c.finished[..., None], stop_only[None, None], logp)
@@ -861,7 +865,11 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
             # HF beam_sample: the temperature/top-k/top-p WARPERS apply
             # to score+beam totals, then 2W candidates are drawn without
             # replacement from softmax(flat) — Gumbel top-k is exactly
-            # that — and the top W by warped score continue.
+            # that — and the top W by warped score continue.  Frozen
+            # beams' stop-continuations are ADDED deterministically to
+            # the candidate pool: HF moves finished hypotheses to
+            # BeamHypotheses where a random draw can never displace
+            # them, so they must not be subject to sampling loss here.
             warped = apply_temperature(total.reshape(b * w, V),
                                        snap.temperature)
             warped = apply_top_k(warped, snap.top_k)
@@ -870,6 +878,13 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
             gumbel = jax.random.gumbel(sub, flat.shape, jnp.float32)
             _, cand = lax.top_k(jnp.where(jnp.isfinite(flat),
                                           flat + gumbel, -jnp.inf), 2 * w)
+            stop_cand = (jnp.arange(w)[None] * V
+                         + cfg.stop_mel_token).astype(cand.dtype)
+            # unfinished beams' stop entries just compete on their own
+            # warped score (possibly -inf after top-k/p); frozen beams'
+            # are their only finite entry, so they survive on score
+            cand = jnp.concatenate(
+                [cand, jnp.broadcast_to(stop_cand, (b, w))], axis=1)
             cand_scores = jnp.take_along_axis(flat, cand, axis=1)
             top_scores, order = lax.top_k(cand_scores, w)   # sort desc
             top_idx = jnp.take_along_axis(cand, order, axis=1)
