@@ -736,9 +736,19 @@ class TTS:
             # drag garbage rows through the largest diffusion bucket
             n_lats = np.asarray([ladder(max(int(t), 1))
                                  for t in t_np[:b]])
+            # cap rows per diffusion dispatch: the denoiser's sweet spot
+            # is 8 rows (cond-free B=16 — 16.1 ms/step with the VT
+            # kernel); one B=32 program measures WORSE than two B=16
+            # (batch-16 bench 24.2 vs batch-8 26.7 audio-s/s), so larger
+            # batches pipeline through several dispatches instead
+            cap_rows = max(nshard, 8)
             pending = []          # (rows, wav_handle, kind)
+            chunks = []
             for n_lat in sorted(set(n_lats.tolist())):
-                rows = np.nonzero(n_lats == n_lat)[0]
+                rows_all = np.nonzero(n_lats == n_lat)[0]
+                chunks += [(n_lat, rows_all[i:i + cap_rows])
+                           for i in range(0, len(rows_all), cap_rows)]
+            for n_lat, rows in chunks:
                 k = len(rows)
                 kp = max(nshard, 1 << (k - 1).bit_length())  # pow2 pad
                 rows_p = np.concatenate(
