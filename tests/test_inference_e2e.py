@@ -149,6 +149,23 @@ def test_e2e_candidates_clvp(tts, ref_wav):
     _check(wav, sr)
 
 
+def test_candidates_device_rerank_matches_host(tts, ref_wav, monkeypatch):
+    """The device-resident candidate rerank (_jit_rerank_latents: cleanup
+    + CLVP scores + winner latent pass in ONE program) must reproduce
+    the host path (TTS_HOST_TRIM=1: fetch codes, clean on host, score,
+    rerank) bit-for-bit on CPU fp32 when no candidate emits stop (then
+    the CLVP inputs are identical; with stops the device form scores
+    budget-length calm padding — the documented delta)."""
+    kw = dict(max_ar_steps=16, max_diffusion_steps=4, seed=4,
+              candidates=3)
+    dev, sr = tts.inference("pick the best", ref_wav, **kw)
+    monkeypatch.setenv("TTS_HOST_TRIM", "1")
+    host, _ = tts.inference("pick the best", ref_wav, **kw)
+    assert sr == 24_000
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, atol=2e-5)
+
+
 def test_e2e_p_sampler_no_cond_free(tts, ref_wav):
     wav, sr = tts.inference("p sampler", ref_wav, max_ar_steps=16,
                             max_diffusion_steps=4, seed=5,

@@ -66,19 +66,11 @@ def _jit_latent_pass(params, cond, text, text_lengths, codes, wav_lengths,
                       cfg, return_latent=True)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _jit_cleanup_latents(params, cond, text, text_lengths, codes, lengths,
-                         cfg):
-    """Device-side stop-token cleanup + calm-trim + latent pass in ONE
-    program — the vectorized equivalent of ``TTS.cleanup_codes`` +
-    ``TTS.calm_trim_point`` (reference inference.py:353-389) followed by
-    the return_latent forward.
-
-    Keeping this on device matters enormously here: through the remote
-    relay every device->host fetch costs ~50-100 ms of round-trip
-    latency, and the host path fetches codes AND lengths before it can
-    dispatch the latent pass.  Returns (latents (B, N, D), t_lat (B,)).
-    """
+def _device_cleanup(codes, lengths, cfg):
+    """Vectorized stop-token cleanup + calm-trim point on device — the
+    exact math of ``TTS.cleanup_codes`` + ``TTS.calm_trim_point``
+    (reference inference.py:353-389).  Returns (cleaned codes with the
+    past-lv region stop-padded, per-row trim point t_lat, lv)."""
     b, n = codes.shape
     idx = jnp.arange(n)[None, :]
     lv = jnp.minimum(jnp.max(lengths) + 1, n)          # scalar, traced
@@ -93,17 +85,69 @@ def _jit_cleanup_latents(params, cond, text, text_lengths, codes, lengths,
     # region past lv = stop token (the host path pads codes with it)
     cleaned = jnp.where(in_range, cleaned, cfg.stop_mel_token)
 
-    wav_lengths = jnp.full((b,), 1, jnp.int32) * lv * \
-        cfg.mel_length_compression
-    latents = uv_forward(params, cond, text, text_lengths, cleaned,
-                         wav_lengths, cfg, return_latent=True)
-
     # first index where >8 consecutive calm tokens begin, else lv
     is_calm = (cleaned == CALM_TOKEN) & in_range
     nc = jnp.where(~is_calm, idx, -1)
     run = idx - jax.lax.cummax(nc, axis=1)
     t_lat = jnp.min(jnp.where((run > 8) & in_range, idx, lv), axis=1)
-    return latents, t_lat.astype(jnp.int32)
+    return cleaned, t_lat.astype(jnp.int32), lv
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_cleanup_latents(params, cond, text, text_lengths, codes, lengths,
+                         cfg):
+    """Device-side stop-token cleanup + calm-trim + latent pass in ONE
+    program — the vectorized equivalent of ``TTS.cleanup_codes`` +
+    ``TTS.calm_trim_point`` (reference inference.py:353-389) followed by
+    the return_latent forward.
+
+    Keeping this on device matters enormously here: through the remote
+    relay every device->host fetch costs ~50-100 ms of round-trip
+    latency, and the host path fetches codes AND lengths before it can
+    dispatch the latent pass.  Returns (latents (B, N, D), t_lat (B,)).
+    """
+    b = codes.shape[0]
+    cleaned, t_lat, lv = _device_cleanup(codes, lengths, cfg)
+    wav_lengths = jnp.full((b,), 1, jnp.int32) * lv * \
+        cfg.mel_length_compression
+    latents = uv_forward(params, cond, text, text_lengths, cleaned,
+                         wav_lengths, cfg, return_latent=True)
+    return latents, t_lat
+
+
+@partial(jax.jit, static_argnames=("cfg", "clvp_cfg"))
+def _jit_rerank_latents(params, clvp_params, cond, text, text_lengths,
+                        codes, lengths, cfg, clvp_cfg):
+    """Candidate fan-out, fully device-resident (config #3 fast path):
+    cleanup all candidates, CLVP-score them, argmax, and run the
+    return_latent pass on the WINNER row only — zero host fetches
+    between the AR decode and the diffusion dispatch (the host path
+    fetches codes+lengths, then the scores: 2+ relay round trips).
+
+    Design delta vs the host path (documented + tested): CLVP scores
+    the budget-length CALM-padded candidates instead of truncating at
+    the longest candidate — trailing calm tokens past lv are exactly
+    what the reference's own cleanup emits before that truncation.
+    Returns (latents (1, N, D), t_lat (1,), best index ()).
+    """
+    from .models import clvp as _clvp
+    cleaned, t_lat, lv = _device_cleanup(codes, lengths, cfg)
+    # CLVP's speech vocab is 8192: the stop-padding past lv is
+    # out-of-vocab, so score the calm-padded form instead
+    idx = jnp.arange(cleaned.shape[1])[None, :]
+    clvp_codes = jnp.where(idx < lv, cleaned, CALM_TOKEN)
+    scores = _clvp.forward(clvp_params, text, clvp_codes, clvp_cfg)
+    best = jnp.argmax(scores)
+
+    def sel(x):
+        return jax.lax.dynamic_index_in_dim(x, best, 0, keepdims=True)
+
+    wav_lengths = jnp.full((1,), 1, jnp.int32) * lv * \
+        cfg.mel_length_compression
+    latents = uv_forward(params, sel(cond), sel(text), sel(text_lengths),
+                         sel(cleaned), wav_lengths, cfg,
+                         return_latent=True)
+    return latents, sel(t_lat), best
 
 
 @partial(jax.jit, static_argnames=("dcfg", "steps", "sampler", "seq_len",
@@ -937,21 +981,39 @@ class TTS:
             line, ar_latent, sampling, max_ar_steps, k_ar,
             candidates=candidates)
 
-        # Single-fetch device-resident path: for the plain 1-candidate
-        # BigVGAN route the ONLY device->host transfer of the whole
-        # utterance is the final packed wav (each relay fetch costs
-        # ~50-100 ms; the host path below does three).  Cleanup, calm
-        # trim, latent pass, diffusion and vocoding all stay on device;
-        # the trim point rides back inside the wav payload.
-        if (candidates == 1 and vocoder_type == "bigvgan"
+        # Single-fetch device-resident path for the BigVGAN route: the
+        # ONLY device->host transfer of the whole utterance is the
+        # final packed wav (each relay fetch costs ~50-100 ms; the host
+        # path below does three+).  Cleanup, calm trim, CLVP rerank
+        # (for candidates>1), latent pass, diffusion and vocoding all
+        # stay on device; the trim point rides inside the wav payload.
+        if (vocoder_type == "bigvgan"
                 and os.environ.get("TTS_HOST_TRIM") != "1"):
             tick("ar_decode")
+            nrows = np.asarray(tokens).shape[0] if candidates > 1 else 1
             lat_b = np.broadcast_to(
                 np.asarray(ar_latent),
-                (1, np.asarray(ar_latent).shape[-1]))
-            latents, t_lat_d = _jit_cleanup_latents(
-                ar.params, lat_b, tokens, text_lengths, res.codes,
-                res.lengths, ar.config)
+                (nrows, np.asarray(ar_latent).shape[-1]))
+            if candidates > 1:
+                clvp = self._model("clvp")
+                cmesh = (self.mesh if self.mesh is not None and candidates
+                         % int(self.mesh.shape["data"]) == 0 else None)
+                cparams = self._sharded_params("clvp", cmesh,
+                                               params=clvp.params) \
+                    if cmesh is not None else clvp.params
+                aparams = self._sharded_params(
+                    "autoregressive", cmesh) if cmesh is not None \
+                    else ar.params
+                if cmesh is not None:
+                    lat_b = jax.device_put(np.ascontiguousarray(lat_b),
+                                           self._data_sharding(cmesh))
+                latents, t_lat_d, _best = _jit_rerank_latents(
+                    aparams, cparams, lat_b, tokens, text_lengths,
+                    res.codes, res.lengths, ar.config, clvp.config)
+            else:
+                latents, t_lat_d = _jit_cleanup_latents(
+                    ar.params, lat_b, tokens, text_lengths, res.codes,
+                    res.lengths, ar.config)
             tick("latent_pass", latents)
             # a static decode budget already keys the program shape, so
             # skip the n_lat rounding — mel_pad_multiple tile-aligns T,
@@ -987,8 +1049,11 @@ class TTS:
             tick("vocoder")
             return out
 
-        codes = self.cleanup_codes(np.asarray(res.codes),
-                                   np.asarray(res.lengths),
+        # ONE device_get for codes+lengths (separate np.asarray calls
+        # are two ~50-100 ms relay round trips)
+        codes_h, lengths_h = jax.device_get((res.codes, res.lengths))
+        codes = self.cleanup_codes(np.asarray(codes_h),
+                                   np.asarray(lengths_h),
                                    ar.config.stop_mel_token)
         tick("ar_decode")
         L = codes.shape[1]
