@@ -139,6 +139,11 @@ class Trainer:
     # fetch is a ~50-100 ms round trip, so fetching per step caps real
     # TPU step rate; off-cadence steps are dispatch-only
     log_frequency: int = 10
+    # donate the TrainState buffers to the jitted step (halves peak HBM
+    # during the update).  Set false to make OOM-skip recovery free:
+    # with donation on, a step that dies mid-execution consumes the
+    # state and Engines.step rebuilds it from the last checkpoint
+    donate_train_state: bool = True
     # training param layout: "replicated" (DDP role) or "fsdp"
     # (ZeRO-3 role — params sharded over 'data', allgathered per use by
     # GSPMD; reference config.py:533-545 zero_optimization stages)

@@ -33,9 +33,26 @@ def _all_ranks_agree_oom(local_oom: bool) -> bool:
     return bool(np.asarray(votes).sum() > 0)
 
 
+def _state_intact(state: TrainState) -> bool:
+    """True when every device buffer of the state is still alive.
+
+    Train steps donate the input TrainState (donate_argnums=(0,)); a
+    step that dies mid-execution (RESOURCE_EXHAUSTED) may already have
+    consumed the donated buffers, so the pre-step state object cannot
+    be reused for the next batch."""
+    import jax
+    for leaf in jax.tree_util.tree_leaves(state):
+        if isinstance(leaf, jax.Array) and leaf.is_deleted():
+            return False
+    return True
+
+
 class Engines:
     def __init__(self):
         self._engines: Dict[str, Dict[str, Any]] = {}
+        # last checkpoint location — the recovery source when an OOM'd
+        # donated step invalidates an engine's live state
+        self._ckpt_dir: Optional[Path] = None
 
     def add(self, name: str, state: TrainState, step_fn: Callable,
             batch_selector: Optional[Callable] = None,
@@ -99,6 +116,14 @@ class Engines:
             if _all_ranks_agree_oom(oom):
                 _logger.error("OOM during %s step — skipping batch", name)
                 metrics[f"{name}.skipped"] = 1.0
+                # donation hazard (engine/train_step.py donate_argnums):
+                # the failed call may have consumed the donated state
+                # buffers, so "keep using e['state']" is only safe when
+                # they are all still alive — otherwise reload the last
+                # checkpoint (reference semantics: OOM -> save/skip and
+                # keep training from a valid state, engines/base.py:538-597)
+                if not _state_intact(e["state"]):
+                    self._recover_state(name, e)
                 continue
             if oom:
                 # this rank OOM'd but others did not: there is no local
@@ -133,6 +158,39 @@ class Engines:
         if grad_norms:
             metrics["grad_norm"] = float(np.mean(grad_norms))
         return metrics
+
+    def _recover_state(self, name: str, e: Dict[str, Any]):
+        """Rebuild an engine's TrainState after a donated step died
+        mid-execution: reload the last checkpoint (the step counter
+        rewinds to it — the reference's OOM story is likewise
+        checkpoint-based, save_on_oom + run.sh retry)."""
+        if self._ckpt_dir is None:
+            raise RuntimeError(
+                f"engine {name}: state buffers were donated to a step "
+                "that OOM'd, and no checkpoint has been written yet — "
+                "cannot continue.  Save a checkpoint before training "
+                "(trainer.save_frequency) or build the train step with "
+                "donate=False (trainer.donate_train_state: false).")
+        try:
+            restored = load_checkpoint(self._ckpt_dir, name, e["state"],
+                                       strict=True)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"engine {name}: state buffers were donated to a step "
+                f"that OOM'd and no checkpoint exists under "
+                f"{self._ckpt_dir} — cannot continue.") from None
+        if not _state_intact(restored):
+            # an incomplete checkpoint left template (dead) leaves in
+            # the restored tree — continuing would crash on first use
+            raise RuntimeError(
+                f"engine {name}: checkpoint under {self._ckpt_dir} did "
+                "not cover every state leaf; cannot rebuild the donated "
+                "state after OOM.")
+        e["state"] = restored
+        e["host_step"] = int(e["state"].step)
+        _logger.warning("%s: state restored from checkpoint at step %d "
+                        "after OOM invalidated the live buffers",
+                        name, e["host_step"])
 
     def shard(self, mesh, mode: str = "replicated"):
         """Lay every engine's TrainState out on `mesh` per
@@ -205,12 +263,14 @@ class Engines:
 
     def save_checkpoint(self, ckpt_dir: Path, keep_last: int = 0,
                         is_leader: bool = True):
+        self._ckpt_dir = Path(ckpt_dir)
         for name, e in self._engines.items():
             save_checkpoint(ckpt_dir, name, e["state"],
                             int(e["state"].step), keep_last=keep_last,
                             is_leader=is_leader)
 
     def load_checkpoint(self, ckpt_dir: Path, strict: bool = True):
+        self._ckpt_dir = Path(ckpt_dir)
         for name, e in self._engines.items():
             try:
                 e["state"] = load_checkpoint(ckpt_dir, name, e["state"],

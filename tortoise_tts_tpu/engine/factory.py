@@ -154,6 +154,7 @@ def load_engines(cfg: Config, training: bool = True,
         hp = _merged_hp(cfg, m)
         tx = optim.make_optimizer(hp)
         lm = loaded[m.name]
+        donate = cfg.trainer.donate_train_state
 
         if m.name == "autoregressive":
             if lora is not None and lora.training:
@@ -166,7 +167,8 @@ def load_engines(cfg: Config, training: bool = True,
                     lora_cfg=lora, base_params=lm.params,
                     teacher_params=teacher_params,
                     teacher_alpha=hp.teacher_alpha,
-                    teacher_temperature=hp.teacher_temperature)
+                    teacher_temperature=hp.teacher_temperature,
+                    donate=donate)
                 name = lora.full_name
                 ar_engine.update(name=name, lora=True)
             else:
@@ -176,7 +178,8 @@ def load_engines(cfg: Config, training: bool = True,
                     remat=cfg.trainer.gradient_checkpointing,
                     teacher_params=teacher_params,
                     teacher_alpha=hp.teacher_alpha,
-                    teacher_temperature=hp.teacher_temperature)
+                    teacher_temperature=hp.teacher_temperature,
+                    donate=donate)
                 name = m.full_name
                 ar_engine.update(name=name, lora=False)
             engines.add(name, state, step_fn,
@@ -192,7 +195,8 @@ def load_engines(cfg: Config, training: bool = True,
             # config-seedable and resume-consistent (a resumed run
             # replays the t/noise draws of the uninterrupted one)
             diff_step = ts.make_diffusion_train_step(
-                lm.config, tx, sched, seed=cfg.trainer.seed)
+                lm.config, tx, sched, seed=cfg.trainer.seed,
+                donate=donate)
 
             def diff_select(batch):
                 if "mel_diff" not in batch:
@@ -215,7 +219,7 @@ def load_engines(cfg: Config, training: bool = True,
 
         elif m.name == "dvae":
             state = st.init_state(lm.params, tx)
-            dvstep = ts.make_dvae_train_step(lm.config, tx)
+            dvstep = ts.make_dvae_train_step(lm.config, tx, donate=donate)
 
             def dvae_select(batch):
                 if "mel" not in batch:
@@ -231,7 +235,7 @@ def load_engines(cfg: Config, training: bool = True,
 
         elif m.name == "clvp":
             state = st.init_state(lm.params, tx)
-            cstep = ts.make_clvp_train_step(lm.config, tx)
+            cstep = ts.make_clvp_train_step(lm.config, tx, donate=donate)
             engines.add(m.full_name, state, cstep,
                         batch_selector=lambda b: {"text": b["text"],
                                                   "codes": b["codes"]},
@@ -239,7 +243,8 @@ def load_engines(cfg: Config, training: bool = True,
 
         elif m.name == "bigvgan":
             tx_d = optim.make_optimizer(hp)
-            vstep = ts.make_vocoder_train_step(lm.config, tx, tx_d)
+            vstep = ts.make_vocoder_train_step(lm.config, tx, tx_d,
+                                           donate=donate)
             from ..models import bigvgan_disc as bvd
             disc = bvd.init(jax.random.PRNGKey(1))
             import jax.numpy as jnp

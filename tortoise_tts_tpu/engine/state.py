@@ -151,9 +151,13 @@ def load_checkpoint(ckpt_dir: Path, name: str, state: TrainState,
     opt_path = d / "optimizer.sft"
     if load_states and opt_path.exists():
         flat = load_state_dict(opt_path)
-        st = jnp.asarray(int(flat.pop("__step__", 0)), jnp.int32)
-        sm = jnp.asarray(int(flat.pop("__samples__", 0)), jnp.int32)
-        tk = jnp.asarray(int(flat.pop("__tokens__", 0)), jnp.int32)
+        def _scalar(key):
+            v = flat.pop(key, None)
+            return 0 if v is None else int(np.asarray(v).reshape(-1)[0])
+
+        st = jnp.asarray(_scalar("__step__"), jnp.int32)
+        sm = jnp.asarray(_scalar("__samples__"), jnp.int32)
+        tk = jnp.asarray(_scalar("__tokens__"), jnp.int32)
         flat = {k: v for k, v in flat.items() if not k.startswith("extra/")}
         opt_state = unflatten_like(state.opt_state, flat, strict=False)
     return TrainState(params, opt_state, st, sm, tk)
