@@ -115,34 +115,48 @@ def _jit_cleanup_latents(params, cond, text, text_lengths, codes, lengths,
     return latents, t_lat
 
 
-@partial(jax.jit, static_argnames=("cfg", "clvp_cfg"))
+@partial(jax.jit, static_argnames=("cfg", "clvp_cfg", "ncand", "n_real"))
 def _jit_rerank_latents(params, clvp_params, cond, text, text_lengths,
-                        codes, lengths, cfg, clvp_cfg):
+                        codes, lengths, cfg, clvp_cfg,
+                        ncand: Optional[int] = None,
+                        n_real: Optional[int] = None):
     """Candidate fan-out, fully device-resident (config #3 fast path):
     cleanup all candidates, CLVP-score them, argmax, and run the
-    return_latent pass on the WINNER row only — zero host fetches
+    return_latent pass on the WINNER row(s) only — zero host fetches
     between the AR decode and the diffusion dispatch (the host path
     fetches codes+lengths, then the scores: 2+ relay round trips).
+
+    ``ncand``: rows come in groups of this many candidates (row-major;
+    default = all rows are one group, the single-utterance path).  One
+    winner is picked PER GROUP — the batched-serving per-row rerank.
+    ``n_real``: rows >= n_real are mesh padding (the fan-out is padded
+    to the data axis); their scores are masked out of the argmax.
 
     Design delta vs the host path (documented + tested): CLVP scores
     the budget-length CALM-padded candidates instead of truncating at
     the longest candidate — trailing calm tokens past lv are exactly
     what the reference's own cleanup emits before that truncation.
-    Returns (latents (1, N, D), t_lat (1,), best index ()).
+    Returns (latents (G, N, D), t_lat (G,), best (G,) flat row index)
+    where G = rows // ncand.
     """
     from .models import clvp as _clvp
+    R = codes.shape[0]
+    C = R if ncand is None else ncand
     cleaned, t_lat, lv = _device_cleanup(codes, lengths, cfg)
     # CLVP's speech vocab is 8192: the stop-padding past lv is
     # out-of-vocab, so score the calm-padded form instead
     idx = jnp.arange(cleaned.shape[1])[None, :]
     clvp_codes = jnp.where(idx < lv, cleaned, CALM_TOKEN)
     scores = _clvp.forward(clvp_params, text, clvp_codes, clvp_cfg)
-    best = jnp.argmax(scores)
+    if n_real is not None and n_real < R:
+        scores = jnp.where(jnp.arange(R) < n_real, scores, -jnp.inf)
+    best = (jnp.argmax(scores.reshape(-1, C), axis=1)
+            + jnp.arange(R // C) * C)                    # (G,) flat rows
 
     def sel(x):
-        return jax.lax.dynamic_index_in_dim(x, best, 0, keepdims=True)
+        return jnp.take(x, best, axis=0)
 
-    wav_lengths = jnp.full((1,), 1, jnp.int32) * lv * \
+    wav_lengths = jnp.full((best.shape[0],), 1, jnp.int32) * lv * \
         cfg.mel_length_compression
     latents = uv_forward(params, sel(cond), sel(text), sel(text_lengths),
                          sel(cleaned), wav_lengths, cfg,
@@ -184,6 +198,9 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
         latents = jnp.take(latents, rows, axis=0)
         if t_lat is not None:
             t_lat = jnp.take(jnp.atleast_1d(t_lat), rows, axis=0)
+        if diff_cond.ndim == 2 and diff_cond.shape[0] > 1:
+            # per-row voices: each bucket row keeps ITS voice's latent
+            diff_cond = jnp.take(diff_cond, rows, axis=0)
     b = latents.shape[0]
     if n_lat is not None:
         t = jnp.atleast_1d(t_lat)
@@ -575,6 +592,7 @@ class TTS:
         mirostat_tau: float = 0.0,
         mirostat_eta: float = 0.1,
         min_temperature: float = 0.0,
+        greedy: bool = False,
         conditioning_latents: Optional[Tuple] = None,
     ) -> Tuple[np.ndarray, int]:
         """Full pipeline; returns (wav float32 (T,), 24000).
@@ -611,7 +629,7 @@ class TTS:
             repetition_penalty=repetition_penalty,
             length_penalty=length_penalty,
             length_penalty_factor=length_penalty_factor,
-            beam_width=beam_width,
+            beam_width=beam_width, greedy=greedy,
             mirostat_tau=mirostat_tau, mirostat_eta=mirostat_eta,
             min_temperature=min_temperature)
 
@@ -643,10 +661,54 @@ class TTS:
         return wav, sr
 
     # ------------------------------------------------------------------
+    def _encode_voice_rows(self, references, texts, seed):
+        """Per-row conditioning latents for batched serving.
+
+        ``references`` as a single str/Path (";"-joined clips) or a
+        sequence NOT matching len(texts) = ONE voice broadcast to every
+        row (the round-3 behavior).  A list/tuple with one entry PER
+        TEXT = per-row voices (each entry: None for voiceless RLG
+        conditioning, a str of ";"-joined clip paths, or a sequence of
+        clip paths); each distinct voice is encoded once (the voice
+        cache) and its latents stacked row-wise — matching the
+        reference's per-call ``references`` conditioning
+        (inference.py:142, 220-235) at batch scale.
+
+        Returns (ar_rows (B, Da), diff_rows (B, Dd) or (1, Dd) when a
+        single voice is shared)."""
+        b = len(texts)
+
+        def one(ref, row):
+            if ref is None:
+                from .models import rlg as rlg_m
+                k1, k2 = _host_keys((seed ^ 0x5F3C) + row * 7919, 2)
+                rga = self._model("rlg_auto")
+                rgd = self._model("rlg_diffuser")
+                return (np.asarray(rlg_m.sample(rga.params, k1, 1,
+                                                int(rga.config))),
+                        np.asarray(rlg_m.sample(rgd.params, k2, 1,
+                                                int(rgd.config))))
+            enc = self.encode_audio(ref, seed=seed)
+            a, d = enc["latent"]
+            return np.asarray(a), np.asarray(d)
+
+        per_row = (isinstance(references, (list, tuple))
+                   and len(references) == b
+                   and (b > 1 or references and (
+                       references[0] is None
+                       or isinstance(references[0], (list, tuple)))))
+        if not per_row:
+            a, d = one(references, 0)
+            return (np.broadcast_to(a, (b, a.shape[-1])),
+                    d.reshape(1, -1))
+        rows = [one(r, i) for i, r in enumerate(references)]
+        return (np.concatenate([a for a, _ in rows], axis=0),
+                np.concatenate([d for _, d in rows], axis=0))
+
     def batch_inference(
         self,
         texts: Sequence[str],
-        references: Optional[str | Sequence[str | Path]] = None,
+        references: Optional[str | Sequence] = None,
         max_ar_steps: int = 500,
         max_diffusion_steps: int = 80,
         ar_temp: float = 0.8,
@@ -654,6 +716,16 @@ class TTS:
         top_p: float = 1.0,
         top_k: int = 0,
         repetition_penalty: float = 1.0,
+        length_penalty: float = 1.0,
+        length_penalty_factor: float = 0.0,
+        beam_width: int = 1,
+        typical_sampling: bool = False,
+        typical_mass: float = 0.9,
+        mirostat_tau: float = 0.0,
+        mirostat_eta: float = 0.1,
+        min_temperature: float = 0.0,
+        greedy: bool = False,
+        candidates: int = 1,
         diffusion_sampler: str = "ddim",
         cond_free: bool = True,
         vocoder_type: str = "bigvgan",
@@ -666,6 +738,16 @@ class TTS:
         """Batched multi-utterance inference (one jitted program per
         stage over the whole batch) — the product path for BASELINE
         configs #2 (batch throughput) and #5 (multi-chip serving).
+
+        The full per-call knob surface of ``inference()`` applies per
+        batch: sampling warpers (temperature/top-k/top-p/typical/
+        mirostat/penalties), ``beam_width`` (HF beam_sample over every
+        row), and ``candidates`` (per-row fan-out: each row decodes N
+        candidates and keeps its own CLVP-reranked winner —
+        reference inference.py:392-396 batched).  ``references`` may be
+        one voice or one entry per row (see ``_encode_voice_rows``).
+        Rows draw independent samples from one batch key; exact
+        per-row seed reproduction requires a single-row call.
 
         ``mesh`` (or ``TTS(mesh=...)``): a ('data',) jax.sharding.Mesh —
         rows are device_put sharded over 'data' and every stage runs
@@ -702,18 +784,11 @@ class TTS:
         ar = self._model("autoregressive")
         diffusion = self._model("diffusion")
 
-        if references is not None:
-            enc = self.encode_audio(references, seed=seed)
-            ar_latent, diff_latent = enc["latent"]
-        else:
-            from .models import rlg as rlg_m
-            k1, k2 = _host_keys(seed ^ 0x5F3C, 2)
-            rga, rgd = self._model("rlg_auto"), self._model("rlg_diffuser")
-            ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
-            diff_latent = rlg_m.sample(rgd.params, k2, 1, int(rgd.config))
-
         b = len(texts)
+        ar_rows, diff_rows = self._encode_voice_rows(references, texts,
+                                                     seed)
         bp = b + (-b) % nshard                 # pad rows to the mesh axis
+        C = max(1, candidates) if beam_width <= 1 else 1
         toks = [self.encode_text(t) for t in texts]
         bucket = self._bucket_text(max(toks, key=len)).shape[-1]
         tokens = np.stack([np.pad(t[:bucket], (0, bucket - len(t[:bucket])))
@@ -721,12 +796,31 @@ class TTS:
                           + [np.zeros((bucket,), np.int32)] * (bp - b))
         lengths = np.asarray([min(len(t), bucket) for t in toks]
                              + [1] * (bp - b))
-        sampling = SamplingConfig(temperature=ar_temp, top_k=top_k,
-                                  top_p=top_p,
-                                  repetition_penalty=repetition_penalty)
+        lat = np.concatenate(
+            [ar_rows.astype(np.float32),
+             np.repeat(ar_rows[:1], bp - b, axis=0).astype(np.float32)],
+            axis=0)                                          # (bp, Da)
+        if diff_rows.shape[0] > 1:
+            diff_cond = np.concatenate(
+                [diff_rows, np.repeat(diff_rows[:1], bp - b, axis=0)],
+                axis=0).astype(np.float32)                   # (bp, Dd)
+        else:
+            diff_cond = diff_rows.astype(np.float32)         # (1, Dd)
+        if C > 1:
+            # per-row candidate fan-out: row-major groups of C
+            tokens = np.repeat(tokens, C, axis=0)
+            lengths = np.repeat(lengths, C, axis=0)
+            lat = np.repeat(lat, C, axis=0)
+        sampling = SamplingConfig(
+            temperature=ar_temp, top_k=top_k, top_p=top_p,
+            typical_mass=typical_mass if typical_sampling else 0.0,
+            repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty,
+            length_penalty_factor=length_penalty_factor,
+            beam_width=beam_width, greedy=greedy,
+            mirostat_tau=mirostat_tau, mirostat_eta=mirostat_eta,
+            min_temperature=min_temperature)
         k_ar, k_diff, k_voc = _host_keys(seed * 2654435761 + 17, 3)
-        lat = np.broadcast_to(np.asarray(ar_latent),
-                              (bp, np.asarray(ar_latent).shape[-1]))
 
         ar_params = self._sharded_params("autoregressive", mesh,
                                          params=ar.params)
@@ -736,18 +830,35 @@ class TTS:
             lengths = jax.device_put(lengths, ds)
             lat = jax.device_put(np.ascontiguousarray(lat), ds)
 
-        res = inference_speech(ar_params, lat, jnp.asarray(tokens),
-                               jnp.asarray(lengths), k_ar, ar.config,
-                               sampling, max_length=max_ar_steps,
-                               qgpt=self._ar_qgpt(mesh),
-                               quant_mode=self._quant_mode)
+        if beam_width > 1:
+            # HF beam_sample over every row (processor stack included);
+            # candidates are a sampling-mode feature, like generate()
+            res = inference_speech_beam(
+                ar_params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
+                ar.config, num_beams=beam_width, max_length=max_ar_steps,
+                sampling=sampling, key=k_ar, do_sample=not greedy)
+        else:
+            res = inference_speech(ar_params, lat, jnp.asarray(tokens),
+                                   jnp.asarray(lengths), k_ar, ar.config,
+                                   sampling, max_length=max_ar_steps,
+                                   qgpt=self._ar_qgpt(mesh),
+                                   quant_mode=self._quant_mode)
         tick("ar_decode", res.codes)
         # Device-resident handoff: cleanup + per-row calm trim + latent
         # pass in one program (every relay fetch is a ~50-100 ms round
         # trip; the host path would fetch codes AND lengths first).
-        latents, t_lat = _jit_cleanup_latents(
-            ar_params, lat, tokens, lengths, res.codes, res.lengths,
-            ar.config)
+        if C > 1:
+            clvp = self._model("clvp")
+            cparams = self._sharded_params("clvp", mesh,
+                                           params=clvp.params)
+            latents, t_lat, _best = _jit_rerank_latents(
+                ar_params, cparams, lat, tokens, lengths, res.codes,
+                res.lengths, ar.config, clvp.config, ncand=C,
+                n_real=b * C)
+        else:
+            latents, t_lat = _jit_cleanup_latents(
+                ar_params, lat, tokens, lengths, res.codes, res.lengths,
+                ar.config)
         tick("latent_pass", latents)
 
         dparams = self._sharded_params("diffusion", mesh,
@@ -755,7 +866,8 @@ class TTS:
         voc_name = "bigvgan" if vocoder_type == "bigvgan" else "vocoder"
         voc = self._model(voc_name)
         vparams = self._sharded_params(voc_name, mesh, params=voc.params)
-        diff_cond = np.asarray(diff_latent, np.float32)
+        # (bp, Dd) per-row voices or (1, Dd) shared — _jit_diffusion
+        # gathers/broadcasts rows in-graph
 
         if row_buckets:
             # ONE fetch: per-row trim points size the diffusion work
@@ -835,7 +947,8 @@ class TTS:
         # budget, defeating the lengths-based sizing)
         n_lat, seq_len, pad_seq_len, uh = self._diffusion_geometry(
             diffusion, self._decode_budget_latents(max_ar_steps,
-                                                   res.lengths, upto=b),
+                                                   res.lengths,
+                                                   upto=b * C),
             diffusion_pad_multiple, mel_pad_multiple,
             max_diffusion_steps, cond_free)
         mel = _jit_diffusion(
@@ -867,8 +980,21 @@ class TTS:
         ar = self._model("autoregressive")
         toks = self.encode_text(line)
         tokens = self._bucket_text(toks)[None]
-        if candidates > 1:
-            tokens = np.repeat(tokens, candidates, axis=0)
+        mesh = self.mesh
+        nrows = candidates
+        if mesh is not None and candidates > 1:
+            # pad the fan-out to the data axis (extra rows are decoded
+            # but excluded from the rerank) instead of silently running
+            # unsharded when candidates % axis != 0
+            ax = int(mesh.shape["data"])
+            nrows = candidates + (-candidates) % ax
+            if nrows != candidates:
+                _logger.warning(
+                    "candidates=%d padded to %d decode rows to shard "
+                    "over the %d-way 'data' axis (pad rows are ignored "
+                    "by the rerank)", candidates, nrows, ax)
+        if nrows > 1:
+            tokens = np.repeat(tokens, nrows, axis=0)
         lengths = np.minimum(
             np.full((tokens.shape[0],), len(toks)), tokens.shape[1])
         # host-side broadcast: a jnp.broadcast_to here is an eager
@@ -878,10 +1004,8 @@ class TTS:
                                np.asarray(ar_latent).shape[-1]))
         # candidate fan-out over the serving mesh (BASELINE config #3:
         # N candidates sharded over the 'data' axis, CLVP-reranked)
-        mesh = self.mesh
         ar_params = ar.params
-        if mesh is not None and candidates > 1 \
-                and candidates % int(mesh.shape["data"]) == 0:
+        if mesh is not None and candidates > 1:
             ds = self._data_sharding(mesh)
             tokens = jax.device_put(tokens, ds)
             lengths = jax.device_put(lengths, ds)
@@ -996,8 +1120,7 @@ class TTS:
                 (nrows, np.asarray(ar_latent).shape[-1]))
             if candidates > 1:
                 clvp = self._model("clvp")
-                cmesh = (self.mesh if self.mesh is not None and candidates
-                         % int(self.mesh.shape["data"]) == 0 else None)
+                cmesh = self.mesh
                 cparams = self._sharded_params("clvp", cmesh,
                                                params=clvp.params) \
                     if cmesh is not None else clvp.params
@@ -1009,7 +1132,8 @@ class TTS:
                                            self._data_sharding(cmesh))
                 latents, t_lat_d, _best = _jit_rerank_latents(
                     aparams, cparams, lat_b, tokens, text_lengths,
-                    res.codes, res.lengths, ar.config, clvp.config)
+                    res.codes, res.lengths, ar.config, clvp.config,
+                    n_real=candidates)
             else:
                 latents, t_lat_d = _jit_cleanup_latents(
                     ar.params, lat_b, tokens, text_lengths, res.codes,
@@ -1064,14 +1188,14 @@ class TTS:
             clvp = self._model("clvp")
             cparams = clvp.params
             ctok, ccod = jnp.asarray(np.asarray(tokens)), jnp.asarray(codes)
-            if self.mesh is not None \
-                    and candidates % int(self.mesh.shape["data"]) == 0:
+            if self.mesh is not None:
                 ds = self._data_sharding(self.mesh)
                 ctok = jax.device_put(np.asarray(tokens), ds)
                 ccod = jax.device_put(np.asarray(codes), ds)
                 cparams = self._sharded_params("clvp", self.mesh)
             scores = _jit_clvp_scores(cparams, ctok, ccod, clvp.config)
-            best = int(jnp.argmax(scores))
+            # rows past `candidates` are mesh padding — never winners
+            best = int(np.asarray(scores)[:candidates].argmax())
             tokens = np.asarray(tokens)
             codes = codes[best:best + 1]
             tokens = tokens[best:best + 1]
@@ -1135,13 +1259,23 @@ class TTS:
                references: Optional[str | Sequence[str | Path]] = None,
                max_ar_steps: int = 500, ar_temp: float = 0.8,
                top_p: float = 1.0, top_k: int = 0,
+               repetition_penalty: float = 1.0,
+               length_penalty_factor: float = 0.0,
+               typical_sampling: bool = False,
+               typical_mass: float = 0.9,
+               mirostat_tau: float = 0.0,
+               mirostat_eta: float = 0.1,
+               min_temperature: float = 0.0,
+               greedy: bool = False,
                seed: Optional[int] = None,
                mode: str = "windowed",
                stream_chunk_size: int = 40,
                first_buffer: int = 60) -> Iterator[np.ndarray]:
         """Public streaming API (HiFiGAN route, reference
         inference.py:250-329): yields 24 kHz float32 chunks as the AR
-        decode advances.
+        decode advances.  The full sampling-knob surface of
+        ``inference()`` applies (the reference passes the same kwargs
+        set through its streaming route, inference.py:250-329).
 
         ``mode='windowed'`` (TPU default) vocodes a fixed 60-latent
         trailing window per chunk — one compiled program, constant
@@ -1159,8 +1293,13 @@ class TTS:
             (k1,) = _host_keys(seed ^ 0x5F3C, 1)
             rga = self._model("rlg_auto")
             ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
-        sampling = SamplingConfig(temperature=ar_temp, top_k=top_k,
-                                  top_p=top_p)
+        sampling = SamplingConfig(
+            temperature=ar_temp, top_k=top_k, top_p=top_p,
+            typical_mass=typical_mass if typical_sampling else 0.0,
+            repetition_penalty=repetition_penalty,
+            length_penalty_factor=length_penalty_factor,
+            greedy=greedy, mirostat_tau=mirostat_tau,
+            mirostat_eta=mirostat_eta, min_temperature=min_temperature)
         for i, line in enumerate(text.split("\n")):
             if not line.strip():
                 continue
