@@ -364,3 +364,59 @@ def test_fused_resblock_grad_matches_xla(monkeypatch):
     for r, g in zip(flat_r, flat_g):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=2e-3, rtol=1e-3)
+
+
+def test_dpmpp25_matches_ddim80_error_on_analytic_model():
+    """Pin the 'DPM++-25 ~ DDIM-80 quality' claim (README/PARITY).
+
+    An analytic eps-model for a two-component Gaussian mixture gives a
+    nontrivial probability-flow ODE whose converged solution both
+    deterministic samplers share; DDIM-1000 approximates it.  The
+    second-order DPM-Solver++(2M) at 25 steps must land at least as
+    close to the converged solution as first-order DDIM at 80 steps
+    (same noise, same schedule family).  Measured numbers are recorded
+    in docs/PARITY.md."""
+    rng = np.random.RandomState(7)
+    d = (1, 4, 32)
+    m1 = jnp.asarray(rng.randn(*d).astype(np.float32)) * 0.8
+    m2 = -m1 + 0.3
+    s2 = 0.05 ** 2                        # component variance
+
+    def make_oracle(sch):
+        tmap = jnp.asarray(np.asarray(sch.timestep_map))
+        a_all = jnp.asarray(sch.sqrt_alphas_cumprod, jnp.float32) ** 2
+
+        def oracle(x, ts_orig, t_idx=None):
+            idx = jnp.argmax(tmap[None, :] == ts_orig[:, None], axis=1)
+            a = a_all[idx][:, None, None]
+            var_t = a * s2 + (1.0 - a)
+            # responsibilities over flattened dims (shared per sample)
+            def logq(m):
+                return -0.5 * jnp.sum(
+                    (x - jnp.sqrt(a) * m) ** 2, axis=(1, 2)) / var_t[:, 0, 0]
+            l1, l2 = logq(m1), logq(m2)
+            w1 = jax.nn.sigmoid(l1 - l2)[:, None, None]
+            score = (w1 * (jnp.sqrt(a) * m1 - x)
+                     + (1 - w1) * (jnp.sqrt(a) * m2 - x)) / var_t
+            eps = -jnp.sqrt(1.0 - a) * score
+            return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=1)
+        return oracle
+
+    noise = jnp.asarray(rng.randn(*d).astype(np.float32))
+
+    def run(sampler, steps):
+        sch = gaussian.get_schedule(steps=steps, cond_free=False)
+        return np.asarray(gaussian.sample_loop(
+            make_oracle(sch), noise, jax.random.PRNGKey(0), sch,
+            sampler=sampler, clip_denoised=False))
+
+    ref = run("ddim", 1000)               # ~converged ODE solution
+    errs = {name: float(np.abs(run(s, n) - ref).mean())
+            for name, (s, n) in {
+                "dpm++25": ("dpm++", 25), "ddim50": ("ddim", 50),
+                "ddim80": ("ddim", 80), "dpm++12": ("dpm++", 12)}.items()}
+    # the headline claim: 2nd-order at 25 steps >= 1st-order at 80
+    assert errs["dpm++25"] <= errs["ddim80"] * 1.05, errs
+    # and the order advantage is real, not marginal
+    assert errs["dpm++25"] < errs["ddim50"], errs
+    print("solver errors vs DDIM-1000:", errs)

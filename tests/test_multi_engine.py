@@ -39,6 +39,13 @@ def _small_load_model(name, dtype="float32", seed=0):
     if name == "dvae":
         return LoadedModel(name, dvae_m, DVAE_CFG,
                            dvae_m.init(key, DVAE_CFG), False)
+    if name == "bigvgan":
+        from tortoise_tts_tpu.models import _bigvgan_random
+        from tortoise_tts_tpu.models import bigvgan as bv_mod
+        from tortoise_tts_tpu.models.bigvgan import BigVGANConfig
+        bv_cfg = BigVGANConfig(upsample_initial_channel=64)
+        return LoadedModel(name, bv_mod, bv_cfg,
+                           _bigvgan_random(key, bv_cfg), False)
     raise KeyError(name)
 
 
@@ -344,3 +351,34 @@ def test_train_main_on_mesh_fsdp(train_env, monkeypatch):
     # (8194, 64) mel embedding crosses it)
     w = engines["autoregressive"].params["mel_embedding"]["w"]
     assert any(str(a) == "data" for a in w.sharding.spec if a is not None)
+
+
+def test_run_eval_subtrain_and_val_splits(train_env, monkeypatch,
+                                          tmp_path):
+    """run_eval evaluates a named split: the trainer's eval_fn runs it
+    on BOTH a subtrain slice and the val set (reference
+    train.py:216-256 — subtrain is the overfitting probe), each metric
+    key carrying its split prefix."""
+    import yaml as _yaml
+    import tortoise_tts_tpu.inference as inf_mod
+    from tortoise_tts_tpu import train as train_mod
+
+    raw = _yaml.safe_load((train_env / "cfg.yaml").read_text())
+    raw["inference"] = {"weight_dtype": "float32", "text_buckets": [32]}
+    raw["trainer"]["weight_dtype"] = "float32"
+    raw["evaluation"] = {"kwargs": {"max_steps": 16}}
+    (train_env / "cfg_eval.yaml").write_text(_yaml.safe_dump(raw))
+    cfg = Config.load(train_env / "cfg_eval.yaml")
+
+    monkeypatch.setattr(inf_mod, "load_model", _small_load_model)
+    engines = load_engines(cfg, training=True)
+    sub = Dataset(cfg, cfg.dataset.training, training=False)
+
+    metrics = {}
+    for prefix in ("subtrain", "val"):
+        metrics.update(train_mod.run_eval(
+            cfg, engines["autoregressive"], sub, tmp_path / "logs",
+            max_samples=1, prefix=prefix))
+    assert set(metrics) == {"subtrain.mel_distance", "val.mel_distance"}
+    hyps = list((tmp_path / "logs").rglob("*_hyp.wav"))
+    assert {p.name.split("_")[0] for p in hyps} == {"subtrain", "val"}

@@ -23,7 +23,8 @@ _logger = logging.getLogger(__name__)
 
 
 def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
-             base_params=None, max_samples: int = 4) -> dict:
+             base_params=None, max_samples: int = 4,
+             prefix: str = "eval") -> dict:
     """Generative round-trip eval (reference run_eval, train.py:65-256).
 
     For a few val samples: AR decode with the current params,
@@ -34,6 +35,10 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
     vocoder, then a mel-spectral distance between hyp audio and the
     reference audio reconstructed from the sample's DVAE codes.  Wavs
     are dumped under logs/<step>/ for listening.
+
+    ``prefix`` names the split in metric keys and wav filenames — the
+    reference evaluates BOTH a subtrain slice and the val set per eval
+    (train.py:216-256; subtrain is its overfitting probe).
     """
     import jax
     import jax.numpy as jnp
@@ -94,7 +99,7 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
         except Exception as e:
             _logger.warning("eval generation failed: %s", e)
             continue
-        write_wav(out_dir / f"{i}_hyp.wav", hyp_wav, 24_000)
+        write_wav(out_dir / f"{prefix}_{i}_hyp.wav", hyp_wav, 24_000)
         # hyp audio -> 22.05 kHz 80-bin mel, L1 vs ref over common frames
         hyp22 = resample(jnp.asarray(hyp_wav[None]), 24_000, 22_050)
         hyp_mel = mel_ar(hyp22, norms)
@@ -104,9 +109,9 @@ def run_eval(cfg, state, val_ds, log_dir: Path, lora_cfg=None,
                                        - ref_mel[..., :t])))
             dists.append(d)
     metric = float(np.mean(dists)) if dists else float("nan")
-    _logger.info("eval@%d: mel_distance=%.4f (%d samples)",
-                 step, metric, len(dists))
-    return {"eval.mel_distance": metric}
+    _logger.info("%s@%d: mel_distance=%.4f (%d samples)",
+                 prefix, step, metric, len(dists))
+    return {f"{prefix}.mel_distance": metric}
 
 
 def main(argv=None):
@@ -172,6 +177,13 @@ def main(argv=None):
                       if cfg.lora is not None and cfg.lora.training
                       else "autoregressive")
 
+    # subtrain eval split: a sequential (non-training) view over the
+    # TRAINING paths — the reference's overfitting probe evaluates both
+    # a subtrain slice and the val set per eval (train.py:216-256);
+    # a separate Dataset leaves the resumable training sampler untouched
+    from .data import Dataset as _Dataset
+    subtrain_ds = _Dataset(cfg, cfg.dataset.training, training=False)
+
     def eval_fn(es):
         if ar_engine_name not in es:
             return
@@ -180,9 +192,10 @@ def main(argv=None):
         base = (load_model("autoregressive",
                            cfg.trainer.weight_dtype).params
                 if lora_cfg else None)
-        run_eval(cfg, es[ar_engine_name], val_ds, log_dir,
-                 lora_cfg=lora_cfg, base_params=base,
-                 max_samples=cfg.evaluation.size)
+        for name, ds in (("subtrain", subtrain_ds), ("val", val_ds)):
+            run_eval(cfg, es[ar_engine_name], ds, log_dir,
+                     lora_cfg=lora_cfg, base_params=base,
+                     max_samples=cfg.evaluation.size, prefix=name)
 
     class ShardedBatches:
         """DP-shard each host batch over the mesh before engines.step."""
