@@ -588,6 +588,70 @@ def _bench_trainstep_bigvgan():
           f"(loss {float(np.asarray(m['loss'])):.3f})")
 
 
+def bench_decode_batch_matrix():
+    """Batch-decode cost decomposition (VERDICT r4 item: batch AR at the
+    weight-streaming roof).  For each B, times the production int8
+    decode step and ablations that isolate where the per-row cost goes:
+
+      full       int8 kernel + sampled warp chain (the bench config)
+      greedy     same but argmax sampling      -> warp-chain cost
+      noattn     mha -> identity on q          -> cache-read cost
+      nocollect  (full already skips latent collection)
+      norep      repetition_penalty=1.0        -> counts-scatter cost
+
+    All decode 200 tokens from the same prefill state."""
+    from tortoise_tts_tpu.models import unified_voice as uv
+    from tortoise_tts_tpu.ops.sampling import SamplingConfig
+    cfg = uv.UnifiedVoiceConfig()
+    p = uv.init(jax.random.PRNGKey(0), cfg)
+    p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+    qgpt = jax.jit(uv.quantize_decode_weights)(p)
+    tt, max_len = 64, 200
+    bs = tuple(int(x) for x in os.environ.get(
+        "TTS_DECODE_BS", "1,8,16").split(","))
+    # the bench sampling config (temperature + top-p + rep penalty)
+    samp_full = SamplingConfig(temperature=0.8, top_p=0.9,
+                               repetition_penalty=2.0)
+    samp_norep = SamplingConfig(temperature=0.8, top_p=0.9)
+    samp_notopp = SamplingConfig(temperature=0.8,
+                                 repetition_penalty=2.0)
+    samp_greedy = SamplingConfig(greedy=True)
+    orig_mha = uv.mha
+
+    for b in bs:
+        cond = jnp.zeros((b, cfg.model_dim), jnp.bfloat16)
+        text = jnp.zeros((b, tt), jnp.int32)
+        tl = jnp.full((b,), tt, jnp.int32)
+        st = uv.decode_start(p, cond, text, tl, jax.random.PRNGKey(0),
+                             cfg, max_len)
+        _sync(st.cache.k)
+
+        def run(state, samp):
+            return uv.decode_chunk(p, state, cfg, samp, None, False,
+                                   qgpt=qgpt, quant_mode="int8")
+
+        rows = {}
+        for name, samp in (("full", samp_full), ("norep", samp_norep),
+                           ("notopp", samp_notopp),
+                           ("greedy", samp_greedy)):
+            dt = timeit(run, st, samp, n=3, warmup=1)
+            rows[name] = dt
+        # decode_chunk is jitted: clear its cache so the patched mha is
+        # actually traced into the ablated variant
+        uv.mha = lambda q, k, v, mask=None, **kw: q
+        uv.decode_chunk.clear_cache()
+        try:
+            rows["noattn"] = timeit(run, st, samp_full, n=3, warmup=1)
+        finally:
+            uv.mha = orig_mha
+            uv.decode_chunk.clear_cache()
+        base = rows["full"] / max_len * 1e3
+        print(f"B={b}: full {base:.2f} ms/tok ({b*max_len/rows['full']:.0f} tok/s) | "
+              + " | ".join(
+                  f"{k} {v/max_len*1e3:.2f} (d={base - v/max_len*1e3:+.2f})"
+                  for k, v in rows.items() if k != "full"))
+
+
 def bench_diffparts():
     """Decompose the diffusion program intercept: rel-bias precompute,
     timestep_independent, and the latent trim-gather, each as its own
@@ -644,6 +708,8 @@ if __name__ == "__main__":
         bench_decode_roof_qgemv(block_n=1024)
     if "decablate" in which:
         bench_decode_ablate()
+    if "decodebatch" in which:
+        bench_decode_batch_matrix()
     if "roofw8a8" in which:
         bench_decode_roof_qgemv(w8a8=True)
     if "roofw8a8x1024" in which:

@@ -1,0 +1,197 @@
+"""Sustained on-chip training bench: the REAL trainer loop at full AR
+scale (BASELINE config #5's finetuning half).
+
+    python tools/train_bench.py [--steps 55] [--lora] [--batch 8]
+
+Runs `train_engines` end-to-end — config -> load_engines -> native
+melbin loader (pipelined batch assembly) -> log-cadence metric fetch ->
+one in-loop checkpoint — on synthetic full-shape data, and reports:
+
+  steady_ms_per_step   wall/step over the steady window (excludes the
+                       first 10 warmup/compile steps and the checkpoint
+                       step), fetch-cadence steps included
+  tokens_per_s         text+mel tokens processed per second
+  loader_stall_ms      mean time the loop waited on `next(batches)` —
+                       the native loader assembles one batch ahead, so
+                       this is the pipeline-stall measurement
+  checkpoint_s         wall of the one full save (params + opt state
+                       through the relay)
+
+Emits one JSON line for benchmarks/r04.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+os.environ.setdefault("TORTOISE_TPU_OFFLINE", "1")
+
+import numpy as np
+
+
+def make_dataset(root: Path, n: int = 64, codes_len: int = 240,
+                 text_len: int = 100, dim: int = 1024):
+    d = root / "data" / "bench" / "speaker"
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        nc = codes_len + int(rng.randint(-24, 16))
+        artifact = {
+            "codes": rng.randint(0, 8192, (nc,)).astype(np.uint16),
+            "conds": (rng.randn(1, 1, 80, 100).astype(np.float32),
+                      rng.randn(1, 1, 100, 100).astype(np.float32)),
+            "latent": (rng.randn(1, dim).astype(np.float32),
+                       rng.randn(1, 2 * dim).astype(np.float32)),
+            "text": rng.randint(3, 255,
+                                (text_len + int(rng.randint(-20, 20)),)
+                                ).astype(np.uint8),
+            "metadata": {"original_length": nc * 1024,
+                         "sample_rate": 22050,
+                         "duration": nc * 1024 / 22050,
+                         "text": "bench"},
+        }
+        with open(d / f"utt{i:04d}.mel", "wb") as f:
+            np.save(f, artifact)
+    return root / "data"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=55)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lora", action="store_true")
+    ap.add_argument("--no-melbin", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny AR (CPU smoke of the loop plumbing)")
+    args = ap.parse_args()
+
+    import yaml
+    import jax
+
+    tmp = Path(tempfile.mkdtemp(prefix="trainbench_"))
+    data_dir = make_dataset(tmp, dim=64 if args.small else 1024)
+
+    cfg_raw = {
+        "models": [{"name": "autoregressive", "training": True}],
+        "hyperparameters": {"batch_size": args.batch,
+                            "gradient_accumulation_steps": 1,
+                            "learning_rate": 1e-5,
+                            "optimizer": "AdamW"},
+        "trainer": {"iterations": args.steps, "save_frequency": 45,
+                    "export_on_save": False, "log_frequency": 10,
+                    "keep_last_checkpoints": 1,
+                    "weight_dtype": "bfloat16",
+                    "gradient_checkpointing": True},
+        "dataset": {"training": [str(data_dir)], "validate": False,
+                    "text_bucket": 128, "mel_bucket": 256,
+                    "use_melbin": not args.no_melbin},
+        "evaluation": {"frequency": 0},
+    }
+    if args.lora:
+        cfg_raw["loras"] = [{"name": "bench-lora", "rank": 128,
+                             "alpha": 128, "training": True}]
+    cfg_path = tmp / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_raw))
+
+    from tortoise_tts_tpu.config import Config
+    from tortoise_tts_tpu.data import Dataset
+    from tortoise_tts_tpu.data.native_loader import pack_melbin
+    from tortoise_tts_tpu.engine.factory import load_engines
+    from tortoise_tts_tpu.utils import trainer as tr
+
+    if args.small:
+        import jax as _jax
+        import tortoise_tts_tpu.models as models_pkg
+        from tortoise_tts_tpu.models import LoadedModel
+        from tortoise_tts_tpu.models import unified_voice as uv_m
+        small_cfg = uv_m.UnifiedVoiceConfig(layers=2, model_dim=64,
+                                            heads=4, max_text_tokens=130,
+                                            max_mel_tokens=260)
+        models_pkg.load_model = lambda name, dtype="float32": LoadedModel(
+            name, uv_m, small_cfg,
+            uv_m.init(_jax.random.PRNGKey(0), small_cfg), False)
+
+    cfg = Config.load(cfg_path)
+    if not args.no_melbin:
+        paths = sorted((data_dir / "bench" / "speaker").glob("*.mel"))
+        pack_melbin(paths, cfg.rel_path / "data.melbin")
+
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+    engines = load_engines(cfg, training=True)
+    name = engines.names()[0]
+    print(f"engine: {name}, backend: {jax.default_backend()}, "
+          f"melbin: {ds._melbin is not None}", flush=True)
+
+    # instrument: loader wait + per-step wall + checkpoint wall
+    stalls, steps_t, ckpt_s = [], [], [0.0]
+
+    class TimedBatches:
+        def __len__(self):
+            return len(ds)
+
+        def batches(self):
+            it = ds.batches()
+            while True:
+                t0 = time.perf_counter()
+                b = next(it)
+                stalls.append(time.perf_counter() - t0)
+                yield b
+
+    orig_step = engines.step
+
+    def timed_step(batch, fetch_metrics=True):
+        t0 = time.perf_counter()
+        out = orig_step(batch, fetch_metrics=fetch_metrics)
+        steps_t.append(time.perf_counter() - t0)
+        return out
+
+    engines.step = timed_step
+
+    def save_fn(es, step):
+        t0 = time.perf_counter()
+        es.save_checkpoint(cfg.ckpt_dir,
+                           keep_last=cfg.trainer.keep_last_checkpoints)
+        ckpt_s[0] = time.perf_counter() - t0
+        print(f"checkpoint@{step}: {ckpt_s[0]:.1f}s", flush=True)
+
+    tr._non_blocking_input = lambda: ""
+    t_start = time.perf_counter()
+    engines = tr.train_engines(cfg, TimedBatches(), engines,
+                               save_fn=save_fn,
+                               max_iterations=args.steps)
+    wall = time.perf_counter() - t_start
+
+    # steady window: skip the first 10 (compile/warmup) and the
+    # checkpoint step (its wall is reported separately)
+    skip = 10 if len(steps_t) > 10 else 0
+    window = steps_t[skip:]
+    st_stalls = stalls[skip:] or stalls
+    if ckpt_s[0] and len(window) > 1:
+        window = sorted(window)[:-1]         # drop the ckpt outlier
+    steady = float(np.mean(window)) if window else float("nan")
+    st = engines[name]
+    tokens = int(st.tokens_processed)
+    result = {
+        "mode": "lora" if args.lora else "full",
+        "steps": len(steps_t),
+        "steady_ms_per_step": round(steady * 1e3, 1),
+        "tokens_per_s": round(tokens / wall, 0),
+        "loader_stall_ms_mean": round(float(np.mean(st_stalls)) * 1e3, 2),
+        "loader_stall_ms_max": round(float(np.max(st_stalls)) * 1e3, 2),
+        "checkpoint_s": round(ckpt_s[0], 1),
+        "wall_s": round(wall, 1),
+        "melbin": ds._melbin is not None,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

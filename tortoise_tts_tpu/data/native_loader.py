@@ -144,8 +144,9 @@ def pack_melbin(mel_paths: Sequence[str | Path], out_path: str | Path) -> int:
 
 
 class MelBinDataset:
-    def __init__(self, path: str | Path, lat_dim: int = 1024,
-                 dlat_dim: int = 2048, num_threads: int = 4):
+    def __init__(self, path: str | Path,
+                 lat_dim: Optional[int] = None,
+                 dlat_dim: Optional[int] = None, num_threads: int = 4):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native melbin library unavailable")
@@ -153,8 +154,20 @@ class MelBinDataset:
         self._h = lib.mb_open(str(path).encode())
         if not self._h:
             raise IOError(f"cannot open melbin file {path}")
-        self.lat_dim = lat_dim
-        self.dlat_dim = dlat_dim
+        if lat_dim is None or dlat_dim is None:
+            # dims live per-record in the index; peek record 0 so the
+            # Dataset integration works for any model width (the old
+            # 1024/2048 defaults broke non-published-scale packs)
+            try:
+                with open(path, "rb") as f:
+                    f.seek(_HEADER_SIZE)
+                    rec = struct.unpack(_INDEX_FMT, f.read(_INDEX_SIZE))
+                lat_dim = lat_dim if lat_dim is not None else rec[3]
+                dlat_dim = dlat_dim if dlat_dim is not None else rec[4]
+            except struct.error:          # empty pack
+                lat_dim, dlat_dim = lat_dim or 1024, dlat_dim or 2048
+        self.lat_dim = int(lat_dim)
+        self.dlat_dim = int(dlat_dim)
         self.num_threads = num_threads
 
     def __len__(self) -> int:
