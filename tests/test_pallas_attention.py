@@ -193,3 +193,84 @@ def test_trunk_flash_attention_grad_matches_xla(monkeypatch):
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# round 4: flash-decode kernel (ops/pallas_decode_attn)
+# ---------------------------------------------------------------------------
+
+
+def test_flash_decode_stacked_matches_mha_interpret():
+    """Kernel (interpret mode) == masked XLA decode attention across
+    positions, layers and text-padding masks."""
+    import math
+    from tortoise_tts_tpu.ops.attention import mha
+    from tortoise_tts_tpu.ops.pallas_decode_attn import flash_decode_stacked
+    rng = np.random.RandomState(0)
+    L, B, H, S, Dh = 3, 2, 4, 256, 64
+    ck = jnp.asarray(rng.randn(L, B, H, S, Dh).astype(np.float32))
+    cv = jnp.asarray(rng.randn(L, B, H, S, Dh).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, H, Dh).astype(np.float32))
+    key_mask = np.ones((B, S), bool)
+    key_mask[0, 5:9] = False          # text padding holes
+    key_mask[1, 200:240] = False      # a masked gap region
+    key_mask = jnp.asarray(key_mask)
+
+    for li in (0, 2):
+        for pos in (0, 7, 127, 128, 200, 255):
+            got = flash_decode_stacked(q, ck, cv, li, pos, key_mask,
+                                       interpret=True)
+            kc, vc = ck[li], cv[li]
+            valid = np.asarray(key_mask) & (np.arange(S)[None] <= pos)
+            want = mha(q[:, :, None], kc, vc,
+                       mask=jnp.asarray(valid)[:, None, None, :])[:, :, 0]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5, rtol=2e-5,
+                                       err_msg=f"li={li} pos={pos}")
+
+
+def test_decode_cache_gap_padding_token_exact(monkeypatch):
+    """_use_flash_decode()=True pads the KV cache to a 128 multiple
+    with a masked gap between prefill and decode region; greedy codes
+    must be IDENTICAL to the unpadded decode (on CPU the kernel falls
+    back to the same masked XLA math, so this isolates the padding
+    arithmetic)."""
+    from tortoise_tts_tpu.models import unified_voice as uv
+    from tortoise_tts_tpu.ops.sampling import SamplingConfig
+    cfg = uv.UnifiedVoiceConfig(layers=2, model_dim=64, heads=4,
+                                max_text_tokens=40, max_mel_tokens=40)
+    params = uv.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    text = jnp.asarray(rng.randint(3, 255, (2, 12)))
+    cond = jnp.asarray(rng.randn(2, cfg.model_dim), dtype=jnp.float32)
+    lengths = jnp.asarray([12, 9])
+
+    def run():
+        return uv.inference_speech(params, cond, text, lengths,
+                                   jax.random.PRNGKey(3), cfg,
+                                   SamplingConfig(greedy=True),
+                                   max_length=16)
+
+    def clear():
+        # inference_speech wraps decode_start/chunk in its own jit —
+        # all three caches must go or the patched _use_flash_decode is
+        # never retraced
+        uv.inference_speech.clear_cache()
+        uv.decode_start.clear_cache()
+        uv.decode_chunk.clear_cache()
+
+    ref = run()
+    monkeypatch.setattr(uv, "_use_flash_decode", lambda: True)
+    clear()
+    try:
+        got = run()
+        # the padded run really took the padded-cache branch
+        st = uv.decode_start(params, cond, text, lengths,
+                             jax.random.PRNGKey(3), cfg, 16)
+        assert st.cache.k.shape[3] % 128 == 0
+    finally:
+        clear()
+    np.testing.assert_array_equal(np.asarray(ref.codes),
+                                  np.asarray(got.codes))
+    np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                  np.asarray(got.lengths))

@@ -302,3 +302,25 @@ def test_batch_candidates_and_beam_smoke():
     assert len(w_b) == 2
     for w in w_b:
         assert np.isfinite(w).all() and w.size > 1000
+
+
+def test_batch_async_fetch_matches_sync():
+    """fetch='async' defers only the device->host transfer: the
+    finalize() rows equal the sync call's bit-for-bit (the serving
+    loop overlaps this transfer with the next call's compute)."""
+    t = _tiny_tts()
+    texts = ["row one", "row two"]
+    kw = dict(max_ar_steps=12, max_diffusion_steps=4, seed=6,
+              diffusion_pad_multiple=8)
+    ref, sr = t.batch_inference(texts, **kw)
+    fin, sr2 = t.batch_inference(texts, fetch="async", **kw)
+    assert callable(fin) and sr2 == sr
+    got = fin()
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)
+    # shared-max path too
+    ref2, _ = t.batch_inference(texts, row_buckets=False, **kw)
+    fin2, _ = t.batch_inference(texts, row_buckets=False, fetch="async",
+                                **kw)
+    for g, r in zip(fin2(), ref2):
+        np.testing.assert_array_equal(g, r)

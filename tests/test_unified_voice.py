@@ -362,3 +362,31 @@ def test_w8a8_decode_quant(params):
         max_length=16, qgpt=qgpt, quant_mode="w8a8")
     agree = np.mean(np.asarray(res.codes) == np.asarray(res_q.codes))
     assert agree >= 0.6, agree
+
+
+def test_decode_ladder_token_exact():
+    """The attention ladder (chunked decode with static attn_len reads)
+    is bit-identical to the single full-budget chunk: dropped cache
+    positions contribute exact softmax zeros (round-4 chip finding —
+    the cache read is the whole batch-decode gap)."""
+    from tortoise_tts_tpu.ops.sampling import SamplingConfig
+    cfg = uv.UnifiedVoiceConfig(layers=2, model_dim=64, heads=4,
+                                max_text_tokens=40, max_mel_tokens=80)
+    params = uv.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(2)
+    text = jnp.asarray(rng.randint(3, 255, (2, 10)))
+    cond = jnp.asarray(rng.randn(2, cfg.model_dim), dtype=jnp.float32)
+    lengths = jnp.asarray([10, 7])
+    for samp in (SamplingConfig(greedy=True),
+                 SamplingConfig(temperature=0.8, top_p=0.9,
+                                repetition_penalty=2.0)):
+        full = uv.inference_speech(params, cond, text, lengths,
+                                   jax.random.PRNGKey(5), cfg, samp,
+                                   max_length=50, decode_chunk_size=0)
+        lad = uv.inference_speech(params, cond, text, lengths,
+                                  jax.random.PRNGKey(5), cfg, samp,
+                                  max_length=50, decode_chunk_size=16)
+        np.testing.assert_array_equal(np.asarray(full.codes),
+                                      np.asarray(lad.codes))
+        np.testing.assert_array_equal(np.asarray(full.lengths),
+                                      np.asarray(lad.lengths))

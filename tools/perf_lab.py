@@ -645,6 +645,20 @@ def bench_decode_batch_matrix():
         finally:
             uv.mha = orig_mha
             uv.decode_chunk.clear_cache()
+
+        # the attention LADDER (inference_speech chunked attn_len reads)
+        # vs the single full-budget chunk, both through the public entry
+        # (prefill included in both, so the delta isolates the ladder)
+        def run_ladder(chunk_size):
+            return uv.inference_speech(
+                params_like, cond, text, tl, jax.random.PRNGKey(0), cfg,
+                samp_full, max_length=max_len, qgpt=qgpt,
+                quant_mode="int8", decode_chunk_size=chunk_size)
+
+        params_like = p
+        for name, csz in (("ladder0", 0), ("ladder64", 64)):
+            dt = timeit(run_ladder, csz, n=3, warmup=1)
+            rows[name] = dt
         base = rows["full"] / max_len * 1e3
         print(f"B={b}: full {base:.2f} ms/tok ({b*max_len/rows['full']:.0f} tok/s) | "
               + " | ".join(

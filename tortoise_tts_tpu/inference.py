@@ -734,10 +734,19 @@ class TTS:
         mel_pad_multiple: int = 0,
         mesh=None,
         row_buckets: bool = True,
+        fetch: str = "sync",
     ) -> Tuple[list, int]:
         """Batched multi-utterance inference (one jitted program per
         stage over the whole batch) — the product path for BASELINE
         configs #2 (batch throughput) and #5 (multi-chip serving).
+
+        ``fetch="async"``: return ``(finalize, sr)`` where
+        ``finalize()`` performs the device->host wav transfer and
+        returns the row list.  Through the remote relay the int16
+        payload transfer is a large fraction of per-call wall (~1.1 s
+        for a 8x9 s batch — DESIGN.md round-4 split); a serving loop
+        overlaps call i's transfer (worker thread) with call i+1's
+        dispatch/compute and sustains the compute-bound rate.
 
         The full per-call knob surface of ``inference()`` applies per
         batch: sampling warpers (temperature/top-k/top-p/typical/
@@ -930,16 +939,22 @@ class TTS:
                     wav = _jit_univnet(vparams, mel, k_voc, voc.config)
                     pending.append((rows[:k], wav, "f32"))
             tick("diffusion+voc dispatch")
-            out = [None] * bp
-            for rows, wav, kind in pending:   # fetch after ALL dispatch
-                arr = np.asarray(wav)
-                for j, r in enumerate(rows):
-                    n = int(t_np[r] * 4 * 24000 // 22050) * 256
-                    w = arr[j, 0, :n]
-                    out[r] = (w.astype(np.float32) / 32767.0
-                              if kind == "i16" else w)
-            tick("fetch")
-            return out[:b], sr
+
+            def finalize():
+                out = [None] * bp
+                for rows, wav, kind in pending:  # fetch after ALL dispatch
+                    arr = np.asarray(wav)
+                    for j, r in enumerate(rows):
+                        n = int(t_np[r] * 4 * 24000 // 22050) * 256
+                        w = arr[j, 0, :n]
+                        out[r] = (w.astype(np.float32) / 32767.0
+                                  if kind == "i16" else w)
+                tick("fetch")
+                return out[:b]
+
+            if fetch == "async":
+                return finalize, sr
+            return finalize(), sr
 
         # single shared-max program (zero mid-pipeline fetches): sized
         # by the decode budget — every row pays the longest REAL row's T
@@ -958,20 +973,29 @@ class TTS:
             n_lat=n_lat, t_lat=t_lat, pad_seq_len=pad_seq_len,
             uncond_h=uh)
         if vocoder_type == "bigvgan":
-            arr = np.asarray(_jit_bigvgan(vparams, mel, voc.config,
-                                          as_i16=True, prefix=t_lat))
-            row_lengths = arr[:, 0, 0].astype(np.int64)
-            wavs = arr[..., 1:].astype(np.float32) / 32767.0
+            dwav = _jit_bigvgan(vparams, mel, voc.config,
+                                as_i16=True, prefix=t_lat)
         else:
-            row_lengths = np.asarray(t_lat).astype(np.int64)
-            wavs = np.asarray(_jit_univnet(vparams, mel, k_voc,
-                                           voc.config))
-        # trim each row to its own generated length
-        out = []
-        for i in range(b):
-            n = int(row_lengths[i] * 4 * 24000 // 22050) * 256
-            out.append(wavs[i, 0, :n])
-        return out, sr
+            dwav = _jit_univnet(vparams, mel, k_voc, voc.config)
+
+        def finalize():
+            if vocoder_type == "bigvgan":
+                arr = np.asarray(dwav)
+                row_lengths = arr[:, 0, 0].astype(np.int64)
+                wavs = arr[..., 1:].astype(np.float32) / 32767.0
+            else:
+                row_lengths = np.asarray(t_lat).astype(np.int64)
+                wavs = np.asarray(dwav)
+            # trim each row to its own generated length
+            out = []
+            for i in range(b):
+                n = int(row_lengths[i] * 4 * 24000 // 22050) * 256
+                out.append(wavs[i, 0, :n])
+            return out
+
+        if fetch == "async":
+            return finalize, sr
+        return finalize(), sr
 
     # ------------------------------------------------------------------
     def _decode_codes(self, line: str, ar_latent, sampling: SamplingConfig,

@@ -250,6 +250,21 @@ def _gpt_prefill(gpt: Params, emb: jnp.ndarray, heads: int,
 _Q_NAMES = ("attn_qkv", "attn_proj", "mlp_fc", "mlp_proj")
 
 
+def _use_flash_decode() -> bool:
+    """Pallas flash-decode attention (ops/pallas_decode_attn), OPT-IN
+    (TTS_FLASH_DECODE=1).  Chip-measured round 4: the kernel LOSES to
+    the XLA path at every batch (B=8: 2.41 vs 1.75 ms/token; B=16:
+    4.02 vs 2.55) — per-(batch, S-block) grid steps are compute/launch
+    bound (VPU broadcast-reduce + 30 pallas_calls per token) and the
+    pos-clamped DMA saving (~16% at padded S) cannot recover it.  The
+    shipped traffic cut is the pure-XLA attention LADDER instead
+    (inference_speech decode_chunk_size + decode_chunk attn_len).
+    Kept in-tree with parity tests as a measured negative result."""
+    import os
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("TTS_FLASH_DECODE", "0") == "1")
+
+
 def quantize_decode_weights(params: Params) -> Params:
     """Weight-only int8 quantization of the GPT trunk linears for the
     decode loop (per-output-channel symmetric scales).
@@ -294,12 +309,20 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
                      cache: KVCache, pos: jnp.ndarray,
                      key_mask: jnp.ndarray,
                      qgpt: Optional[Params] = None,
-                     quant_mode: str = "int8"
+                     quant_mode: str = "int8",
+                     attn_len: Optional[int] = None
                      ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token step. x: (B, 1, D); pos: scalar — cache slot to write.
 
     key_mask: (B, S) bool of *prefix validity* (text padding); positions
     >= pos are masked by the running-length check.
+
+    attn_len: static bound on the attention READ — K/V past it are
+    sliced away before the dot (XLA fuses the static slice, so only
+    attn_len rows stream from HBM).  The caller guarantees pos <
+    attn_len for every step of the enclosing chunk (the decode ladder);
+    results are bit-identical to the full masked read because the
+    dropped positions contribute exact softmax zeros.
 
     The cache rides the scan *carry* and is updated with one-position
     dynamic_update_slice writes (in-place under the enclosing
@@ -318,7 +341,8 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     b, _, d = x.shape
     hd = d // heads
     s = cache.k.shape[3]
-    valid = key_mask & (jnp.arange(s)[None, :] <= pos)  # (B, S)
+    s_att = s if attn_len is None else min(attn_len, s)
+    valid = key_mask[:, :s_att] & (jnp.arange(s_att)[None, :] <= pos)
     mask = valid[:, None, None, :]
     L = cache.k.shape[0]
     lp_all = _layer_params(gpt)
@@ -364,6 +388,8 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     ln2 = ((gpt["ln_2"]["scale"], gpt["ln_2"]["bias"])
            if fuse_ln else None)
 
+    use_fd = _use_flash_decode() and s % 128 == 0
+
     def body(carry, layer):
         x, ck, cv = carry
         lp, li = layer
@@ -379,10 +405,17 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
                                       (li, 0, 0, pos, 0))
         cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype),
                                       (li, 0, 0, pos, 0))
-        kc = lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
-        vc = lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
-        a = mha(q, kc, vc, mask=mask)
-        a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        if use_fd:
+            from ..ops.pallas_decode_attn import flash_decode_stacked
+            a = flash_decode_stacked(q[:, :, 0], ck, cv, li, pos,
+                                     key_mask).reshape(b, 1, d)
+        else:
+            kc = lax.dynamic_index_in_dim(ck, li, 0,
+                                          keepdims=False)[:, :, :s_att]
+            vc = lax.dynamic_index_in_dim(cv, li, 0,
+                                          keepdims=False)[:, :, :s_att]
+            a = mha(q, kc, vc, mask=mask)
+            a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
         x = x + qlin(lp, "attn_proj", li, a)
         if fuse_ln:
             x = x + qlin(lp, "mlp_proj", li,
@@ -597,6 +630,13 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
     d = cfg.model_dim
     prefix_len = 1 + tt + 2              # cond + text segment
     cache_len = prefix_len + 1 + max_length
+    # flash-decode kernel wants S as a block multiple: pad the cache
+    # with a MASKED gap between the prefill and the decode region
+    # (key_mask=False there, so the zero K/V are never attended;
+    # decode_chunk's prefix_len arithmetic stays consistent because the
+    # gap counts as prefix)
+    pad = (-cache_len) % 128 if _use_flash_decode() else 0
+    cache_len += pad
     dtype = params["mel_embedding"]["w"].dtype
 
     text_emb, text_mask = _build_text_segment(params, text, text_lengths, cfg)
@@ -611,8 +651,9 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
     hidden, cache = _gpt_prefill(params["gpt"], prefill, cfg.heads,
                                  prefill_mask, cache_len)
     key_mask = jnp.concatenate(
-        [prefill_mask,
-         jnp.ones((b, cache_len - prefill.shape[1]), dtype=bool)], axis=1)
+        [prefill_mask, jnp.zeros((b, pad), dtype=bool),
+         jnp.ones((b, cache_len - pad - prefill.shape[1]), dtype=bool)],
+        axis=1)
 
     first_lat = layer_norm(params["final_norm"], hidden[:, -1])
     counts0 = jnp.zeros((b, cfg.number_mel_codes), jnp.int32)
@@ -630,18 +671,24 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("quant_mode", "cfg", "sampling",
-                                   "chunk", "collect_latents"))
+                                   "chunk", "collect_latents",
+                                   "attn_len"))
 def decode_chunk(params: Params, state: DecodeState,
                  cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
                  sampling: SamplingConfig = SamplingConfig(),
                  chunk: Optional[int] = None,
                  collect_latents: bool = False,
                  qgpt: Optional[Params] = None,
-                 quant_mode: str = "int8") -> DecodeState:
+                 quant_mode: str = "int8",
+                 attn_len: Optional[int] = None) -> DecodeState:
     """Advance the decode by up to `chunk` tokens (while_loop with early
     exit).  chunk=None runs to max_length.  The streaming route calls
     this in 40-token chunks, vocoding between calls (inference.py:250-329
-    behavior with a persistent on-device KV cache)."""
+    behavior with a persistent on-device KV cache).
+
+    ``attn_len``: static attention-read bound for this chunk — every
+    step reads only the first attn_len cache rows (must cover the
+    chunk's last write position; see inference_speech's ladder)."""
     b = state.tokens.shape[0]
     max_len = state.tokens.shape[1]
     cache_len = state.cache.k.shape[3]
@@ -702,15 +749,14 @@ def decode_chunk(params: Params, state: DecodeState,
         pos = prefix_len + 1 + c.step
         h, cache = _gpt_decode_step(params["gpt"], emb.astype(dtype),
                                     cfg.heads, c.cache, pos, c.key_mask,
-                                    qgpt=qgpt, quant_mode=quant_mode)
+                                    qgpt=qgpt, quant_mode=quant_mode,
+                                    attn_len=attn_len)
         return DecodeState(c.step + 1, cache, latent_of(h), tokens, counts,
                            latents, finished, lengths, rng, c.key_mask, mu)
 
     return lax.while_loop(cond_fn, body_fn, state)
 
 
-@partial(jax.jit, static_argnames=("quant_mode", "cfg", "sampling", "max_length",
-                                   "collect_latents"))
 def inference_speech(params: Params, cond_latent: jnp.ndarray,
                      text: jnp.ndarray, text_lengths: jnp.ndarray,
                      key: jax.Array,
@@ -719,14 +765,53 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
                      max_length: int = 500,
                      collect_latents: bool = False,
                      qgpt: Optional[Params] = None,
-                     quant_mode: str = "int8") -> DecodeResult:
+                     quant_mode: str = "int8",
+                     decode_chunk_size: Optional[int] = None
+                     ) -> DecodeResult:
     """Generate mel codes (reference unified_voice.py:632-668 + HF loop):
-    one jitted prefill + full-budget while_loop with stop early-exit."""
+    jitted prefill + a LADDER of while_loop chunks with stop early-exit.
+
+    The attention ladder (round-4 chip finding — the batch-decode gap
+    is entirely the cache read: 0.99 of 1.75 ms/token at B=8): the
+    decode advances in ``decode_chunk_size`` chunks and each chunk's
+    attention reads only the static cache prefix it can possibly touch
+    (``attn_len``), cutting the streamed K/V bytes to ~0.74x of the
+    fixed-budget read at a 200-token budget.  Results are bit-identical
+    (dropped positions are exact softmax zeros — tested).  The extra
+    host dispatches pipeline ahead of the sequential device work; a
+    chunk whose rows have all stopped exits its while_loop immediately.
+
+    ``decode_chunk_size``: ladder granularity; None = TTS_DECODE_LADDER
+    env (default 64); 0 = single full-budget chunk (the round-3 path).
+    """
+    import os
+    if decode_chunk_size is None:
+        decode_chunk_size = int(os.environ.get("TTS_DECODE_LADDER", "64"))
+    cs = decode_chunk_size or max_length
     state = decode_start(params, cond_latent, text, text_lengths, key, cfg,
                          max_length)
-    out = decode_chunk(params, state, cfg, sampling, None,
-                       collect_latents, qgpt=qgpt, quant_mode=quant_mode)
-    return DecodeResult(out.tokens, out.lengths, out.latents)
+    cache_len = state.cache.k.shape[3]
+    prefix_eff = cache_len - 1 - max_length   # incl. any kernel pad gap
+    done = 0
+    while done < max_length:
+        n = min(cs, max_length - done)
+        attn_len = min(prefix_eff + 1 + done + n, cache_len)
+        state = decode_chunk(params, state, cfg, sampling, chunk=n,
+                             collect_latents=collect_latents, qgpt=qgpt,
+                             quant_mode=quant_mode,
+                             attn_len=attn_len if cs < max_length else None)
+        done += n
+    return DecodeResult(state.tokens, state.lengths, state.latents)
+
+
+def _clear_inference_speech_cache():
+    decode_start.clear_cache()
+    decode_chunk.clear_cache()
+
+
+# inference_speech is a host-side ladder over jitted chunks; keep the
+# jitted-function cache-clearing surface tests rely on
+inference_speech.clear_cache = _clear_inference_speech_cache
 
 
 # ---------------------------------------------------------------------------
