@@ -1,35 +1,40 @@
 #!/bin/bash
-# One-shot measurement session for round-3 perf candidates (run when
-# the axon relay is up).  Each variant is a separate process so env
-# gates are read fresh; compiles cache under .jax_cache.
+# Round-4 queued chip measurement session (run by relay_watch.sh when
+# the axon relay answers, or directly).  Writes to $1 (default
+# /tmp/chip_session.log).
 cd "$(dirname "$0")/.."
-L=${1:-/tmp/chip_session.log}
-: > "$L"
-run() { echo "=== $*" | tee -a "$L"; timeout 900 env "${@:2}" \
-        python tools/perf_lab.py "$1" 2>&1 | grep -v WARNING | tee -a "$L"; }
+LOG=${1:-/tmp/chip_session.log}
+: > "$LOG"
+run() { echo "=== $1 ===" >> "$LOG"; shift; "$@" >> "$LOG" 2>&1; }
 
-# 1. decode: int8 vs w8a8 GEMV roofs + ablation decomposition
-run roofq
-run roofw8a8
-run decablate TTS_DECODE_QUANT=int8 TTS_ABLATE_DEC=noattn
-run decode    TTS_DECODE_QUANT=int8
-run decode    TTS_DECODE_QUANT=int8 TTS_QGEMV_LN=1
-run decode    TTS_DECODE_QUANT=w8a8
-run decode    TTS_DECODE_QUANT=w8a8 TTS_QGEMV_LN=1
-run decode    TTS_DECODE_QUANT=w8a8 TTS_QGEMV_LN=1 TTS_DECODE_UNROLL=4
+run "bench single" timeout 1800 python bench.py
 
-# 2. denoiser: XLA default vs vt attention vs fused resblock vs both
-run denoiser TTS_DENOISER_T=896
-run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1
-run denoiser TTS_DENOISER_T=896 TTS_FUSED_RESBLOCK=1
-run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1 TTS_FUSED_RESBLOCK=1
-run denoiser TTS_DENOISER_T=896 TTS_FLASH_VT=1 TTS_FLASH_VT_EXP2=1
+run "bench batch8 pipelined (stage timing)" env TTS_STAGE_TIMING=1 \
+    BENCH_MODE=batch BENCH_BATCH=8 timeout 1800 python - <<'EOF'
+import logging; logging.basicConfig(level=logging.INFO)
+import runpy, sys
+sys.argv = ["bench.py"]
+runpy.run_path("bench.py", run_name="__main__")
+EOF
 
-# 3. vocoder: exact sin (default) vs poly sin2
-run vocoder
-run vocoder TTS_SNAKE_SIN=poly
+run "bench batch16 pipelined (stage timing)" env TTS_STAGE_TIMING=1 \
+    BENCH_MODE=batch BENCH_BATCH=16 timeout 1800 python - <<'EOF'
+import logging; logging.basicConfig(level=logging.INFO)
+import runpy, sys
+sys.argv = ["bench.py"]
+runpy.run_path("bench.py", run_name="__main__")
+EOF
 
-echo "=== bench int8 (baseline config)" | tee -a "$L"
-timeout 1800 python bench.py 2>&1 | grep -v WARNING | tee -a "$L"
-echo "=== bench w8a8" | tee -a "$L"
-timeout 1800 env BENCH_QUANT=w8a8 python bench.py 2>&1 | grep -v WARNING | tee -a "$L"
+run "bench batch16 percall" env BENCH_BATCH_PERCALL=1 BENCH_MODE=batch \
+    BENCH_BATCH=16 timeout 1800 python bench.py
+
+run "bench candidates16" env BENCH_MODE=candidates timeout 1800 \
+    python bench.py
+
+run "train bench full-AR 55 steps" timeout 3000 python \
+    tools/train_bench.py --steps 55 --batch 8
+
+run "train bench LoRA 55 steps" timeout 3000 python \
+    tools/train_bench.py --steps 55 --batch 8 --lora
+
+echo "=== SESSION DONE ===" >> "$LOG"

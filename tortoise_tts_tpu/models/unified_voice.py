@@ -757,6 +757,9 @@ def decode_chunk(params: Params, state: DecodeState,
     return lax.while_loop(cond_fn, body_fn, state)
 
 
+@partial(jax.jit, static_argnames=("quant_mode", "cfg", "sampling",
+                                   "max_length", "collect_latents",
+                                   "decode_chunk_size"))
 def inference_speech(params: Params, cond_latent: jnp.ndarray,
                      text: jnp.ndarray, text_lengths: jnp.ndarray,
                      key: jax.Array,
@@ -766,10 +769,10 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
                      collect_latents: bool = False,
                      qgpt: Optional[Params] = None,
                      quant_mode: str = "int8",
-                     decode_chunk_size: Optional[int] = None
-                     ) -> DecodeResult:
+                     decode_chunk_size: int = 0) -> DecodeResult:
     """Generate mel codes (reference unified_voice.py:632-668 + HF loop):
-    jitted prefill + a LADDER of while_loop chunks with stop early-exit.
+    ONE jitted program — prefill + a trace-time-unrolled LADDER of
+    while_loop chunks with stop early-exit.
 
     The attention ladder (round-4 chip finding — the batch-decode gap
     is entirely the cache read: 0.99 of 1.75 ms/token at B=8): the
@@ -777,23 +780,30 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
     attention reads only the static cache prefix it can possibly touch
     (``attn_len``), cutting the streamed K/V bytes to ~0.74x of the
     fixed-budget read at a 200-token budget.  Results are bit-identical
-    (dropped positions are exact softmax zeros — tested).  The extra
-    host dispatches pipeline ahead of the sequential device work; a
-    chunk whose rows have all stopped exits its while_loop immediately.
+    (dropped positions are exact softmax zeros — tested).  The ladder
+    unrolls INSIDE the jit: a host-side chunk loop was chip-measured
+    SLOWER (+0.36 ms/token at B=8) because each extra dispatch through
+    the remote relay costs ~20 ms un-overlapped; here the whole decode
+    stays one dispatch.  A chunk whose rows have all stopped exits its
+    while_loop in one cond evaluation.
 
-    ``decode_chunk_size``: ladder granularity; None = TTS_DECODE_LADDER
-    env (default 64); 0 = single full-budget chunk (the round-3 path).
+    ``decode_chunk_size``: ladder granularity (static); the DEFAULT is
+    0 = one full-budget while_loop: the in-jit ladder ALSO measured
+    slower on chip (B=8 2.04 vs 1.74 ms/token, B=16 4.37 vs 2.55 —
+    XLA does not alias the 100-500 MB KV cache across the sequential
+    while_loops, so each chunk boundary copies it), leaving the
+    fixed-budget masked read as the fastest decode in this
+    environment.  Both negative results are recorded in DESIGN.md;
+    the ablation matrix (tools/perf_lab.py decodebatch) reproduces
+    them.
     """
-    import os
-    if decode_chunk_size is None:
-        decode_chunk_size = int(os.environ.get("TTS_DECODE_LADDER", "64"))
     cs = decode_chunk_size or max_length
     state = decode_start(params, cond_latent, text, text_lengths, key, cfg,
                          max_length)
     cache_len = state.cache.k.shape[3]
     prefix_eff = cache_len - 1 - max_length   # incl. any kernel pad gap
     done = 0
-    while done < max_length:
+    while done < max_length:                  # unrolls at trace time
         n = min(cs, max_length - done)
         attn_len = min(prefix_eff + 1 + done + n, cache_len)
         state = decode_chunk(params, state, cfg, sampling, chunk=n,
@@ -802,16 +812,6 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
                              attn_len=attn_len if cs < max_length else None)
         done += n
     return DecodeResult(state.tokens, state.lengths, state.latents)
-
-
-def _clear_inference_speech_cache():
-    decode_start.clear_cache()
-    decode_chunk.clear_cache()
-
-
-# inference_speech is a host-side ladder over jitted chunks; keep the
-# jitted-function cache-clearing surface tests rely on
-inference_speech.clear_cache = _clear_inference_speech_cache
 
 
 # ---------------------------------------------------------------------------
