@@ -92,12 +92,15 @@ def main(argv=None):
         results = list(ex.map(
             lambda ig: run_group(ig[0], ig[1], args.pytest_args),
             enumerate(groups)))
-    rc = max(r[0] for r in results)
+    # a shard killed by a signal returns a NEGATIVE code and prints no
+    # "N failed" summary — max() would mask exactly the segfault class
+    # this runner exists to catch
+    bad = any(r[0] != 0 for r in results)
     passed = sum(r[1] for r in results)
     failed = sum(r[2] for r in results)
     print(f"==== {passed} passed, {failed} failed across {len(groups)} "
           f"shards in {time.time() - t0:.1f}s ====", flush=True)
-    return 1 if rc != 0 or failed else 0
+    return 1 if bad or failed else 0
 
 
 if __name__ == "__main__":

@@ -189,7 +189,7 @@ def _route_emb(t, monkeypatch):
 
 
 def test_batch_per_row_voices_match_single_calls(tmp_path, monkeypatch):
-    """batch_inference(references=[voiceA, voiceB]) on the 8-device mesh:
+    """batch_inference(voices=[voiceA, voiceB]) on the 8-device mesh:
     every row is conditioned on ITS OWN voice (AR + diffusion latents)
     and reproduces the single-call output for that (text, voice) pair
     (greedy decode + diffusion_temp=0 make the pipeline deterministic;
@@ -201,7 +201,7 @@ def test_batch_per_row_voices_match_single_calls(tmp_path, monkeypatch):
               diffusion_temp=0.0, diffusion_pad_multiple=8, seed=9)
 
     t = _route_emb(_tiny_tts(mesh=TTS.serving_mesh(8)), monkeypatch)
-    rows, sr = t.batch_inference([text, text], references=[va, vb],
+    rows, sr = t.batch_inference([text, text], voices=[va, vb],
                                  row_buckets=False, **kw)
     assert sr == 24_000
 
@@ -220,7 +220,7 @@ def test_batch_per_row_voices_match_single_calls(tmp_path, monkeypatch):
     assert not np.allclose(rows[0], rows[1])
 
     # row_buckets=True keeps the same per-row lengths/trim semantics
-    rows_b, _ = t.batch_inference([text, text], references=[va, vb],
+    rows_b, _ = t.batch_inference([text, text], voices=[va, vb],
                                   row_buckets=True, **kw)
     for rb, rs in zip(rows_b, rows):
         assert rb.shape == rs.shape
@@ -324,3 +324,19 @@ def test_batch_async_fetch_matches_sync():
                                 **kw)
     for g, r in zip(fin2(), ref2):
         np.testing.assert_array_equal(g, r)
+
+
+def test_references_list_stays_single_voice(tmp_path, monkeypatch):
+    """Back-compat: a list of N clip paths in ``references`` is ONE
+    voice (N clips), never reinterpreted per-row — per-row conditioning
+    requires the explicit ``voices`` parameter."""
+    va, vb = _two_voices(tmp_path)
+    t = _route_emb(_tiny_tts(), monkeypatch)
+    a_rows, d_rows = t._encode_voice_rows([va, vb], None,
+                                          ["one", "two"], seed=0)
+    np.testing.assert_array_equal(a_rows[0], a_rows[1])
+    assert d_rows.shape[0] == 1
+    with pytest.raises(ValueError, match="not both"):
+        t._encode_voice_rows(va, [va, vb], ["one", "two"], seed=0)
+    with pytest.raises(ValueError, match="entries"):
+        t._encode_voice_rows(None, [va], ["one", "two"], seed=0)

@@ -169,13 +169,13 @@ def main():
                                max_iterations=args.steps)
     wall = time.perf_counter() - t_start
 
-    # steady window: skip the first 10 (compile/warmup) and the
-    # checkpoint step (its wall is reported separately)
+    # steady window: skip the first 10 (compile/warmup) steps.  The
+    # checkpoint wall is NOT in steps_t (save_fn is timed separately,
+    # timed_step wraps only engines.step), so every remaining step —
+    # including log-cadence metric-fetch steps — counts.
     skip = 10 if len(steps_t) > 10 else 0
     window = steps_t[skip:]
     st_stalls = stalls[skip:] or stalls
-    if ckpt_s[0] and len(window) > 1:
-        window = sorted(window)[:-1]         # drop the ckpt outlier
     steady = float(np.mean(window)) if window else float("nan")
     st = engines[name]
     tokens = int(st.tokens_processed)

@@ -20,16 +20,18 @@ from .state import TrainState, export_weights, load_checkpoint, \
 _logger = logging.getLogger(__name__)
 
 
-def _all_ranks_agree_oom(local_oom: bool) -> bool:
-    """All-rank OOM vote (reference engines/base.py:541-597): every rank
-    must learn whether *any* rank OOM'd so they all skip the same batch.
-    psum over hosts via multihost_utils; single-process is a no-op."""
+def _any_rank(flag: bool) -> bool:
+    """All-rank agreement that *any* rank raised a flag (reference OOM
+    vote, engines/base.py:541-597) — used both for the skip decision
+    and for the donated-state rewind decision so every rank takes the
+    same branch.  psum over hosts via multihost_utils; single-process
+    is a no-op."""
     import jax
     if jax.process_count() <= 1:
-        return local_oom
+        return flag
     from jax.experimental import multihost_utils
     votes = multihost_utils.process_allgather(
-        np.asarray([1 if local_oom else 0], np.int32))
+        np.asarray([1 if flag else 0], np.int32))
     return bool(np.asarray(votes).sum() > 0)
 
 
@@ -113,16 +115,19 @@ class Engines:
                     m = {}
                 else:
                     raise
-            if _all_ranks_agree_oom(oom):
+            if _any_rank(oom):
                 _logger.error("OOM during %s step — skipping batch", name)
                 metrics[f"{name}.skipped"] = 1.0
                 # donation hazard (engine/train_step.py donate_argnums):
                 # the failed call may have consumed the donated state
                 # buffers, so "keep using e['state']" is only safe when
-                # they are all still alive — otherwise reload the last
-                # checkpoint (reference semantics: OOM -> save/skip and
-                # keep training from a valid state, engines/base.py:538-597)
-                if not _state_intact(e["state"]):
+                # they are all still alive.  The rewind decision must be
+                # ALL-RANK AGREED (same allgather pattern as the OOM
+                # vote): if only the ranks that lost buffers reloaded
+                # the checkpoint, params/step would silently diverge
+                # across hosts.  Reference semantics: OOM -> save/skip
+                # and keep training valid (engines/base.py:538-597).
+                if _any_rank(not _state_intact(e["state"])):
                     self._recover_state(name, e)
                 continue
             if oom:

@@ -339,6 +339,27 @@ def _jit_clvp_scores(params, text, codes, cfg):
     return _clvp.forward(params, text, codes, cfg)
 
 
+
+def _sampling_from_knobs(ar_temp=0.8, top_k=0, top_p=1.0,
+                         typical_sampling=False, typical_mass=0.9,
+                         repetition_penalty=1.0, length_penalty=1.0,
+                         length_penalty_factor=0.0, beam_width=1,
+                         greedy=False, mirostat_tau=0.0, mirostat_eta=0.1,
+                         min_temperature=0.0) -> SamplingConfig:
+    """One SamplingConfig builder for all three public entry points
+    (inference / batch_inference / stream) — the knob surface cannot
+    drift between them (the knob-parity test pins it)."""
+    return SamplingConfig(
+        temperature=ar_temp, top_k=top_k, top_p=top_p,
+        typical_mass=typical_mass if typical_sampling else 0.0,
+        repetition_penalty=repetition_penalty,
+        length_penalty=length_penalty,
+        length_penalty_factor=length_penalty_factor,
+        beam_width=beam_width, greedy=greedy,
+        mirostat_tau=mirostat_tau, mirostat_eta=mirostat_eta,
+        min_temperature=min_temperature)
+
+
 def _host_keys(seed: int, n: int):
     """n independent raw PRNG keys computed on the host.
 
@@ -623,9 +644,9 @@ class TTS:
             ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
             diff_latent = rlg_m.sample(rgd.params, k2, 1, int(rgd.config))
 
-        sampling = SamplingConfig(
-            temperature=ar_temp, top_k=top_k, top_p=top_p,
-            typical_mass=typical_mass if typical_sampling else 0.0,
+        sampling = _sampling_from_knobs(
+            ar_temp=ar_temp, top_k=top_k, top_p=top_p,
+            typical_sampling=typical_sampling, typical_mass=typical_mass,
             repetition_penalty=repetition_penalty,
             length_penalty=length_penalty,
             length_penalty_factor=length_penalty_factor,
@@ -661,16 +682,20 @@ class TTS:
         return wav, sr
 
     # ------------------------------------------------------------------
-    def _encode_voice_rows(self, references, texts, seed):
+    def _encode_voice_rows(self, references, voices, texts, seed):
         """Per-row conditioning latents for batched serving.
 
-        ``references`` as a single str/Path (";"-joined clips) or a
-        sequence NOT matching len(texts) = ONE voice broadcast to every
-        row (the round-3 behavior).  A list/tuple with one entry PER
-        TEXT = per-row voices (each entry: None for voiceless RLG
-        conditioning, a str of ";"-joined clip paths, or a sequence of
-        clip paths); each distinct voice is encoded once (the voice
-        cache) and its latents stacked row-wise — matching the
+        ``references`` keeps the round-3 single-voice semantics
+        unchanged: a str of ";"-joined clip paths OR a sequence of clip
+        paths, all describing ONE voice broadcast to every row.
+
+        ``voices`` is the EXPLICIT per-row argument (one entry per
+        text; each entry: None for voiceless RLG conditioning, a str of
+        ";"-joined clip paths, or a sequence of clip paths).  A
+        separate parameter — not an overload of ``references`` — so a
+        list of N clips for one voice can never be silently reread as N
+        per-row voices.  Each distinct voice is encoded once (the voice
+        cache) and its latents stacked row-wise, matching the
         reference's per-call ``references`` conditioning
         (inference.py:142, 220-235) at batch scale.
 
@@ -692,16 +717,17 @@ class TTS:
             a, d = enc["latent"]
             return np.asarray(a), np.asarray(d)
 
-        per_row = (isinstance(references, (list, tuple))
-                   and len(references) == b
-                   and (b > 1 or references and (
-                       references[0] is None
-                       or isinstance(references[0], (list, tuple)))))
-        if not per_row:
+        if voices is None:
             a, d = one(references, 0)
             return (np.broadcast_to(a, (b, a.shape[-1])),
                     d.reshape(1, -1))
-        rows = [one(r, i) for i, r in enumerate(references)]
+        if references is not None:
+            raise ValueError("pass either references (one voice) or "
+                             "voices (one entry per row), not both")
+        if len(voices) != b:
+            raise ValueError(f"voices has {len(voices)} entries for "
+                             f"{b} texts")
+        rows = [one(r, i) for i, r in enumerate(voices)]
         return (np.concatenate([a for a, _ in rows], axis=0),
                 np.concatenate([d for _, d in rows], axis=0))
 
@@ -709,6 +735,7 @@ class TTS:
         self,
         texts: Sequence[str],
         references: Optional[str | Sequence] = None,
+        voices: Optional[Sequence] = None,
         max_ar_steps: int = 500,
         max_diffusion_steps: int = 80,
         ar_temp: float = 0.8,
@@ -753,8 +780,10 @@ class TTS:
         mirostat/penalties), ``beam_width`` (HF beam_sample over every
         row), and ``candidates`` (per-row fan-out: each row decodes N
         candidates and keeps its own CLVP-reranked winner —
-        reference inference.py:392-396 batched).  ``references`` may be
-        one voice or one entry per row (see ``_encode_voice_rows``).
+        reference inference.py:392-396 batched).  ``references`` is ONE
+        voice (str or clip sequence — round-3 semantics unchanged);
+        ``voices`` conditions each row on its own voice (see
+        ``_encode_voice_rows``).
         Rows draw independent samples from one batch key; exact
         per-row seed reproduction requires a single-row call.
 
@@ -794,8 +823,8 @@ class TTS:
         diffusion = self._model("diffusion")
 
         b = len(texts)
-        ar_rows, diff_rows = self._encode_voice_rows(references, texts,
-                                                     seed)
+        ar_rows, diff_rows = self._encode_voice_rows(references, voices,
+                                                     texts, seed)
         bp = b + (-b) % nshard                 # pad rows to the mesh axis
         C = max(1, candidates) if beam_width <= 1 else 1
         toks = [self.encode_text(t) for t in texts]
@@ -820,9 +849,9 @@ class TTS:
             tokens = np.repeat(tokens, C, axis=0)
             lengths = np.repeat(lengths, C, axis=0)
             lat = np.repeat(lat, C, axis=0)
-        sampling = SamplingConfig(
-            temperature=ar_temp, top_k=top_k, top_p=top_p,
-            typical_mass=typical_mass if typical_sampling else 0.0,
+        sampling = _sampling_from_knobs(
+            ar_temp=ar_temp, top_k=top_k, top_p=top_p,
+            typical_sampling=typical_sampling, typical_mass=typical_mass,
             repetition_penalty=repetition_penalty,
             length_penalty=length_penalty,
             length_penalty_factor=length_penalty_factor,
@@ -1284,6 +1313,7 @@ class TTS:
                max_ar_steps: int = 500, ar_temp: float = 0.8,
                top_p: float = 1.0, top_k: int = 0,
                repetition_penalty: float = 1.0,
+               length_penalty: float = 1.0,
                length_penalty_factor: float = 0.0,
                typical_sampling: bool = False,
                typical_mass: float = 0.9,
@@ -1317,10 +1347,11 @@ class TTS:
             (k1,) = _host_keys(seed ^ 0x5F3C, 1)
             rga = self._model("rlg_auto")
             ar_latent = rlg_m.sample(rga.params, k1, 1, int(rga.config))
-        sampling = SamplingConfig(
-            temperature=ar_temp, top_k=top_k, top_p=top_p,
-            typical_mass=typical_mass if typical_sampling else 0.0,
+        sampling = _sampling_from_knobs(
+            ar_temp=ar_temp, top_k=top_k, top_p=top_p,
+            typical_sampling=typical_sampling, typical_mass=typical_mass,
             repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty,
             length_penalty_factor=length_penalty_factor,
             greedy=greedy, mirostat_tau=mirostat_tau,
             mirostat_eta=mirostat_eta, min_temperature=min_temperature)

@@ -111,7 +111,8 @@ def flash_decode_stacked(q: jnp.ndarray, ck: jnp.ndarray, cv: jnp.ndarray,
     b, h, dh = q.shape
     L, _, _, s, _ = ck.shape
     scale = 1.0 / math.sqrt(dh)
-    if (not _mosaic_ok() and not interpret) or s % block_s:
+    if (not _HAS_PLTPU or (not _mosaic_ok() and not interpret)
+            or s % block_s):
         # XLA fallback — identical math on the masked full row
         kc = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)

@@ -179,20 +179,25 @@ def main(argv=None):
 
     # subtrain eval split: a sequential (non-training) view over the
     # TRAINING paths — the reference's overfitting probe evaluates both
-    # a subtrain slice and the val set per eval (train.py:216-256);
-    # a separate Dataset leaves the resumable training sampler untouched
-    from .data import Dataset as _Dataset
-    subtrain_ds = _Dataset(cfg, cfg.dataset.training, training=False)
+    # a subtrain slice and the val set per eval (train.py:216-256).
+    # Built lazily on the first eval: a separate Dataset leaves the
+    # resumable training sampler untouched, and runs with eval disabled
+    # never pay the duplicate metadata scan.
+    _subtrain: list = []
 
     def eval_fn(es):
         if ar_engine_name not in es:
             return
+        if not _subtrain:
+            from .data import Dataset as _Dataset
+            _subtrain.append(_Dataset(cfg, cfg.dataset.training,
+                                      training=False))
         lora_cfg = cfg.lora if cfg.lora is not None and \
             cfg.lora.training else None
         base = (load_model("autoregressive",
                            cfg.trainer.weight_dtype).params
                 if lora_cfg else None)
-        for name, ds in (("subtrain", subtrain_ds), ("val", val_ds)):
+        for name, ds in (("subtrain", _subtrain[0]), ("val", val_ds)):
             run_eval(cfg, es[ar_engine_name], ds, log_dir,
                      lora_cfg=lora_cfg, base_params=base,
                      max_samples=cfg.evaluation.size, prefix=name)
