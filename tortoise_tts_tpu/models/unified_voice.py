@@ -410,10 +410,18 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
             a = flash_decode_stacked(q[:, :, 0], ck, cv, li, pos,
                                      key_mask).reshape(b, 1, d)
         else:
-            kc = lax.dynamic_index_in_dim(ck, li, 0,
-                                          keepdims=False)[:, :, :s_att]
-            vc = lax.dynamic_index_in_dim(cv, li, 0,
-                                          keepdims=False)[:, :, :s_att]
+            if isinstance(li, int):
+                # static layer index (TTS_DECODE_UNROLL=full): a
+                # contiguous leading-axis slice of the carry — XLA can
+                # read it in place instead of materialising the
+                # dynamic-slice copy the scanned path pays for
+                kc = ck[li, :, :, :s_att]
+                vc = cv[li, :, :, :s_att]
+            else:
+                kc = lax.dynamic_index_in_dim(ck, li, 0,
+                                              keepdims=False)[:, :, :s_att]
+                vc = lax.dynamic_index_in_dim(cv, li, 0,
+                                              keepdims=False)[:, :, :s_att]
             a = mha(q, kc, vc, mask=mask)
             a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
         x = x + qlin(lp, "attn_proj", li, a)
@@ -427,11 +435,23 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
         return (x, ck, cv), None
 
     # unroll=2 interleaves adjacent layers' GEMV kernel dispatches
-    # (measured 10.84 -> 11.03x e2e RTF median-of-3 on v5e)
-    unroll = int(os.environ.get("TTS_DECODE_UNROLL", "2"))
-    (x, nk, nv), _ = lax.scan(
-        body, (x, cache.k, cache.v),
-        (lp_all, jnp.arange(L)), unroll=unroll)
+    # (measured 10.84 -> 11.03x e2e RTF median-of-3 on v5e).
+    # TTS_DECODE_UNROLL=full Python-unrolls the layer loop with STATIC
+    # layer indices: the attention cache read becomes a contiguous
+    # static slice of the while_loop carry instead of the scanned
+    # path's dynamic-slice (which XLA materialises as a copy — the
+    # batch-decode attention cost is ~3x the pure K/V-read roof).
+    unroll_env = os.environ.get("TTS_DECODE_UNROLL", "2")
+    if unroll_env == "full":
+        carry = (x, cache.k, cache.v)
+        for li in range(L):
+            lp = jax.tree.map(lambda a, li=li: a[li], lp_all)
+            carry, _ = body(carry, (lp, li))
+        x, nk, nv = carry
+    else:
+        (x, nk, nv), _ = lax.scan(
+            body, (x, cache.k, cache.v),
+            (lp_all, jnp.arange(L)), unroll=int(unroll_env))
     return layer_norm(gpt["ln_f"], x), KVCache(nk, nv)
 
 
