@@ -646,6 +646,20 @@ def bench_decode_batch_matrix():
             uv.mha = orig_mha
             uv.decode_chunk.clear_cache()
 
+        # static-layer-unroll variant: the cache read is a static slice
+        # of the carry instead of the scanned dynamic-slice copy
+        old_unroll = os.environ.get("TTS_DECODE_UNROLL")
+        os.environ["TTS_DECODE_UNROLL"] = "full"
+        uv.decode_chunk.clear_cache()
+        try:
+            rows["staticl"] = timeit(run, st, samp_full, n=3, warmup=1)
+        finally:
+            if old_unroll is None:
+                del os.environ["TTS_DECODE_UNROLL"]
+            else:
+                os.environ["TTS_DECODE_UNROLL"] = old_unroll
+            uv.decode_chunk.clear_cache()
+
         # the attention LADDER (inference_speech chunked attn_len reads)
         # vs the single full-budget chunk, both through the public entry
         # (prefill included in both, so the delta isolates the ladder)
