@@ -392,6 +392,51 @@ def test_decode_ladder_token_exact():
                                       np.asarray(lad.lengths))
 
 
+def test_decode_packed_kv_token_exact():
+    """TTS_DECODE_PACKKV=1 (K||V of each head packed into one 128-lane
+    cache row — dense TPU tiling vs the 2x-padded split buffers) is
+    bit-identical to the split-cache decode: same values, same dots,
+    only the storage layout changes."""
+    import os
+    from tortoise_tts_tpu.ops.sampling import SamplingConfig
+    cfg = uv.UnifiedVoiceConfig(layers=2, model_dim=64, heads=4,
+                                max_text_tokens=40, max_mel_tokens=80)
+    params = uv.init(jax.random.PRNGKey(0), cfg)
+    qgpt = uv.quantize_decode_weights(params)
+    rng = np.random.RandomState(4)
+    text = jnp.asarray(rng.randint(3, 255, (2, 10)))
+    cond = jnp.asarray(rng.randn(2, cfg.model_dim), dtype=jnp.float32)
+    lengths = jnp.asarray([10, 7])
+    samp = SamplingConfig(temperature=0.8, top_p=0.9,
+                          repetition_penalty=2.0)
+
+    def run(q):
+        return uv.inference_speech(params, cond, text, lengths,
+                                   jax.random.PRNGKey(5), cfg, samp,
+                                   max_length=50, qgpt=q,
+                                   quant_mode="int8")
+
+    refs = [run(None), run(qgpt)]
+    old = os.environ.get("TTS_DECODE_PACKKV")
+    os.environ["TTS_DECODE_PACKKV"] = "1"
+    uv.decode_start.clear_cache()
+    uv.decode_chunk.clear_cache()
+    try:
+        for ref, q in zip(refs, (None, qgpt)):
+            got = run(q)
+            np.testing.assert_array_equal(np.asarray(ref.codes),
+                                          np.asarray(got.codes))
+            np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                          np.asarray(got.lengths))
+    finally:
+        if old is None:
+            del os.environ["TTS_DECODE_PACKKV"]
+        else:
+            os.environ["TTS_DECODE_PACKKV"] = old
+        uv.decode_start.clear_cache()
+        uv.decode_chunk.clear_cache()
+
+
 def test_decode_static_unroll_token_exact():
     """TTS_DECODE_UNROLL=full (Python-unrolled layer loop with static
     layer indices — the cache read becomes a static slice of the carry)

@@ -942,6 +942,9 @@ class TTS:
                 rows_all = np.nonzero(n_lats == n_lat)[0]
                 chunks += [(n_lat, rows_all[i:i + cap_rows])
                            for i in range(0, len(rows_all), cap_rows)]
+            if timing:
+                _logger.info("batch buckets %s",
+                             [(n, len(r)) for n, r in chunks])
             for n_lat, rows in chunks:
                 k = len(rows)
                 kp = max(nshard, 1 << (k - 1).bit_length())  # pow2 pad
@@ -971,7 +974,22 @@ class TTS:
 
             def finalize():
                 out = [None] * bp
+                fetch_sum = os.environ.get("TTS_FETCH_SUM") == "1"
                 for rows, wav, kind in pending:  # fetch after ALL dispatch
+                    if fetch_sum:
+                        # perf instrument: sync the COMPUTE with a scalar
+                        # fetch and skip the wav payload — isolates device
+                        # time from the relay's D2H transfer (which
+                        # serializes with compute through the tunnel)
+                        float(jnp.sum(wav.astype(jnp.float32)))
+                        for r in rows:
+                            n = int(t_np[r] * 4 * 24000 // 22050) * 256
+                            out[r] = np.zeros((n,), np.float32)
+                        continue
+                    if wav.shape[0] > len(rows):
+                        # pow2 row padding: don't pay relay transfer for
+                        # the duplicate rows — slice them off on device
+                        wav = wav[:len(rows)]
                     arr = np.asarray(wav)
                     for j, r in enumerate(rows):
                         n = int(t_np[r] * 4 * 24000 // 22050) * 256

@@ -265,6 +265,17 @@ def _use_flash_decode() -> bool:
             and os.environ.get("TTS_FLASH_DECODE", "0") == "1")
 
 
+def _use_packed_kv() -> bool:
+    """Packed K||V decode cache (TTS_DECODE_PACKKV=1): (L,B,H,S,2*hd)
+    with K in the low 64 lanes and V in the high 64.  Dense in TPU
+    tiling (the split per-head (S, 64) buffers each pad to 128 lanes —
+    2x the HBM bytes on every cache read and write).  Mutually
+    exclusive with the flash-decode kernel, which wants split K/V."""
+    import os
+    return (os.environ.get("TTS_DECODE_PACKKV", "0") == "1"
+            and not _use_flash_decode())
+
+
 def quantize_decode_weights(params: Params) -> Params:
     """Weight-only int8 quantization of the GPT trunk linears for the
     decode loop (per-output-channel symmetric scales).
@@ -334,7 +345,8 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     # perf A/B fallback (cache through scan ys).  w8a8 stays on the main
     # path — its in-kernel activation quant has no scan-ys analogue, and
     # silently dropping quantization would conflate the A/B.
-    if (os.environ.get("TTS_DECODE_SCANYS") == "1"
+    packed = cache.v.ndim != 5      # K||V packed into 128 lanes
+    if (os.environ.get("TTS_DECODE_SCANYS") == "1" and not packed
             and not (qgpt is not None and quant_mode == "w8a8")):
         return _gpt_decode_step_scanys(gpt, x, heads, cache, pos, key_mask,
                                        qgpt=qgpt)
@@ -401,10 +413,15 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
         q = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)[None]
         v = v.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)[None]
-        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                      (li, 0, 0, pos, 0))
-        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                      (li, 0, 0, pos, 0))
+        if packed:
+            kv = jnp.concatenate([k, v], axis=-1)
+            ck = lax.dynamic_update_slice(ck, kv.astype(ck.dtype),
+                                          (li, 0, 0, pos, 0))
+        else:
+            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                          (li, 0, 0, pos, 0))
+            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (li, 0, 0, pos, 0))
         if use_fd:
             from ..ops.pallas_decode_attn import flash_decode_stacked
             a = flash_decode_stacked(q[:, :, 0], ck, cv, li, pos,
@@ -415,13 +432,18 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
                 # contiguous leading-axis slice of the carry — XLA can
                 # read it in place instead of materialising the
                 # dynamic-slice copy the scanned path pays for
-                kc = ck[li, :, :, :s_att]
-                vc = cv[li, :, :, :s_att]
+                kvc = ck[li, :, :, :s_att]
+                vc = None if packed else cv[li, :, :, :s_att]
             else:
-                kc = lax.dynamic_index_in_dim(ck, li, 0,
-                                              keepdims=False)[:, :, :s_att]
-                vc = lax.dynamic_index_in_dim(cv, li, 0,
-                                              keepdims=False)[:, :, :s_att]
+                kvc = lax.dynamic_index_in_dim(ck, li, 0,
+                                               keepdims=False)[:, :, :s_att]
+                vc = (None if packed else
+                      lax.dynamic_index_in_dim(cv, li, 0,
+                                               keepdims=False)[:, :, :s_att])
+            if packed:
+                kc, vc = kvc[..., :hd], kvc[..., hd:]
+            else:
+                kc = kvc
             a = mha(q, kc, vc, mask=mask)
             a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
         x = x + qlin(lp, "attn_proj", li, a)
@@ -670,6 +692,15 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
     prefill_mask = jnp.concatenate([ones, text_mask, ones], axis=1)
     hidden, cache = _gpt_prefill(params["gpt"], prefill, cfg.heads,
                                  prefill_mask, cache_len)
+    if _use_packed_kv():
+        # pack K||V of each head into one 128-lane row: the per-head
+        # head_dim of 64 pads to 128 lanes in TPU tiling, so the split
+        # (S, 64) K and V buffers each occupy (and stream) 2x their
+        # bytes; the packed (S, 128) buffer is dense and one read
+        # serves both attention dots.  decode_chunk detects the layout
+        # from the cache shape (cache.v becomes a 0-size sentinel).
+        cache = KVCache(jnp.concatenate([cache.k, cache.v], axis=-1),
+                        jnp.zeros((0,), cache.k.dtype))
     key_mask = jnp.concatenate(
         [prefill_mask, jnp.zeros((b, pad), dtype=bool),
          jnp.ones((b, cache_len - pad - prefill.shape[1]), dtype=bool)],
@@ -1001,7 +1032,8 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
 
         gather = (jnp.arange(b)[:, None] * w + beam_idx).reshape(-1)
         cache2 = KVCache(jnp.take(c.cache.k, gather, axis=1),
-                         jnp.take(c.cache.v, gather, axis=1))
+                         jnp.take(c.cache.v, gather, axis=1)
+                         if c.cache.v.ndim == 5 else c.cache.v)
         tokens = jnp.take_along_axis(
             c.tokens, beam_idx[..., None], axis=1)
         tokens = tokens.at[:, :, c.step].set(tok)
