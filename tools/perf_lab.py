@@ -660,6 +660,33 @@ def bench_decode_batch_matrix():
                 os.environ["TTS_DECODE_UNROLL"] = old_unroll
             uv.decode_chunk.clear_cache()
 
+        # packed K||V cache (dense 128-lane rows vs 2x-padded split
+        # buffers); also combined with the static layer unroll
+        old_pk = os.environ.get("TTS_DECODE_PACKKV")
+        os.environ["TTS_DECODE_PACKKV"] = "1"
+        uv.decode_start.clear_cache()
+        uv.decode_chunk.clear_cache()
+        try:
+            st_pk = uv.decode_start(p, cond, text, tl,
+                                    jax.random.PRNGKey(0), cfg, max_len)
+            _sync(st_pk.cache.k)
+            rows["packkv"] = timeit(run, st_pk, samp_full, n=3, warmup=1)
+            os.environ["TTS_DECODE_UNROLL"] = "full"
+            uv.decode_chunk.clear_cache()
+            rows["packstat"] = timeit(run, st_pk, samp_full, n=3,
+                                      warmup=1)
+        finally:
+            if old_pk is None:
+                del os.environ["TTS_DECODE_PACKKV"]
+            else:
+                os.environ["TTS_DECODE_PACKKV"] = old_pk
+            if old_unroll is None:
+                os.environ.pop("TTS_DECODE_UNROLL", None)
+            else:
+                os.environ["TTS_DECODE_UNROLL"] = old_unroll
+            uv.decode_start.clear_cache()
+            uv.decode_chunk.clear_cache()
+
         # the attention LADDER (inference_speech chunked attn_len reads)
         # vs the single full-budget chunk, both through the public entry
         # (prefill included in both, so the delta isolates the ladder)
@@ -678,6 +705,130 @@ def bench_decode_batch_matrix():
               + " | ".join(
                   f"{k} {v/max_len*1e3:.2f} (d={base - v/max_len*1e3:+.2f})"
                   for k, v in rows.items() if k != "full"))
+
+
+def bench_attn_layout():
+    """Decode-attention CACHE LAYOUT microbench (round-4: batch decode
+    attention measures ~2.6x the dense K/V-read roof).  Simulates the
+    per-token attention over a 30-layer stacked cache inside ONE
+    program (scan over layers, fori over steps), per layout:
+
+      split    (L,B,H,S,hd)  — the shipped layout (hd=64 minor: TPU
+                               (8,128) tiling pads lanes 64->128, 2x?)
+      packed   (L,B,H,S,2hd) — K||V dense rows; q zero-padded for the
+                               score dot, AV takes the high lanes
+      kmajor   (L,B,H,hd,S)  — S minor (268->pad 384, 1.43x); scores
+                               contract hd over sublanes, AV contracts S
+      flat     (L,B,S,D)     — heads packed in the minor dim (dense),
+                               per-head dots via reshape
+      readroof (split)       — jnp.sum over the same buffers: pure read
+    """
+    L, H, hd = 30, 16, 64
+    D = H * hd
+    S = int(os.environ.get("TTS_ATTN_S", "268"))
+    steps = 50
+    bs = tuple(int(x) for x in os.environ.get(
+        "TTS_DECODE_BS", "1,8,16").split(","))
+    scale = 1.0 / (hd ** 0.5)
+
+    for b in bs:
+        key = jax.random.PRNGKey(0)
+        k_s = jax.random.normal(key, (L, b, H, S, hd), jnp.bfloat16)
+        v_s = jax.random.normal(key, (L, b, H, S, hd), jnp.bfloat16)
+        q0 = jax.random.normal(key, (b, H, hd), jnp.bfloat16)
+        mask = (jnp.arange(S)[None, :] < S - 10)[None]  # (1,1,S)
+
+        def attend(q, kc, vc, packed=False):
+            # q (b,H,hd[*2]), kc/vc per layout
+            s = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32),
+                           kc.astype(jnp.float32)) * scale
+            s = jnp.where(mask, s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhs,bhsd->bhd", p, vc.astype(jnp.float32))
+            if packed:
+                o = o[..., hd:]
+            return o.astype(jnp.bfloat16)
+
+        def run_layers(q, fn, kv):
+            def body(q, lkv):
+                return fn(q, lkv).reshape(b, H, hd), None
+
+            def step(i, q):
+                out, _ = jax.lax.scan(body, q, kv)
+                return out
+
+            return jax.lax.fori_loop(0, steps, step, q)
+
+        @jax.jit
+        def split(q, kc, vc):
+            return run_layers(
+                q, lambda qq, lkv: attend(qq, lkv[0], lkv[1]), (kc, vc))
+
+        @jax.jit
+        def packed(q, kv):
+            qp = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+
+            def fn(qq, lkv):
+                qq = jnp.concatenate([qq, jnp.zeros_like(qq)], axis=-1)
+                return attend(qq, lkv, lkv, packed=True)
+
+            return run_layers(q, fn, kv)
+
+        @jax.jit
+        def kmajor(q, kt, vt):
+            def fn(qq, lkv):
+                kc, vc = lkv
+                s = jnp.einsum("bhd,bhds->bhs", qq.astype(jnp.float32),
+                               kc.astype(jnp.float32)) * scale
+                s = jnp.where(mask, s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                return jnp.einsum("bhs,bhds->bhd", p,
+                                  vc.astype(jnp.float32)).astype(
+                                      jnp.bfloat16)
+
+            return run_layers(q, fn, (kt, vt))
+
+        @jax.jit
+        def flat(q, kf, vf):
+            def fn(qq, lkv):
+                kc = lkv[0].reshape(b, S, H, hd)
+                vc = lkv[1].reshape(b, S, H, hd)
+                s = jnp.einsum("bhd,bshd->bhs", qq.astype(jnp.float32),
+                               kc.astype(jnp.float32)) * scale
+                s = jnp.where(mask, s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                return jnp.einsum("bhs,bshd->bhd", p,
+                                  vc.astype(jnp.float32)).astype(
+                                      jnp.bfloat16)
+
+            return run_layers(q, fn, (kf, vf))
+
+        @jax.jit
+        def readroof(q, kc, vc):
+            def fn(qq, lkv):
+                r = (jnp.sum(lkv[0].astype(jnp.float32), axis=(2, 3))
+                     + jnp.sum(lkv[1].astype(jnp.float32), axis=(2, 3)))
+                return qq + r[:, :, None].astype(jnp.bfloat16)
+
+            return run_layers(q, fn, (kc, vc))
+
+        kv_p = jnp.concatenate([k_s, v_s], axis=-1)
+        k_t = jnp.swapaxes(k_s, -1, -2)
+        v_t = jnp.swapaxes(v_s, -1, -2)
+        k_f = jnp.swapaxes(k_s, 2, 3).reshape(L, b, S, D)
+        v_f = jnp.swapaxes(v_s, 2, 3).reshape(L, b, S, D)
+
+        gb = (2 * L * b * H * S * hd * 2) / 1e9  # dense K+V bytes
+        rows = {
+            "split": timeit(split, q0, k_s, v_s, n=3, warmup=1),
+            "packed": timeit(packed, q0, kv_p, n=3, warmup=1),
+            "kmajor": timeit(kmajor, q0, k_t, v_t, n=3, warmup=1),
+            "flat": timeit(flat, q0, k_f, v_f, n=3, warmup=1),
+            "readroof": timeit(readroof, q0, k_s, v_s, n=3, warmup=1),
+        }
+        print(f"B={b} S={S} dense {gb*1e3:.0f} MB/step: " + " | ".join(
+            f"{k} {v/steps*1e3:.2f} ms ({gb/(v/steps):.0f} GB/s)"
+            for k, v in rows.items()))
 
 
 def bench_diffparts():
@@ -738,6 +889,8 @@ if __name__ == "__main__":
         bench_decode_ablate()
     if "decodebatch" in which:
         bench_decode_batch_matrix()
+    if "attnread" in which:
+        bench_attn_layout()
     if "roofw8a8" in which:
         bench_decode_roof_qgemv(w8a8=True)
     if "roofw8a8x1024" in which:
