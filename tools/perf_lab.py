@@ -18,6 +18,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 
 import jax
+
+if os.environ.get("TTS_LAB_CPU") == "1":
+    # the axon sitecustomize pins jax_platforms; env alone is overridden
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -739,12 +744,15 @@ def bench_attn_layout():
         mask = (jnp.arange(S)[None, :] < S - 10)[None]  # (1,1,S)
 
         def attend(q, kc, vc, packed=False):
-            # q (b,H,hd[*2]), kc/vc per layout
-            s = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32),
-                           kc.astype(jnp.float32)) * scale
+            # q (b,H,hd[*2]), kc/vc per layout; matches ops/attention.mha
+            # numerics: bf16 operands, fp32 MXU accumulate (an explicit
+            # fp32 astype would MATERIALISE a fp32 copy of the cache)
+            s = jnp.einsum("bhd,bhsd->bhs", q, kc,
+                           preferred_element_type=jnp.float32) * scale
             s = jnp.where(mask, s, -1e30)
-            p = jax.nn.softmax(s, axis=-1)
-            o = jnp.einsum("bhs,bhsd->bhd", p, vc.astype(jnp.float32))
+            p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+            o = jnp.einsum("bhs,bhsd->bhd", p, vc,
+                           preferred_element_type=jnp.float32)
             if packed:
                 o = o[..., hd:]
             return o.astype(jnp.bfloat16)
@@ -778,13 +786,13 @@ def bench_attn_layout():
         def kmajor(q, kt, vt):
             def fn(qq, lkv):
                 kc, vc = lkv
-                s = jnp.einsum("bhd,bhds->bhs", qq.astype(jnp.float32),
-                               kc.astype(jnp.float32)) * scale
+                s = jnp.einsum("bhd,bhds->bhs", qq, kc,
+                               preferred_element_type=jnp.float32) * scale
                 s = jnp.where(mask, s, -1e30)
-                p = jax.nn.softmax(s, axis=-1)
-                return jnp.einsum("bhs,bhds->bhd", p,
-                                  vc.astype(jnp.float32)).astype(
-                                      jnp.bfloat16)
+                p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+                return jnp.einsum("bhs,bhds->bhd", p, vc,
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.bfloat16)
 
             return run_layers(q, fn, (kt, vt))
 
@@ -793,13 +801,13 @@ def bench_attn_layout():
             def fn(qq, lkv):
                 kc = lkv[0].reshape(b, S, H, hd)
                 vc = lkv[1].reshape(b, S, H, hd)
-                s = jnp.einsum("bhd,bshd->bhs", qq.astype(jnp.float32),
-                               kc.astype(jnp.float32)) * scale
+                s = jnp.einsum("bhd,bshd->bhs", qq, kc,
+                               preferred_element_type=jnp.float32) * scale
                 s = jnp.where(mask, s, -1e30)
-                p = jax.nn.softmax(s, axis=-1)
-                return jnp.einsum("bhs,bshd->bhd", p,
-                                  vc.astype(jnp.float32)).astype(
-                                      jnp.bfloat16)
+                p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+                return jnp.einsum("bhs,bshd->bhd", p, vc,
+                                  preferred_element_type=jnp.float32
+                                  ).astype(jnp.bfloat16)
 
             return run_layers(q, fn, (kf, vf))
 
@@ -812,11 +820,41 @@ def bench_attn_layout():
 
             return run_layers(q, fn, (kc, vc))
 
+        @jax.jit
+        def int8kv(q, k8, ks, v8, vs):
+            # int8 cache via int8 x int8 MXU dots: q is quantized per
+            # (b,h) so the score dot runs in the MXU's int8 mode with NO
+            # dequant materialisation; scale application is elementwise
+            # on the (b,h,s) scores.  AV: p*scale_v quantized to int8.
+            def fn(qq, lkv):
+                kc, kcs, vc, vcs = lkv     # int8 (b,H,S,hd), bf16 (b,H,S)
+                sq = jnp.max(jnp.abs(qq), axis=-1, keepdims=True) / 127.0
+                q8 = jnp.round(qq / sq).astype(jnp.int8)
+                s = jnp.einsum("bhd,bhsd->bhs", q8, kc,
+                               preferred_element_type=jnp.int32)
+                s = (s.astype(jnp.float32) * kcs.astype(jnp.float32)
+                     * sq.astype(jnp.float32)) * scale
+                s = jnp.where(mask, s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                pv = p * vcs.astype(jnp.float32)           # fold V scale
+                sp = jnp.max(pv, axis=-1, keepdims=True) / 127.0
+                p8 = jnp.round(pv / sp).astype(jnp.int8)
+                o = jnp.einsum("bhs,bhsd->bhd", p8, vc,
+                               preferred_element_type=jnp.int32)
+                return (o.astype(jnp.float32)
+                        * sp.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            return run_layers(q, fn, (k8, ks, v8, vs))
+
         kv_p = jnp.concatenate([k_s, v_s], axis=-1)
         k_t = jnp.swapaxes(k_s, -1, -2)
         v_t = jnp.swapaxes(v_s, -1, -2)
         k_f = jnp.swapaxes(k_s, 2, 3).reshape(L, b, S, D)
         v_f = jnp.swapaxes(v_s, 2, 3).reshape(L, b, S, D)
+        k_sc = jnp.max(jnp.abs(k_s), axis=-1) / 127.0       # (L,b,H,S)
+        v_sc = jnp.max(jnp.abs(v_s), axis=-1) / 127.0
+        k_8 = jnp.round(k_s / k_sc[..., None]).astype(jnp.int8)
+        v_8 = jnp.round(v_s / v_sc[..., None]).astype(jnp.int8)
 
         gb = (2 * L * b * H * S * hd * 2) / 1e9  # dense K+V bytes
         rows = {
@@ -824,6 +862,9 @@ def bench_attn_layout():
             "packed": timeit(packed, q0, kv_p, n=3, warmup=1),
             "kmajor": timeit(kmajor, q0, k_t, v_t, n=3, warmup=1),
             "flat": timeit(flat, q0, k_f, v_f, n=3, warmup=1),
+            "int8kv": timeit(int8kv, q0, k_8, k_sc.astype(jnp.bfloat16),
+                             v_8, v_sc.astype(jnp.bfloat16), n=3,
+                             warmup=1),
             "readroof": timeit(readroof, q0, k_s, v_s, n=3, warmup=1),
         }
         print(f"B={b} S={S} dense {gb*1e3:.0f} MB/step: " + " | ".join(
