@@ -43,6 +43,7 @@ def main():
 
     ar_steps = int(os.environ.get("BENCH_AR_STEPS", 200))
     diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 50))
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     small = os.environ.get("BENCH_SMALL") == "1"
 
     from tortoise_tts_tpu.config import Config, Inference
@@ -87,7 +88,7 @@ def main():
         texts = [text] * bsz
         kwargs = dict(max_ar_steps=ar_steps,
                       max_diffusion_steps=diff_steps, ar_temp=0.8,
-                      top_p=0.9, cond_free=True, diffusion_sampler="ddim",
+                      top_p=0.9, cond_free=True, diffusion_sampler=sampler,
                       vocoder_type="bigvgan", diffusion_pad_multiple=32,
                       mel_pad_multiple=128)
         tts.batch_inference(texts, ref, seed=0, **kwargs)   # warmup
@@ -120,7 +121,7 @@ def main():
 
     kwargs = dict(max_ar_steps=ar_steps, max_diffusion_steps=diff_steps,
                   ar_temp=0.8, top_p=0.9, cond_free=True,
-                  diffusion_sampler="ddim", vocoder_type="bigvgan",
+                  diffusion_sampler=sampler, vocoder_type="bigvgan",
                   diffusion_pad_multiple=32, mel_pad_multiple=128)
 
     if mode == "candidates":

@@ -975,21 +975,32 @@ class TTS:
             def finalize():
                 out = [None] * bp
                 fetch_sum = os.environ.get("TTS_FETCH_SUM") == "1"
-                for rows, wav, kind in pending:  # fetch after ALL dispatch
-                    if fetch_sum:
-                        # perf instrument: sync the COMPUTE with a scalar
-                        # fetch and skip the wav payload — isolates device
-                        # time from the relay's D2H transfer (which
-                        # serializes with compute through the tunnel)
+                if fetch_sum:
+                    # perf instrument: sync the COMPUTE with a scalar
+                    # fetch and skip the wav payload — isolates device
+                    # time from the relay's D2H transfer
+                    for rows, wav, kind in pending:
                         float(jnp.sum(wav.astype(jnp.float32)))
                         for r in rows:
                             n = int(t_np[r] * 4 * 24000 // 22050) * 256
                             out[r] = np.zeros((n,), np.float32)
-                        continue
+                    tick("fetch")
+                    return out[:b]
+                # pow2 row padding: don't pay relay transfer for the
+                # duplicate rows — slice them off on device; then start
+                # EVERY bucket's device->host copy before blocking on
+                # the first, so later buckets' transfers ride the relay
+                # while earlier ones are unpacked
+                trimmed = []
+                for rows, wav, kind in pending:
                     if wav.shape[0] > len(rows):
-                        # pow2 row padding: don't pay relay transfer for
-                        # the duplicate rows — slice them off on device
                         wav = wav[:len(rows)]
+                    try:
+                        wav.copy_to_host_async()
+                    except Exception:  # platform without async copy
+                        pass
+                    trimmed.append((rows, wav, kind))
+                for rows, wav, kind in trimmed:
                     arr = np.asarray(wav)
                     for j, r in enumerate(rows):
                         n = int(t_np[r] * 4 * 24000 // 22050) * 256
