@@ -914,22 +914,63 @@ class TTS:
             budget = max(int(t_np[:b].max()), 1)
             mult = max(diffusion_pad_multiple, 1)
 
-            # geometric n_lat ladder: mult * 2^k, capped at the longest
-            # row EXACTLY — mel_pad_multiple already tile-aligns the
-            # denoiser T, so rounding n_lat up past the cap would only
-            # inflate T (budget 200 -> T=896; the r2 shared-max path's
-            # n_lat=224 -> T=1024 paid ~14% extra denoiser time)
+            # n_lat ladder: geometric (mult * 2^k) below, REFINED near
+            # the budget — denoiser time scales ~linearly with the
+            # padded T, and sampled rows concentrate just under the AR
+            # budget, so the pow2 ladder's last jump (128 -> budget=200,
+            # i.e. T 576 -> 896) put EVERY row in the top bucket
+            # (chip-measured round 4: the diffusion+vocoder compute is
+            # 2.16 of the 2.65 s batch-8 wall).  Extra rungs sit at the
+            # max n_lat of each padded-T plateau below the budget's, so
+            # each rung is a distinct denoiser shape that actually
+            # saves a T tile; shape count grows by <= 3 (compile-cached)
+            def _t_pad(n):
+                t = n * 4 * 24000 // 22050
+                if mel_pad_multiple > 1:
+                    t += (-t) % mel_pad_multiple
+                return t
+
+            rungs = {budget}
+            n = mult
+            while n < budget:
+                rungs.add(n)
+                n *= 2
+            if mel_pad_multiple > 1:
+                for k in range(1, 4):
+                    t_r = _t_pad(budget) - k * mel_pad_multiple
+                    if t_r <= 0:
+                        break
+                    cand = min(int(t_r * 22050 // 96000) + 2, budget)
+                    while cand > 0 and _t_pad(cand) > t_r:
+                        cand -= 1
+                    if cand >= mult:
+                        rungs.add(cand)
+            srungs = sorted(rungs)
+
             def ladder(t):
-                n = mult
-                while n < min(t, budget):
-                    n *= 2
-                return min(n, budget)
+                t = min(t, budget)
+                for r in srungs:
+                    if r >= t:
+                        return r
+                return budget
 
             # bucket only the REAL rows: mesh-padding rows decode to the
             # full budget (they never emit stop) and would otherwise
             # drag garbage rows through the largest diffusion bucket
             n_lats = np.asarray([ladder(max(int(t), 1))
                                  for t in t_np[:b]])
+            # anti-fragmentation: a denoiser dispatch has a large fixed
+            # cost (weight streaming + cond-free doubling), so a bucket
+            # of 1-2 rows costs more than riding the next rung up when
+            # that rung's T is close (the refined plateau rungs are one
+            # 128-tile apart).  Promote small buckets upward while the
+            # T growth is <= 25%; never demote.
+            occupied = sorted(set(n_lats.tolist()))
+            for ri, r in enumerate(occupied[:-1]):
+                rows_here = int((n_lats == r).sum())
+                nxt = occupied[ri + 1]
+                if rows_here < 3 and _t_pad(nxt) <= 1.25 * _t_pad(r):
+                    n_lats[n_lats == r] = nxt
             # cap rows per diffusion dispatch: the denoiser's sweet spot
             # is 8 rows (cond-free B=16 — 16.1 ms/step with the VT
             # kernel); one B=32 program measures WORSE than two B=16
@@ -943,7 +984,8 @@ class TTS:
                 chunks += [(n_lat, rows_all[i:i + cap_rows])
                            for i in range(0, len(rows_all), cap_rows)]
             if timing:
-                _logger.info("batch buckets %s",
+                _logger.info("batch row t_lat %s -> buckets %s",
+                             t_np[:b].tolist(),
                              [(n, len(r)) for n, r in chunks])
             for n_lat, rows in chunks:
                 k = len(rows)
