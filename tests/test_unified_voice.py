@@ -437,6 +437,61 @@ def test_decode_packed_kv_token_exact():
         uv.decode_chunk.clear_cache()
 
 
+def test_decode_kmajor_token_exact():
+    """TTS_DECODE_KMAJOR=1 ((L,B,H,hd,S) hd-major cache — S in the
+    lane dim so reads stream dense instead of 2x-lane-padded) matches
+    the split-cache decode token-for-token: the dots contract the same
+    values, only the storage layout changes.  Covers the sampled path
+    (fp + int8) and beam search (which transposes after its own
+    prefill)."""
+    import os
+    from tortoise_tts_tpu.ops.sampling import SamplingConfig
+    cfg = uv.UnifiedVoiceConfig(layers=2, model_dim=64, heads=4,
+                                max_text_tokens=40, max_mel_tokens=80)
+    params = uv.init(jax.random.PRNGKey(0), cfg)
+    qgpt = uv.quantize_decode_weights(params)
+    rng = np.random.RandomState(4)
+    text = jnp.asarray(rng.randint(3, 255, (2, 10)))
+    cond = jnp.asarray(rng.randn(2, cfg.model_dim), dtype=jnp.float32)
+    lengths = jnp.asarray([10, 7])
+    samp = SamplingConfig(temperature=0.8, top_p=0.9,
+                          repetition_penalty=2.0)
+
+    def run(q):
+        return uv.inference_speech(params, cond, text, lengths,
+                                   jax.random.PRNGKey(5), cfg, samp,
+                                   max_length=50, qgpt=q,
+                                   quant_mode="int8")
+
+    def run_beam():
+        return uv.inference_speech_beam(params, cond, text, lengths,
+                                        cfg, num_beams=3, max_length=30)
+
+    refs = [run(None), run(qgpt)]
+    ref_beam = run_beam()
+    old = os.environ.get("TTS_DECODE_KMAJOR")
+    os.environ["TTS_DECODE_KMAJOR"] = "1"
+    uv.decode_start.clear_cache()
+    uv.decode_chunk.clear_cache()
+    try:
+        for ref, q in zip(refs, (None, qgpt)):
+            got = run(q)
+            np.testing.assert_array_equal(np.asarray(ref.codes),
+                                          np.asarray(got.codes))
+            np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                          np.asarray(got.lengths))
+        got_beam = run_beam()
+        np.testing.assert_array_equal(np.asarray(ref_beam.codes),
+                                      np.asarray(got_beam.codes))
+    finally:
+        if old is None:
+            del os.environ["TTS_DECODE_KMAJOR"]
+        else:
+            os.environ["TTS_DECODE_KMAJOR"] = old
+        uv.decode_start.clear_cache()
+        uv.decode_chunk.clear_cache()
+
+
 def test_decode_static_unroll_token_exact():
     """TTS_DECODE_UNROLL=full (Python-unrolled layer loop with static
     layer indices — the cache read becomes a static slice of the carry)

@@ -665,6 +665,25 @@ def bench_decode_batch_matrix():
                 os.environ["TTS_DECODE_UNROLL"] = old_unroll
             uv.decode_chunk.clear_cache()
 
+        # hd-major cache (S in the lane dim — dense reads; the attnread
+        # microbench winner at every batch)
+        old_km = os.environ.get("TTS_DECODE_KMAJOR")
+        os.environ["TTS_DECODE_KMAJOR"] = "1"
+        uv.decode_start.clear_cache()
+        uv.decode_chunk.clear_cache()
+        try:
+            st_km = uv.decode_start(p, cond, text, tl,
+                                    jax.random.PRNGKey(0), cfg, max_len)
+            _sync(st_km.cache.k)
+            rows["kmajor"] = timeit(run, st_km, samp_full, n=3, warmup=1)
+        finally:
+            if old_km is None:
+                del os.environ["TTS_DECODE_KMAJOR"]
+            else:
+                os.environ["TTS_DECODE_KMAJOR"] = old_km
+            uv.decode_start.clear_cache()
+            uv.decode_chunk.clear_cache()
+
         # packed K||V cache (dense 128-lane rows vs 2x-padded split
         # buffers); also combined with the static layer unroll
         old_pk = os.environ.get("TTS_DECODE_PACKKV")

@@ -22,6 +22,7 @@ with per-modality learned positional embeddings and no trunk positions
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -276,6 +277,37 @@ def _use_packed_kv() -> bool:
             and not _use_flash_decode())
 
 
+def _use_kmajor() -> bool:
+    """hd-major decode cache (TTS_DECODE_KMAJOR=1): (L,B,H,hd,S) with
+    the SEQUENCE as the minor (lane) dim.  The shipped (L,B,H,S,hd)
+    layout's hd=64 minor dim fills only half a 128-lane TPU tile, so
+    every cache read streams 2x its dense bytes; hd-major pays only the
+    S pad (268 -> 384, 1.43x).  Chip microbench (perf_lab attnread,
+    S=268): B=8 0.81 vs 1.11 ms, B=16 1.30 vs 1.93 ms per 30-layer
+    read — and it beats a raw jnp.sum over the split buffers, proving
+    the split layout is lane-padded in memory.  Mutually exclusive
+    with the packed-KV and flash-decode variants (both S-major)."""
+    import os
+    return (os.environ.get("TTS_DECODE_KMAJOR", "0") == "1"
+            and not _use_flash_decode()
+            and os.environ.get("TTS_DECODE_PACKKV", "0") != "1")
+
+
+def _mha_kmajor(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
+    """Decode attention over the hd-major cache.  q: (B,H,1,hd);
+    kc/vc: (B,H,hd,S); mask broadcastable to (B,H,1,S).  Numerics match
+    ops.attention.mha: bf16 operands, fp32 MXU accumulate, fp32
+    softmax cast back to the query dtype."""
+    from ..ops.attention import NEG_INF
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    dots = jnp.einsum("bhqd,bhds->bhqs", q, kc,
+                      preferred_element_type=jnp.float32) * scale
+    dots = jnp.where(mask, dots, NEG_INF)
+    w = jax.nn.softmax(dots, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqs,bhds->bhqd", w, vc)
+
+
 def quantize_decode_weights(params: Params) -> Params:
     """Weight-only int8 quantization of the GPT trunk linears for the
     decode loop (per-output-channel symmetric scales).
@@ -346,13 +378,15 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     # path — its in-kernel activation quant has no scan-ys analogue, and
     # silently dropping quantization would conflate the A/B.
     packed = cache.v.ndim != 5      # K||V packed into 128 lanes
+    kmaj = _use_kmajor()            # (L,B,H,hd,S) hd-major cache
     if (os.environ.get("TTS_DECODE_SCANYS") == "1" and not packed
+            and not kmaj
             and not (qgpt is not None and quant_mode == "w8a8")):
         return _gpt_decode_step_scanys(gpt, x, heads, cache, pos, key_mask,
                                        qgpt=qgpt)
     b, _, d = x.shape
     hd = d // heads
-    s = cache.k.shape[3]
+    s = cache.k.shape[4] if kmaj else cache.k.shape[3]
     s_att = s if attn_len is None else min(attn_len, s)
     valid = key_mask[:, :s_att] & (jnp.arange(s_att)[None, :] <= pos)
     mask = valid[:, None, None, :]
@@ -417,6 +451,14 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
             kv = jnp.concatenate([k, v], axis=-1)
             ck = lax.dynamic_update_slice(ck, kv.astype(ck.dtype),
                                           (li, 0, 0, pos, 0))
+        elif kmaj:
+            # one (hd, 1) column per head at lane position `pos`
+            ck = lax.dynamic_update_slice(
+                ck, jnp.swapaxes(k, -1, -2).astype(ck.dtype),
+                (li, 0, 0, 0, pos))
+            cv = lax.dynamic_update_slice(
+                cv, jnp.swapaxes(v, -1, -2).astype(cv.dtype),
+                (li, 0, 0, 0, pos))
         else:
             ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype),
                                           (li, 0, 0, pos, 0))
@@ -432,19 +474,23 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
                 # contiguous leading-axis slice of the carry — XLA can
                 # read it in place instead of materialising the
                 # dynamic-slice copy the scanned path pays for
-                kvc = ck[li, :, :, :s_att]
-                vc = None if packed else cv[li, :, :, :s_att]
+                layer_k = ck[li]
+                layer_v = None if packed else cv[li]
             else:
-                kvc = lax.dynamic_index_in_dim(ck, li, 0,
-                                               keepdims=False)[:, :, :s_att]
-                vc = (None if packed else
-                      lax.dynamic_index_in_dim(cv, li, 0,
-                                               keepdims=False)[:, :, :s_att])
-            if packed:
-                kc, vc = kvc[..., :hd], kvc[..., hd:]
+                layer_k = lax.dynamic_index_in_dim(ck, li, 0,
+                                                   keepdims=False)
+                layer_v = (None if packed else
+                           lax.dynamic_index_in_dim(cv, li, 0,
+                                                    keepdims=False))
+            if kmaj:
+                a = _mha_kmajor(q, layer_k[..., :s_att],
+                                layer_v[..., :s_att], mask)
+            elif packed:
+                kvc = layer_k[:, :, :s_att]
+                a = mha(q, kvc[..., :hd], kvc[..., hd:], mask=mask)
             else:
-                kc = kvc
-            a = mha(q, kc, vc, mask=mask)
+                a = mha(q, layer_k[:, :, :s_att],
+                        layer_v[:, :, :s_att], mask=mask)
             a = a.transpose(0, 2, 1, 3).reshape(b, 1, d)
         x = x + qlin(lp, "attn_proj", li, a)
         if fuse_ln:
@@ -701,6 +747,11 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
         # from the cache shape (cache.v becomes a 0-size sentinel).
         cache = KVCache(jnp.concatenate([cache.k, cache.v], axis=-1),
                         jnp.zeros((0,), cache.k.dtype))
+    elif _use_kmajor():
+        # hd-major layout: S becomes the minor (lane) dim — see
+        # _use_kmajor for the chip-measured motivation
+        cache = KVCache(jnp.swapaxes(cache.k, -1, -2),
+                        jnp.swapaxes(cache.v, -1, -2))
     key_mask = jnp.concatenate(
         [prefill_mask, jnp.zeros((b, pad), dtype=bool),
          jnp.ones((b, cache_len - pad - prefill.shape[1]), dtype=bool)],
@@ -742,7 +793,8 @@ def decode_chunk(params: Params, state: DecodeState,
     chunk's last write position; see inference_speech's ladder)."""
     b = state.tokens.shape[0]
     max_len = state.tokens.shape[1]
-    cache_len = state.cache.k.shape[3]
+    cache_len = (state.cache.k.shape[4] if _use_kmajor()
+                 else state.cache.k.shape[3])
     prefix_len = cache_len - 1 - max_len
     dtype = params["mel_embedding"]["w"].dtype
 
@@ -851,7 +903,8 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
     cs = decode_chunk_size or max_length
     state = decode_start(params, cond_latent, text, text_lengths, key, cfg,
                          max_length)
-    cache_len = state.cache.k.shape[3]
+    cache_len = (state.cache.k.shape[4] if _use_kmajor()
+                 else state.cache.k.shape[3])
     prefix_eff = cache_len - 1 - max_length   # incl. any kernel pad gap
     done = 0
     while done < max_length:                  # unrolls at trace time
@@ -937,6 +990,9 @@ def inference_speech_beam(params: Params, cond_latent: jnp.ndarray,
 
     hidden, cache = _gpt_prefill(params["gpt"], rep(prefill), cfg.heads,
                                  rep(prefill_mask), cache_len)
+    if _use_kmajor():
+        cache = KVCache(jnp.swapaxes(cache.k, -1, -2),
+                        jnp.swapaxes(cache.v, -1, -2))
     key_mask = jnp.concatenate(
         [rep(prefill_mask),
          jnp.ones((b * w, cache_len - prefill.shape[1]), dtype=bool)], axis=1)
