@@ -132,7 +132,8 @@ def _exp2_fast(t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
-                         scale: float, d_out: int, fast_exp: bool):
+                         scale: float, d_out: int, fast_exp: bool,
+                         bf16_scores: bool = False):
     """Row-major scores with a pre-transposed V: dots live as (bq, S)
     so the softmax reduces over LANES (the fast VPU axis), and the AV
     matmul is MXU-canonical because V arrives as (S, D) — the one
@@ -148,13 +149,20 @@ def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
     — V carries an appended ones-column, so softmax normalisation is a
     cheap (bq, 1)-broadcast divide after the MXU instead of an extra
     read+write of the score block."""
+    # TTS_FLASH_VT_BF16=1: the score block (the kernel's largest VMEM
+    # tensor, bq x S) stays bf16 through the elementwise chain —
+    # Mosaic walks these ops one full-block pass at a time, so halving
+    # the block bytes halves that traffic.  Numerics precedent: the
+    # XLA fallback path already defaults to bf16 scores
+    # (ops/attention.qkv_attention, TTS_ATTN_BF16).
+    acc_t = jnp.bfloat16 if bf16_scores else jnp.float32
     dots = jax.lax.dot_general(q_ref[0], k_ref[0],
                                (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dots = dots * scale + b_ref[0].astype(jnp.float32)    # (bq, S)
+                               preferred_element_type=acc_t)
+    dots = dots * acc_t(scale) + b_ref[0].astype(acc_t)   # (bq, S)
     m = jnp.max(dots, axis=1, keepdims=True)
     if fast_exp:
-        p = _exp2_fast((dots - m) * _LOG2E).astype(vt_ref.dtype)
+        p = _exp2_fast((dots - m) * acc_t(_LOG2E)).astype(vt_ref.dtype)
     else:
         p = jnp.exp(dots - m).astype(vt_ref.dtype)
     acc = jax.lax.dot_general(p, vt_ref[0], (((1,), (0,)), ((), ())),
@@ -180,10 +188,14 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
     if not _mosaic_ok() and not interpret:
         from .attention import qkv_attention
         return qkv_attention(qkv, n_heads, bias=bias)
+    import os as _os
     h = n_heads
     scale = 1.0 / math.sqrt(d)
     sp = -(-s // 128) * 128
-    bq = sp if sp <= max(block_q, 1024) else max(block_q, 128)
+    if _os.environ.get("TTS_FLASH_VT_BQ"):      # perf-lab block sweep
+        bq = max(min(int(_os.environ["TTS_FLASH_VT_BQ"]), sp), 128)
+    else:
+        bq = sp if sp <= max(block_q, 1024) else max(block_q, 128)
     sp = -(-sp // bq) * bq
     pad = sp - s
     f = qkv.reshape(b * h * 3, d, s)
@@ -210,7 +222,9 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
     grid = (sp // bq, h, b)
     kernel = functools.partial(
         _attn_bias_vt_kernel, scale=scale, d_out=d,
-        fast_exp=os.environ.get("TTS_FLASH_VT_EXP2", "0") == "1")
+        fast_exp=os.environ.get("TTS_FLASH_VT_EXP2", "0") == "1",
+        bf16_scores=(os.environ.get("TTS_FLASH_VT_BF16", "0") == "1"
+                     and qkv.dtype == jnp.bfloat16))
     in_specs = [
         pl.BlockSpec((1, d, bq),
                      lambda j, hi, bi, h=h: (3 * (bi * h + hi), 0, j)),
