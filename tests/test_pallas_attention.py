@@ -160,6 +160,33 @@ def test_flash_bias_vt_fast_exp2():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_flash_bias_vt_bf16_scores():
+    """TTS_FLASH_VT_BF16: the score block rides VMEM as bf16 (halving
+    the kernel's dominant elementwise traffic); accuracy stays within
+    bf16 rounding of the XLA bf16-scores production path, which is the
+    numerics precedent (ops/attention TTS_ATTN_BF16 default)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.ops.attention import qkv_attention
+    from tortoise_tts_tpu.ops.pallas_attention import \
+        flash_attention_bias_qkv_vt
+    b, h, d, t = 2, 2, 64, 300
+    qkv = (jax.random.normal(jax.random.PRNGKey(0), (b, h * 3 * d, t))
+           * 0.5).astype(jnp.bfloat16)
+    bias = (jax.random.normal(jax.random.PRNGKey(1), (h, t, t))
+            * 0.3).astype(jnp.bfloat16)
+    ref = qkv_attention(qkv, h, bias=bias)  # bf16 scores by default
+    os.environ["TTS_FLASH_VT_BF16"] = "1"
+    try:
+        got = flash_attention_bias_qkv_vt(qkv, bias, h, interpret=True)
+    finally:
+        os.environ.pop("TTS_FLASH_VT_BF16", None)
+    r = np.asarray(ref, np.float32)
+    g = np.asarray(got, np.float32)
+    assert np.abs(g - r).max() / max(np.abs(r).max(), 1e-6) < 0.03
+
+
 def test_trunk_flash_attention_grad_matches_xla(monkeypatch):
     """The GPT trunk's flash-attention path must be differentiable:
     _flash_trunk_attention runs the Pallas kernel forward (interpret
