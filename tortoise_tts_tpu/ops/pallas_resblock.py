@@ -106,6 +106,18 @@ def fused_gn_conv1x1(p_norm, p_conv, x: jnp.ndarray, groups: int,
     if ((not _HAS_PLTPU and not interpret) or c % 128 or t % 128
             or c_out % min(block_n, c_out)):
         return None
+    import os as _os
+    if _os.environ.get("TTS_RB_BLOCK"):
+        # escape hatch for scheduler-dependent scoped-VMEM compile
+        # OOMs: at (c_out=3072, T=896, bn=1024) Mosaic accounts
+        # ~18.45 MB against the 16 MB limit, and the SAME shape can
+        # pass in one surrounding program and fail in another
+        # (chip-observed in a perf-lab ablation, round 4).  Production
+        # shapes compile at the default; set TTS_RB_BLOCK=512 if a
+        # custom config hits the OOM.
+        block_n = int(_os.environ["TTS_RB_BLOCK"])
+        if c_out % min(block_n, c_out):
+            return None
     bn = min(block_n, c_out)
     dt = x.dtype
     g = jnp.asarray(p_norm["scale"], jnp.float32).reshape(c, 1)
