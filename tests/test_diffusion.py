@@ -420,3 +420,123 @@ def test_dpmpp25_matches_ddim80_error_on_analytic_model():
     # and the order advantage is real, not marginal
     assert errs["dpm++25"] < errs["ddim50"], errs
     print("solver errors vs DDIM-1000:", errs)
+
+
+def test_dpmpp_on_trained_denoiser_convergence_and_ranking():
+    """The fast-preset question on a LEARNED score field (VERDICT r4
+    weak #5): the analytic-ODE test above proves solver ORDER; this one
+    measures a REAL trained eps-model with cond-free guidance ON.
+
+    A tiny DiffusionTTS is trained (with conditioning dropout, so the
+    unconditioned branch the guidance extrapolates through is itself
+    trained — reference diffusion.py:1529-1536) on synthetic
+    mel<-latent pairs, then sampled with the production guided
+    schedule (ramped cond-free, k=2).
+
+    MEASURED OUTCOME (round 5, recorded in docs/PARITY.md): DPM++(2M)
+    converges to the SAME solution as DDIM (consistency pinned below),
+    but its error constant on the learned field is WORSE than DDIM's —
+    DPM++-25 lands ~8x farther from the converged solution than
+    DDIM-80 (0.0195 vs 0.0023 mean-abs mel units) because the 2M
+    finite-difference correction amplifies the learned model's
+    roughness in t.  The 'DPM++-25 ~ DDIM-80 quality' README claim is
+    therefore DEMOTED: the fast preset stays opt-in, documented as
+    analytic-field-only evidence.  This test pins (a) solver
+    consistency on the learned field, (b) within-family error decay,
+    and (c) the measured ranking that justified the demotion — if a
+    sampler change makes DPM++ genuinely beat DDIM here, assertion (c)
+    fails and the claim should be re-promoted."""
+    import optax
+    cfg = dtts.DiffusionConfig(model_channels=32, num_layers=2,
+                               in_channels=100, in_latent_channels=32,
+                               num_heads=2)
+    T, TL, B = 32, 8, 8
+    params = dtts.init(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    W = (rng.randn(32, 100) * 0.7).astype(np.float32)
+    W2 = (rng.randn(32, 2 * cfg.model_channels) * 0.5).astype(np.float32)
+    pool_lat = rng.randn(64, TL, 32).astype(np.float32)
+
+    def mel_of(lat):                     # deterministic target in [-1,1]
+        t_lat = np.repeat(lat, T // TL, axis=1)        # (N, T, 32)
+        return np.tanh(t_lat @ W).transpose(0, 2, 1)   # (N, 100, T)
+
+    def cond_of(lat):
+        return np.tanh(lat.mean(axis=1) @ W2)          # (N, 2C)
+
+    pool_mel = mel_of(pool_lat)
+    pool_cond = cond_of(pool_lat)
+    sched_tr = gaussian.get_schedule(steps=1000, cond_free=False)
+    tx = optax.adam(2e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt, kk, lat, cond, mel):
+        def loss_fn(p):
+            k_t, k_n, k_d = jax.random.split(kk, 3)
+            t = jax.random.randint(k_t, (B,), 0, sched_tr.num_timesteps)
+            noise = jax.random.normal(k_n, mel.shape, jnp.float32)
+            x_t = gaussian.q_sample(mel, t, noise, sched_tr)
+            ce = dtts.timestep_independent(p, lat, cond, T, cfg)
+            un = dtts.unconditioned_embedding(p, B, T)
+            drop = jax.random.bernoulli(k_d, 0.15, (B, 1, 1))
+            ce = jnp.where(drop, un, ce)
+            t_orig = jnp.asarray(sched_tr.timestep_map)[t]
+            out = dtts.forward(p, x_t, t_orig, ce, cfg)
+            return gaussian.training_losses(out, mel, x_t, t, noise,
+                                            sched_tr)["loss"].mean()
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    k = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(1200):
+        k, kb, kk = jax.random.split(k, 3)
+        idx = jax.random.randint(kb, (B,), 0, 64)
+        params, opt, loss = train_step(
+            params, opt, kk, jnp.asarray(pool_lat)[idx],
+            jnp.asarray(pool_cond)[idx], jnp.asarray(pool_mel)[idx])
+        losses.append(float(loss))
+    # the score field must actually be learned, not noise (eps-MSE
+    # plateaus ~0.72 on this task from ~1.13 at init)
+    assert np.mean(losses[-20:]) < 0.8 * np.mean(losses[:20]), (
+        losses[:5], losses[-5:])
+
+    bs = 4
+    lat_s = jnp.asarray(pool_lat[:bs])
+    cond_s = jnp.asarray(pool_cond[:bs])
+    noise = jnp.asarray(rng.randn(bs, 100, T).astype(np.float32))
+
+    def run(sampler, steps):
+        sch = gaussian.get_schedule(steps=steps, cond_free=True,
+                                    cond_free_k=2.0)
+        ce = dtts.timestep_independent(params, lat_s, cond_s, T, cfg)
+        un = dtts.unconditioned_embedding(params, bs, T)
+        cemb = jnp.concatenate([ce, un], axis=0)
+
+        def model_fn(x, ts, t_idx=None):
+            return dtts.forward(params, x, ts, cemb, cfg)
+
+        return np.asarray(gaussian.sample_loop(
+            model_fn, noise, jax.random.PRNGKey(0), sch, sampler=sampler))
+
+    ref = run("ddim", 400)              # converged guided solution
+    errs = {name: float(np.abs(run(s, n) - ref).mean())
+            for name, (s, n) in {
+                "dpm++25": ("dpm++", 25), "dpm++50": ("dpm++", 50),
+                "dpm++400": ("dpm++", 400), "ddim25": ("ddim", 25),
+                "ddim50": ("ddim", 50), "ddim80": ("ddim", 80)}.items()}
+    print("guided sampler errors vs DDIM-400 (trained denoiser):", errs)
+    # (a) solver consistency: both families converge to the SAME
+    # solution of the learned guided field (r5 measured 0.0010)
+    assert errs["dpm++400"] < 0.004, errs
+    # (b) within-family decay: more steps -> closer, for both
+    assert errs["dpm++25"] > errs["dpm++50"] > errs["dpm++400"], errs
+    assert errs["ddim25"] > errs["ddim50"] > errs["ddim80"], errs
+    # (c) the measured ranking that DEMOTED the fast-preset claim:
+    # on this learned field DPM++-25 is farther from the converged
+    # solution than DDIM-80 (r5: 0.0195 vs 0.0023).  If this flips,
+    # re-promote the claim (README "Samplers" note + PARITY.md).
+    assert errs["dpm++25"] > errs["ddim80"], errs

@@ -213,6 +213,67 @@ def _tiny_engines():
     return engines, good_step
 
 
+def test_async_checkpoint_resume_parity(tmp_path):
+    """mode="async" (snapshot-on-device + background writer,
+    engine/state.py AsyncCheckpointer): the checkpoint on disk equals
+    the state AT SNAPSHOT TIME even when training continues — and even
+    when the next step DONATES and mutates the live buffers before the
+    write lands (the exact hazard of the round-4 124.9 s synchronous
+    save's replacement)."""
+    engines, good_step = _tiny_engines()
+    engines.step(None)                       # step 1
+    expect = jax.tree_util.tree_map(np.asarray, engines["m"].params)
+    engines.save_checkpoint(tmp_path, mode="async")
+    # keep training while the writer drains: further steps rewrite the
+    # live params (x0.9 each) and the optimizer state
+    for _ in range(3):
+        engines.step(None)
+    engines.finish_saves()
+    from tortoise_tts_tpu.engine import state as st
+    import optax
+    tx = optax.adam(1e-2)
+    fresh = st.init_state({"w": jnp.zeros((4, 4), jnp.float32)}, tx)
+    restored = st.load_checkpoint(tmp_path, "m", fresh)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  expect["w"])
+    assert int(restored.step) == 1
+    # the live state kept advancing independently of the snapshot
+    assert int(engines["m"].step) == 4
+
+
+def test_async_checkpoint_snapshot_survives_donation(tmp_path):
+    """The async save must not read the live buffers after submit: a
+    donated step that DELETES them right after the save is dispatched
+    still yields a complete, loadable checkpoint (snapshot copies)."""
+    engines, _ = _tiny_engines()
+    engines.step(None)
+    expect = np.asarray(engines["m"].params["w"])
+    engines.save_checkpoint(tmp_path, mode="async")
+    # simulate donation consuming the live buffers immediately
+    for leaf in jax.tree_util.tree_leaves(engines["m"]):
+        if isinstance(leaf, jax.Array):
+            leaf.delete()
+    engines.finish_saves()
+    from tortoise_tts_tpu.engine import state as st
+    import optax
+    fresh = st.init_state({"w": jnp.zeros((4, 4), jnp.float32)},
+                          optax.adam(1e-2))
+    restored = st.load_checkpoint(tmp_path, "m", fresh)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), expect)
+
+
+def test_async_checkpoint_writer_error_surfaces(tmp_path):
+    """A writer-thread failure is re-raised on the caller thread at the
+    next finish_saves() — not swallowed."""
+    engines, _ = _tiny_engines()
+    engines.step(None)
+    target = tmp_path / "not_a_dir"
+    target.write_text("file blocks mkdir")
+    engines.save_checkpoint(target / "ckpt", mode="async")
+    with pytest.raises(BaseException):
+        engines.finish_saves()
+
+
 def _oom_step_consuming_state(state, batch):
     """Simulates a donated jitted step dying mid-execution: the donated
     input buffers are already consumed when RESOURCE_EXHAUSTED surfaces

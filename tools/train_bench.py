@@ -10,14 +10,20 @@ one in-loop checkpoint — on synthetic full-shape data, and reports:
   steady_ms_per_step   wall/step over the steady window (excludes the
                        first 10 warmup/compile steps and the checkpoint
                        step), fetch-cadence steps included
-  tokens_per_s         text+mel tokens processed per second
+  tokens_per_s         STEADY-WINDOW real tokens / steady-window wall
+                       (excludes warmup/compile and the checkpoint —
+                       the round-4 record divided by total wall and
+                       understated steady throughput ~24x)
+  mfu                  6*N*tokens_per_s / chip peak (TPU only; bf16
+                       peak 197 TFLOP/s on v5e)
   loader_stall_ms      mean time the loop waited on `next(batches)` —
                        the native loader assembles one batch ahead, so
                        this is the pipeline-stall measurement
-  checkpoint_s         wall of the one full save (params + opt state
-                       through the relay)
+  checkpoint_stall_s   train-loop stall of the one in-loop save (async
+                       mode: the on-device snapshot only)
+  checkpoint_write_s   background transfer+write wall of that save
 
-Emits one JSON line for benchmarks/r04.json.
+Emits one JSON line for benchmarks/r05.json.
 """
 
 import argparse
@@ -71,6 +77,8 @@ def main():
     ap.add_argument("--no-melbin", action="store_true")
     ap.add_argument("--small", action="store_true",
                     help="tiny AR (CPU smoke of the loop plumbing)")
+    ap.add_argument("--sync-ckpt", action="store_true",
+                    help="synchronous checkpoint (A/B the async path)")
     args = ap.parse_args()
 
     import yaml
@@ -89,6 +97,7 @@ def main():
                     "export_on_save": False, "log_frequency": 10,
                     "keep_last_checkpoints": 1,
                     "weight_dtype": "bfloat16",
+                    "async_checkpoint": not args.sync_ckpt,
                     "gradient_checkpointing": True},
         "dataset": {"training": [str(data_dir)], "validate": False,
                     "text_bucket": 128, "mel_bucket": 256,
@@ -158,9 +167,10 @@ def main():
     def save_fn(es, step):
         t0 = time.perf_counter()
         es.save_checkpoint(cfg.ckpt_dir,
-                           keep_last=cfg.trainer.keep_last_checkpoints)
+                           keep_last=cfg.trainer.keep_last_checkpoints,
+                           mode=("sync" if args.sync_ckpt else "async"))
         ckpt_s[0] = time.perf_counter() - t0
-        print(f"checkpoint@{step}: {ckpt_s[0]:.1f}s", flush=True)
+        print(f"checkpoint@{step}: stall {ckpt_s[0]:.2f}s", flush=True)
 
     tr._non_blocking_input = lambda: ""
     t_start = time.perf_counter()
@@ -179,14 +189,37 @@ def main():
     steady = float(np.mean(window)) if window else float("nan")
     st = engines[name]
     tokens = int(st.tokens_processed)
+    # steady-window throughput: real tokens per step x window steps /
+    # window wall — warmup/compile steps and the checkpoint are
+    # excluded (the r4 record divided total tokens by total wall,
+    # checkpoint included, understating steady throughput ~24x)
+    tok_per_step = tokens / max(1, len(steps_t))
+    tokens_per_s = (tok_per_step * len(window) / sum(window)
+                    if window else float("nan"))
+    # MFU on the 6*N*T basis (N = trainable+frozen params touched by
+    # the fwd+bwd; v5e bf16 peak 197 TFLOP/s).  LoRA steps backprop
+    # through the full trunk, so N is the full model either way.
+    n_params = sum(int(np.prod(np.shape(p)))
+                   for p in jax.tree_util.tree_leaves(st.params))
+    peak = 197e12
+    mfu = (6.0 * n_params * tokens_per_s / peak
+           if jax.default_backend() == "tpu" else None)
+    saver = getattr(engines, "_saver", None)
     result = {
         "mode": "lora" if args.lora else "full",
         "steps": len(steps_t),
         "steady_ms_per_step": round(steady * 1e3, 1),
-        "tokens_per_s": round(tokens / wall, 0),
+        "tokens_per_s": round(tokens_per_s, 0),
+        "mfu": round(mfu, 3) if mfu is not None else None,
+        "n_params": n_params,
         "loader_stall_ms_mean": round(float(np.mean(st_stalls)) * 1e3, 2),
         "loader_stall_ms_max": round(float(np.max(st_stalls)) * 1e3, 2),
-        "checkpoint_s": round(ckpt_s[0], 1),
+        "checkpoint_stall_s": round(ckpt_s[0], 2),
+        "checkpoint_write_s": (round(saver.last_write_s, 1)
+                               if saver is not None
+                               and saver.last_write_s
+                               else round(ckpt_s[0], 1)),
+        "ckpt_mode": "sync" if args.sync_ckpt else "async",
         "wall_s": round(wall, 1),
         "melbin": ds._melbin is not None,
     }

@@ -139,6 +139,12 @@ class Trainer:
     # fetch is a ~50-100 ms round trip, so fetching per step caps real
     # TPU step rate; off-cadence steps are dispatch-only
     log_frequency: int = 10
+    # periodic checkpoints: snapshot on device + write in a background
+    # thread (the synchronous full-AR save measured 124.9 s of dead
+    # chip through the relay; the snapshot stall is the HBM copy only).
+    # Terminal saves (save_on_quit, OOM recovery) are always joined
+    # before the process continues past them.
+    async_checkpoint: bool = True
     # donate the TrainState buffers to the jitted step (halves peak HBM
     # during the update).  Set false to make OOM-skip recovery free:
     # with donation on, a step that dies mid-execution consumes the

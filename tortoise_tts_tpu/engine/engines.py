@@ -14,8 +14,8 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
 
-from .state import TrainState, export_weights, load_checkpoint, \
-    save_checkpoint
+from .state import AsyncCheckpointer, TrainState, export_weights, \
+    load_checkpoint, save_checkpoint
 
 _logger = logging.getLogger(__name__)
 
@@ -55,6 +55,8 @@ class Engines:
         # last checkpoint location — the recovery source when an OOM'd
         # donated step invalidates an engine's live state
         self._ckpt_dir: Optional[Path] = None
+        # background checkpoint writer (save_checkpoint mode="async")
+        self._saver = AsyncCheckpointer()
 
     def add(self, name: str, state: TrainState, step_fn: Callable,
             batch_selector: Optional[Callable] = None,
@@ -176,6 +178,9 @@ class Engines:
                 "cannot continue.  Save a checkpoint before training "
                 "(trainer.save_frequency) or build the train step with "
                 "donate=False (trainer.donate_train_state: false).")
+        # an async save may still be writing the checkpoint we are
+        # about to read back — join it first (also surfaces its errors)
+        self.finish_saves()
         try:
             restored = load_checkpoint(self._ckpt_dir, name, e["state"],
                                        strict=True)
@@ -267,12 +272,36 @@ class Engines:
                 e["wandb"] = None
 
     def save_checkpoint(self, ckpt_dir: Path, keep_last: int = 0,
-                        is_leader: bool = True):
+                        is_leader: bool = True, mode: str = "sync"):
+        """``mode="async"``: snapshot each engine's state on device and
+        write in a background thread — the train loop stalls for the
+        HBM copy only (the synchronous full-AR save measured 124.9 s of
+        dead chip through the relay, round 4).  ``mode="sync"`` blocks
+        until files are on disk — the right call for save_on_quit / OOM
+        paths.  Call ``finish_saves()`` before process exit or reads of
+        the latest checkpoint."""
         self._ckpt_dir = Path(ckpt_dir)
+        if mode == "async":
+            if not is_leader:
+                return
+            # snapshot every engine NOW (the only part that must see
+            # the pre-donation buffers; step read from the host mirror
+            # — no relay fetch), then one worker writes them all
+            from .state import snapshot_state
+            snaps = [(name, snapshot_state(e["state"]), e["host_step"],
+                      None, None) for name, e in self._engines.items()]
+            self._saver.submit(ckpt_dir, snaps, keep_last=keep_last)
+            return
+        self.finish_saves()
         for name, e in self._engines.items():
             save_checkpoint(ckpt_dir, name, e["state"],
                             int(e["state"].step), keep_last=keep_last,
                             is_leader=is_leader)
+
+    def finish_saves(self):
+        """Join any in-flight async checkpoint write (re-raises a
+        writer-thread error here)."""
+        self._saver.wait()
 
     def load_checkpoint(self, ckpt_dir: Path, strict: bool = True):
         self._ckpt_dir = Path(ckpt_dir)

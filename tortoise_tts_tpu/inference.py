@@ -201,6 +201,9 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
         if diff_cond.ndim == 2 and diff_cond.shape[0] > 1:
             # per-row voices: each bucket row keeps ITS voice's latent
             diff_cond = jnp.take(diff_cond, rows, axis=0)
+        if key.ndim == 2:
+            # per-row seeds: each bucket row keeps ITS key stream
+            key = jnp.take(key, rows, axis=0)
     b = latents.shape[0]
     if n_lat is not None:
         t = jnp.atleast_1d(t_lat)
@@ -264,9 +267,18 @@ def _jit_diffusion(dparams, latents, diff_cond, key, dcfg, steps,
             return _dtts.forward(dparams, x.astype(pdt), ts, code_emb,
                                  dcfg, rel_biases=rel_biases)
 
-    k_noise, k_samp = jax.random.split(key)
-    noise = jax.random.normal(k_noise, (b, 100, T),
-                              jnp.float32) * diffusion_temp
+    if key.ndim == 2:
+        # per-row keys (batched serving with per-row seeds): row r's
+        # noise is a function of row r's key only, bit-matching the
+        # single-row call with the same seed (see sample_loop)
+        ks = jax.vmap(jax.random.split)(key)          # (B, 2, 2)
+        k_noise, k_samp = ks[:, 0], ks[:, 1]
+        noise = jax.vmap(lambda kk: jax.random.normal(
+            kk, (100, T), jnp.float32))(k_noise) * diffusion_temp
+    else:
+        k_noise, k_samp = jax.random.split(key)
+        noise = jax.random.normal(k_noise, (b, 100, T),
+                                  jnp.float32) * diffusion_temp
     mel = gaussian.sample_loop(model_fn, noise, k_samp, sched,
                                sampler=sampler)
     return denormalize_tacotron_mel(mel)
@@ -324,6 +336,12 @@ def _jit_bigvgan(params, mel, cfg, as_i16=False, prefix=None):
 @partial(jax.jit, static_argnames=("cfg",))
 def _jit_univnet(params, mel, key, cfg):
     from .models import univnet as _un
+    if key.ndim == 2:
+        # per-row keys: draw each row's noise from its own stream
+        # (bit-matches the B=1 call with that row's key)
+        noise = jax.vmap(lambda kk: jax.random.normal(
+            kk, (cfg.noise_dim, mel.shape[2] + 10), mel.dtype))(key)
+        return _un.inference(params, mel, noise=noise, cfg=cfg)
     return _un.inference(params, mel, key=key, cfg=cfg)
 
 
@@ -369,6 +387,32 @@ def _host_keys(seed: int, n: int):
     threefry key, so derive them with numpy's SeedSequence instead."""
     ss = np.random.SeedSequence(int(seed))
     return [np.asarray(s.generate_state(2), np.uint32) for s in ss.spawn(n)]
+
+
+def _key_int(key) -> int:
+    """Fold a (2,) uint32 raw threefry key back into one host int."""
+    k = np.asarray(key)
+    return (int(k[0]) << 32) | int(k[1])
+
+
+def _row_keys(key, n: int) -> np.ndarray:
+    """(n, 2) per-row decode keys derived from one stage key.
+
+    SeedSequence.spawn children are prefix-stable (child i is identical
+    for any n > i), so the first C keys of a mesh-padded candidate
+    fan-out equal the unpadded call's keys, and a batched row group's
+    keys equal the single-call ``inference(candidates=C, seed=s)`` keys
+    — the replay contract of per-row seeds."""
+    return np.stack(_host_keys(_key_int(key), n))
+
+
+def _stage_keys(row_seed: int):
+    """The (k_ar, k_diff, k_voc) triple of a single-line call with
+    ``seed=row_seed`` — one derivation shared by inference() (via
+    _infer_line) and batch_inference's per-row seeds, so a batch row
+    replays bit-exactly as ``inference(text, seed=row_seed)``."""
+    (sub,) = _host_keys(row_seed * 1000003, 1)
+    return _host_keys(_key_int(sub), 3)
 
 
 class TTS:
@@ -682,7 +726,7 @@ class TTS:
         return wav, sr
 
     # ------------------------------------------------------------------
-    def _encode_voice_rows(self, references, voices, texts, seed):
+    def _encode_voice_rows(self, references, voices, texts, row_seeds):
         """Per-row conditioning latents for batched serving.
 
         ``references`` keeps the round-3 single-voice semantics
@@ -705,15 +749,19 @@ class TTS:
 
         def one(ref, row):
             if ref is None:
+                # voiceless RLG conditioning seeded exactly like the
+                # single call with seed=row_seeds[row] (inference():
+                # _host_keys(seed ^ 0x5F3C, 2)) — the per-row replay
+                # contract covers voiceless rows too
                 from .models import rlg as rlg_m
-                k1, k2 = _host_keys((seed ^ 0x5F3C) + row * 7919, 2)
+                k1, k2 = _host_keys(row_seeds[row] ^ 0x5F3C, 2)
                 rga = self._model("rlg_auto")
                 rgd = self._model("rlg_diffuser")
                 return (np.asarray(rlg_m.sample(rga.params, k1, 1,
                                                 int(rga.config))),
                         np.asarray(rlg_m.sample(rgd.params, k2, 1,
                                                 int(rgd.config))))
-            enc = self.encode_audio(ref, seed=seed)
+            enc = self.encode_audio(ref, seed=row_seeds[row])
             a, d = enc["latent"]
             return np.asarray(a), np.asarray(d)
 
@@ -757,6 +805,7 @@ class TTS:
         cond_free: bool = True,
         vocoder_type: str = "bigvgan",
         seed: Optional[int] = None,
+        seeds: Optional[Sequence[int]] = None,
         diffusion_pad_multiple: int = 32,
         mel_pad_multiple: int = 0,
         mesh=None,
@@ -784,8 +833,15 @@ class TTS:
         voice (str or clip sequence — round-3 semantics unchanged);
         ``voices`` conditions each row on its own voice (see
         ``_encode_voice_rows``).
-        Rows draw independent samples from one batch key; exact
-        per-row seed reproduction requires a single-row call.
+
+        **Per-row seeds** (reference inference.py:142, 157-160 per-call
+        ``seed`` at batch scale): row r draws every sample — AR tokens,
+        candidate fan-out, diffusion noise, vocoder noise — from keys
+        derived from its OWN seed, ``seeds[r]`` (default ``seed + r``),
+        so any production row replays bit-exactly as
+        ``inference(texts[r], seed=seeds[r], ...)`` with the same voice
+        and knobs (pinned by
+        tests/test_sharded_inference.py::test_batch_row_matches_single_call).
 
         ``mesh`` (or ``TTS(mesh=...)``): a ('data',) jax.sharding.Mesh —
         rows are device_put sharded over 'data' and every stage runs
@@ -823,8 +879,13 @@ class TTS:
         diffusion = self._model("diffusion")
 
         b = len(texts)
+        if seeds is not None and len(seeds) != b:
+            raise ValueError(f"seeds has {len(seeds)} entries for "
+                             f"{b} texts")
+        row_seeds = ([int(s) for s in seeds] if seeds is not None
+                     else [seed + r for r in range(b)])
         ar_rows, diff_rows = self._encode_voice_rows(references, voices,
-                                                     texts, seed)
+                                                     texts, row_seeds)
         bp = b + (-b) % nshard                 # pad rows to the mesh axis
         C = max(1, candidates) if beam_width <= 1 else 1
         toks = [self.encode_text(t) for t in texts]
@@ -858,7 +919,19 @@ class TTS:
             beam_width=beam_width, greedy=greedy,
             mirostat_tau=mirostat_tau, mirostat_eta=mirostat_eta,
             min_temperature=min_temperature)
-        k_ar, k_diff, k_voc = _host_keys(seed * 2654435761 + 17, 3)
+        # per-row stage keys: row r's (k_ar, k_diff, k_voc) are exactly
+        # the single-call triple for seed row_seeds[r] (_stage_keys);
+        # candidate row (r, c) gets the same prefix-stable spawn child
+        # as inference(candidates=C, seed=row_seeds[r]) (_row_keys).
+        # Mesh-padding rows reuse row 0's keys (their output is sliced
+        # off).  The beam path keeps one batch key (beam frontier
+        # semantics are whole-batch; derived from row 0's seed).
+        trips = [_stage_keys(s) for s in row_seeds]
+        trips += [trips[0]] * (bp - b)
+        ar_keys = np.concatenate(
+            [_row_keys(t[0], C) for t in trips], axis=0)     # (bp*C, 2)
+        diff_keys = np.stack([t[1] for t in trips])          # (bp, 2)
+        voc_keys = np.stack([t[2] for t in trips])           # (bp, 2)
 
         ar_params = self._sharded_params("autoregressive", mesh,
                                          params=ar.params)
@@ -867,6 +940,7 @@ class TTS:
             tokens = jax.device_put(tokens, ds)
             lengths = jax.device_put(lengths, ds)
             lat = jax.device_put(np.ascontiguousarray(lat), ds)
+            ar_keys = jax.device_put(np.ascontiguousarray(ar_keys), ds)
 
         if beam_width > 1:
             # HF beam_sample over every row (processor stack included);
@@ -874,10 +948,11 @@ class TTS:
             res = inference_speech_beam(
                 ar_params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
                 ar.config, num_beams=beam_width, max_length=max_ar_steps,
-                sampling=sampling, key=k_ar, do_sample=not greedy)
+                sampling=sampling, key=trips[0][0], do_sample=not greedy)
         else:
             res = inference_speech(ar_params, lat, jnp.asarray(tokens),
-                                   jnp.asarray(lengths), k_ar, ar.config,
+                                   jnp.asarray(lengths), ar_keys,
+                                   ar.config,
                                    sampling, max_length=max_ar_steps,
                                    qgpt=self._ar_qgpt(mesh),
                                    quant_mode=self._quant_mode)
@@ -963,14 +1038,20 @@ class TTS:
             # cost (weight streaming + cond-free doubling), so a bucket
             # of 1-2 rows costs more than riding the next rung up when
             # that rung's T is close (the refined plateau rungs are one
-            # 128-tile apart).  Promote small buckets upward while the
-            # T growth is <= 25%; never demote.
+            # 128-tile apart).  Promote small buckets upward while each
+            # row's CUMULATIVE T growth vs its original rung stays
+            # <= 25% (a cascade through several adjacent rungs would
+            # otherwise compound to ~1.25^k); never demote.
+            orig_pad = np.asarray([_t_pad(int(n)) for n in n_lats],
+                                  np.int64)
             occupied = sorted(set(n_lats.tolist()))
             for ri, r in enumerate(occupied[:-1]):
-                rows_here = int((n_lats == r).sum())
+                here = n_lats == r
+                rows_here = int(here.sum())
                 nxt = occupied[ri + 1]
-                if rows_here < 3 and _t_pad(nxt) <= 1.25 * _t_pad(r):
-                    n_lats[n_lats == r] = nxt
+                if (rows_here < 3 and rows_here > 0
+                        and _t_pad(nxt) <= 1.25 * orig_pad[here].min()):
+                    n_lats[here] = nxt
             # cap rows per diffusion dispatch: the denoiser's sweet spot
             # is 8 rows (cond-free B=16 — 16.1 ms/step with the VT
             # kernel); one B=32 program measures WORSE than two B=16
@@ -1000,7 +1081,7 @@ class TTS:
                     diffusion, max_diffusion_steps, 2.0,
                     pad_seq_len or seq_len) if cond_free else None)
                 mel = _jit_diffusion(
-                    dparams, latents, diff_cond, k_diff,
+                    dparams, latents, diff_cond, diff_keys,
                     diffusion.config, max_diffusion_steps,
                     diffusion_sampler, seq_len, cond_free, diffusion_temp,
                     n_lat=n_lat, t_lat=t_lat, pad_seq_len=pad_seq_len,
@@ -1010,7 +1091,8 @@ class TTS:
                                        as_i16=True)
                     pending.append((rows[:k], wav, "i16"))
                 else:
-                    wav = _jit_univnet(vparams, mel, k_voc, voc.config)
+                    wav = _jit_univnet(vparams, mel, voc_keys[rows_p],
+                                       voc.config)
                     pending.append((rows[:k], wav, "f32"))
             tick("diffusion+voc dispatch")
 
@@ -1020,7 +1102,12 @@ class TTS:
                 if fetch_sum:
                     # perf instrument: sync the COMPUTE with a scalar
                     # fetch and skip the wav payload — isolates device
-                    # time from the relay's D2H transfer
+                    # time from the relay's D2H transfer.  Loud on every
+                    # call: a stray env var in a serving process would
+                    # otherwise return silent all-zero audio
+                    _logger.warning(
+                        "TTS_FETCH_SUM=1: batch_inference returning "
+                        "ZERO audio (perf instrumentation mode)")
                     for rows, wav, kind in pending:
                         float(jnp.sum(wav.astype(jnp.float32)))
                         for r in rows:
@@ -1068,7 +1155,7 @@ class TTS:
             max_diffusion_steps, cond_free)
         mel = _jit_diffusion(
             dparams, latents, diff_cond,
-            k_diff, diffusion.config, max_diffusion_steps,
+            diff_keys, diffusion.config, max_diffusion_steps,
             diffusion_sampler, seq_len, cond_free, diffusion_temp,
             n_lat=n_lat, t_lat=t_lat, pad_seq_len=pad_seq_len,
             uncond_h=uh)
@@ -1076,7 +1163,7 @@ class TTS:
             dwav = _jit_bigvgan(vparams, mel, voc.config,
                                 as_i16=True, prefix=t_lat)
         else:
-            dwav = _jit_univnet(vparams, mel, k_voc, voc.config)
+            dwav = _jit_univnet(vparams, mel, voc_keys, voc.config)
 
         def finalize():
             if vocoder_type == "bigvgan":
@@ -1126,6 +1213,13 @@ class TTS:
         lat = np.broadcast_to(np.asarray(ar_latent),
                               (tokens.shape[0],
                                np.asarray(ar_latent).shape[-1]))
+        # per-row decode keys (prefix-stable spawn of the call's k_ar):
+        # candidate row c's stream is a function of (k_ar, c) only, so
+        # the batched-serving fan-out with the same seed draws the same
+        # candidates (see _row_keys); the beam path keeps the single
+        # call key (one stream drives the whole beam frontier)
+        if sampling.beam_width <= 1:
+            key = _row_keys(key, tokens.shape[0])
         # candidate fan-out over the serving mesh (BASELINE config #3:
         # N candidates sharded over the 'data' axis, CLVP-reranked)
         ar_params = ar.params
@@ -1134,6 +1228,8 @@ class TTS:
             tokens = jax.device_put(tokens, ds)
             lengths = jax.device_put(lengths, ds)
             lat = jax.device_put(np.ascontiguousarray(lat), ds)
+            if sampling.beam_width <= 1:
+                key = jax.device_put(np.ascontiguousarray(key), ds)
             ar_params = self._sharded_params("autoregressive", mesh)
         if sampling.beam_width > 1:
             # the reference always generates with do_sample=True, so
@@ -1222,8 +1318,9 @@ class TTS:
 
         ar = self._model("autoregressive")
         diffusion = self._model("diffusion")
-        k_ar, k_diff, k_voc = _host_keys(
-            (int(key[0]) << 32) | int(key[1]), 3)
+        # the (k_ar, k_diff, k_voc) triple of _stage_keys(seed) — key
+        # is the line's spawn child of the call seed
+        k_ar, k_diff, k_voc = _host_keys(_key_int(key), 3)
 
         res, tokens, text_lengths = self._decode_codes(
             line, ar_latent, sampling, max_ar_steps, k_ar,
@@ -1468,9 +1565,13 @@ class TTS:
                               (1, np.asarray(ar_latent).shape[-1]))
         g = np.asarray(lat, np.float32)
 
+        # same AR key derivation as the bigvgan route (_infer_line ->
+        # _decode_codes): k_ar triple + per-row spawn, so one seed
+        # produces ONE token stream regardless of vocoder route
+        rk = _row_keys(_host_keys(_key_int(key), 3)[0], 1)
         state = decode_start(ar.params, lat, jnp.asarray(tokens),
-                             jnp.asarray(lengths), key, ar.config,
-                             max_ar_steps)
+                             jnp.asarray(lengths), jnp.asarray(rk),
+                             ar.config, max_ar_steps)
         wav_gen_prev, wav_overlap = None, None
         first = True
         while True:
@@ -1525,9 +1626,11 @@ class TTS:
                               (1, np.asarray(ar_latent).shape[-1]))
         g = np.asarray(lat, np.float32)
 
+        # same AR key derivation as the bigvgan route (see _stream_line)
+        rk = _row_keys(_host_keys(_key_int(key), 3)[0], 1)
         state = decode_start(ar.params, lat, jnp.asarray(tokens),
-                             jnp.asarray(lengths), key, ar.config,
-                             max_ar_steps)
+                             jnp.asarray(lengths), jnp.asarray(rk),
+                             ar.config, max_ar_steps)
         emitted = 0          # latents already emitted as audio
         wav_overlap = None
         first = True

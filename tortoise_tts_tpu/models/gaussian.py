@@ -188,8 +188,25 @@ def sample_loop(model_fn: ModelFn, noise: jnp.ndarray, key: jax.Array,
     """Run the full reverse process. noise: (B, 100, T) initial x_T.
 
     sampler: 'ddim' (diffusion.py:646-694) or 'p' (510-554).
+
+    ``key`` may be (2,) (one stream for the whole batch) or per-row
+    (B, 2): per-row keys make row r's noise a function of its own key
+    only, so a batched serving row replays bit-exactly as a B=1 call
+    (bit-identical to the single-key form at B=1).
     """
     T = sched.num_timesteps
+
+    def split_rows(k):
+        if k.ndim == 2:
+            ks = jax.vmap(jax.random.split)(k)
+            return ks[:, 0], ks[:, 1]
+        return jax.random.split(k)
+
+    def normal_rows(k, x):
+        if k.ndim == 2:
+            return jax.vmap(lambda kk: jax.random.normal(
+                kk, x.shape[1:], x.dtype))(k)
+        return jax.random.normal(k, x.shape, x.dtype)
 
     def ddim_step(carry, t):
         x, k = carry
@@ -209,18 +226,17 @@ def sample_loop(model_fn: ModelFn, noise: jnp.ndarray, key: jax.Array,
             # 0 * normal(...) away, and the RNG is ~1 ms/step of pure
             # VPU work at mel shapes)
             return (mean_pred, k), None
-        k, sub = jax.random.split(k)
+        k, sub = split_rows(k)
         nz = (t != 0).astype(x.dtype)
-        x = mean_pred + nz * sigma * jax.random.normal(sub, x.shape, x.dtype)
+        x = mean_pred + nz * sigma * normal_rows(sub, x)
         return (x, k), None
 
     def p_step(carry, t):
         x, k = carry
         mean, logvar, _ = p_mean_variance(model_fn, x, t, sched, clip_denoised)
-        k, sub = jax.random.split(k)
+        k, sub = split_rows(k)
         nz = (t != 0).astype(x.dtype)
-        x = mean + nz * jnp.exp(0.5 * logvar) * jax.random.normal(
-            sub, x.shape, x.dtype)
+        x = mean + nz * jnp.exp(0.5 * logvar) * normal_rows(sub, x)
         return (x, k), None
 
     if sampler == "dpm++":

@@ -698,7 +698,7 @@ class DecodeState(NamedTuple):
     latents: jnp.ndarray
     finished: jnp.ndarray
     lengths: jnp.ndarray
-    rng: jax.Array
+    rng: jax.Array         # (B, 2) per-row threefry keys
     key_mask: jnp.ndarray  # (B, cache_len) prefix-validity mask
     mu: jnp.ndarray        # (B,) mirostat running max-surprise
 
@@ -757,6 +757,19 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
          jnp.ones((b, cache_len - pad - prefill.shape[1]), dtype=bool)],
         axis=1)
 
+    # per-row RNG streams: the sampled bitstream of row r depends only
+    # on row r's key, so any row of a batched decode replays bit-exactly
+    # as a B=1 call with that key (reference per-call seed semantics,
+    # inference.py:142,157-160, kept at batch scale).  A single (2,)
+    # key is accepted for b == 1 (bit-identical to the per-row form) or
+    # fanned out in-graph via fold_in for legacy batch-keyed callers.
+    if key.ndim == 1:
+        keys = (key[None] if b == 1 else
+                jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                    jnp.arange(b)))
+    else:
+        keys = key
+
     first_lat = layer_norm(params["final_norm"], hidden[:, -1])
     counts0 = jnp.zeros((b, cfg.number_mel_codes), jnp.int32)
     # start_mel token counts as seen for repetition penalty (HF counts all
@@ -768,7 +781,7 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
         jnp.zeros((), jnp.int32), cache, first_lat,
         jnp.full((b, max_length), cfg.stop_mel_token, jnp.int32), counts0,
         jnp.zeros((b, max_length, d), dtype), jnp.zeros((b,), bool),
-        jnp.full((b,), max_length, jnp.int32), key, key_mask,
+        jnp.full((b,), max_length, jnp.int32), keys, key_mask,
         jnp.zeros((b,), jnp.float32))
 
 
@@ -793,6 +806,28 @@ def decode_chunk(params: Params, state: DecodeState,
     chunk's last write position; see inference_speech's ladder)."""
     b = state.tokens.shape[0]
     max_len = state.tokens.shape[1]
+    if _use_kmajor() and state.cache.v.size:
+        # guard against a layout/env mismatch (TTS_DECODE_KMAJOR flipped
+        # between decode_start and decode_chunk, or a stale cache):
+        # hd-major caches are (L,B,H,hd,S) with axis 3 == head_dim —
+        # silently reading an S-major cache here would treat hd as the
+        # sequence axis and produce garbage tokens with no error
+        hd = (state.lat.shape[-1]
+              // state.cache.k.shape[2])      # model_dim / heads
+        if state.cache.k.shape[3] != hd:
+            raise ValueError(
+                "TTS_DECODE_KMAJOR=1 but the KV cache is S-major "
+                f"(k.shape={tuple(state.cache.k.shape)}, head_dim={hd})"
+                " — the cache was built with a different layout env")
+    elif state.cache.v.size:
+        # split S-major cache expected: (L,B,H,S,hd) with axis 4 == hd
+        # (packed K||V announces itself via the 0-size v sentinel)
+        hd = state.lat.shape[-1] // state.cache.k.shape[2]
+        if state.cache.k.shape[4] != hd and state.cache.k.shape[3] == hd:
+            raise ValueError(
+                "KV cache is hd-major but TTS_DECODE_KMAJOR is unset "
+                f"(k.shape={tuple(state.cache.k.shape)}, head_dim={hd})"
+                " — the cache was built with a different layout env")
     cache_len = (state.cache.k.shape[4] if _use_kmajor()
                  else state.cache.k.shape[3])
     prefix_len = cache_len - 1 - max_len
@@ -814,7 +849,10 @@ def decode_chunk(params: Params, state: DecodeState,
         return (c.step < limit) & ~jnp.all(c.finished)
 
     def body_fn(c: DecodeState):
-        rng, sub = jax.random.split(c.rng)
+        # c.rng is (B, 2) per-row keys (see decode_start): split each
+        # row's stream independently so row draws are row-key functions
+        ks = jax.vmap(jax.random.split)(c.rng)        # (B, 2, 2)
+        rng, sub = ks[:, 0], ks[:, 1]
         logits = logits_of(c.lat)
         if sampling.length_penalty_factor != 0.0:
             # stop-logit length penalty in the *sampled* path

@@ -193,7 +193,11 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
     scale = 1.0 / math.sqrt(d)
     sp = -(-s // 128) * 128
     if _os.environ.get("TTS_FLASH_VT_BQ"):      # perf-lab block sweep
+        # round DOWN to a lane multiple: a non-128-multiple bq makes
+        # the sp rounding and the (1, d, bq) BlockSpecs lane-misaligned
+        # (Mosaic compile failure instead of a clean rejection)
         bq = max(min(int(_os.environ["TTS_FLASH_VT_BQ"]), sp), 128)
+        bq = max(128, (bq // 128) * 128)
     else:
         bq = sp if sp <= max(block_q, 1024) else max(block_q, 128)
     sp = -(-sp // bq) * bq

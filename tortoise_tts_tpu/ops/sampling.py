@@ -148,10 +148,26 @@ def warp_logits(logits: jnp.ndarray, cfg: SamplingConfig,
     return x
 
 
+def categorical_rows(key: jax.Array, logits: jnp.ndarray) -> jnp.ndarray:
+    """Categorical draw with either ONE key for the whole (B, V) batch
+    (key (2,) — legacy batch-keyed stream) or PER-ROW keys (key (B, 2)):
+    each row's draw is a function of its own key only, so any row of a
+    batched decode reproduces bit-exactly as a B=1 call with that row's
+    key (the reference's per-call ``seed``, inference.py:142,157-160,
+    preserved at batch scale).  For B=1 the two modes are bit-identical
+    (threefry bits for shape (V,) == shape (1, V))."""
+    if key.ndim == 2:
+        return jax.vmap(lambda k, l: jax.random.categorical(k, l, axis=-1)
+                        )(key, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
 def sample_token(key: jax.Array, logits: jnp.ndarray,
                  cfg: SamplingConfig,
                  token_counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Warp + draw one token per row. logits (B, V) -> (B,) int32."""
+    """Warp + draw one token per row. logits (B, V) -> (B,) int32.
+
+    ``key`` may be per-row (B, 2) — see categorical_rows."""
     if cfg.greedy:
         # HF greedy applies logits *processors* before argmax but skips
         # the warpers.  Repetition penalty is a default processor, and
@@ -166,7 +182,7 @@ def sample_token(key: jax.Array, logits: jnp.ndarray,
         x = apply_typical(x, cfg.typical_mass)
         return jnp.argmax(x, axis=-1).astype(jnp.int32)
     warped = warp_logits(logits, cfg, token_counts)
-    return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+    return categorical_rows(key, warped).astype(jnp.int32)
 
 
 def apply_dynamic_temperature(logits: jnp.ndarray, temperature: float,
@@ -225,7 +241,7 @@ def mirostat_step(key: jax.Array, logits: jnp.ndarray, mu: jnp.ndarray,
     # top-k mask with per-row dynamic k
     ranks = jnp.argsort(jnp.argsort(-logits, axis=-1), axis=-1)
     masked = jnp.where(ranks < k[:, None], logits, NEG_INF)
-    tok = jax.random.categorical(key, masked, axis=-1)
+    tok = categorical_rows(key, masked)
     # surprise uses the ORIGINAL (unmasked) distribution
     # (samplers.py:143,152: prob_original)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

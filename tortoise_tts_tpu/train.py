@@ -169,7 +169,9 @@ def main(argv=None):
     def save_fn(es, step):
         es.save_checkpoint(cfg.ckpt_dir,
                            keep_last=cfg.trainer.keep_last_checkpoints,
-                           is_leader=pmesh.is_leader())
+                           is_leader=pmesh.is_leader(),
+                           mode=("async" if cfg.trainer.async_checkpoint
+                                 else "sync"))
         train_ds.save_state(cfg.ckpt_dir /
                             f"sampler.{jax.process_index()}.state")
 

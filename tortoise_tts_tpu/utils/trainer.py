@@ -200,6 +200,10 @@ def train_engines(cfg: Config,
         if tcfg.save_on_quit:
             do_save()
     finally:
+        # join any in-flight async checkpoint write before the process
+        # (and its daemon writer thread) can exit
+        if hasattr(engines, "finish_saves"):
+            engines.finish_saves()
         if log_f:
             log_f.close()
     _logger.info("training done in %.1fs", time.time() - start)
