@@ -124,6 +124,30 @@ def main():
                   diffusion_sampler=sampler, vocoder_type="bigvgan",
                   diffusion_pad_multiple=32, mel_pad_multiple=128)
 
+    if mode == "stream":
+        # Streaming route (HiFiGAN windowed): first-chunk latency +
+        # sustained RTF.  The reference's streaming entry is
+        # inference.py:250-329; BASELINE row "streaming first chunk".
+        skw = dict(max_ar_steps=ar_steps, ar_temp=0.8, top_p=0.9)
+        for _ in tts.stream(text, ref, seed=0, **skw):   # warmup/compile
+            pass
+        firsts, rtfs = [], []
+        for i in range(3):
+            t0 = time.time()
+            n = 0
+            for j, ch in enumerate(tts.stream(text, ref, seed=1 + i,
+                                              **skw)):
+                if j == 0:
+                    firsts.append((time.time() - t0) * 1e3)
+                n += ch.shape[-1]
+            rtfs.append(n / 24000.0 / (time.time() - t0))
+        first = sorted(firsts)[1]
+        print(json.dumps({"metric": "stream_first_chunk_ms",
+                          "value": round(first, 1), "unit": "ms",
+                          "vs_baseline": round(200.0 / max(first, 1e-9), 3),
+                          "sustained_rtf": round(sorted(rtfs)[1], 3)}))
+        return
+
     if mode == "candidates":
         # BASELINE config #3: N-candidate generation + CLVP rerank (the
         # candidates ride the serving mesh's 'data' axis when present);
@@ -165,8 +189,11 @@ def _install_small_models(tts):
                                          dvae as dvae_m,
                                          unified_voice as uv_m)
     from tortoise_tts_tpu.models.bigvgan import BigVGANConfig
+    from tortoise_tts_tpu.models.hifigan import HifiganConfig
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     D = 64
+    hg_cfg = HifiganConfig(in_channels=D, cond_channels=D,
+                           upsample_initial_channel=64)
     ar_cfg = uv_m.UnifiedVoiceConfig(layers=2, model_dim=D, heads=4)
     d_cfg = diff_m.DiffusionConfig(model_channels=D, num_layers=2,
                                    in_latent_channels=D, num_heads=4)
@@ -189,6 +216,10 @@ def _install_small_models(tts):
                             dvae_m.init(ks[3], dv_cfg), False),
         "clvp": LoadedModel("clvp", clvp_m, cl_cfg,
                             clvp_m.init(ks[4], cl_cfg), False),
+        "hifigan": LoadedModel(
+            "hifigan", __import__("tortoise_tts_tpu.models.hifigan",
+                                  fromlist=["x"]), hg_cfg,
+            _hifigan_random(ks[5], hg_cfg), False),
     }
     from tortoise_tts_tpu.emb import mel as emb_mel
     emb_mel.load_model = lambda name, dtype="float32": tts._models[name]

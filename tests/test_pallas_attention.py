@@ -301,3 +301,34 @@ def test_decode_cache_gap_padding_token_exact(monkeypatch):
                                   np.asarray(got.codes))
     np.testing.assert_array_equal(np.asarray(ref.lengths),
                                   np.asarray(got.lengths))
+
+
+def test_flash_bias_vt_prescale_and_noones():
+    """TTS_FLASH_VT_PRESCALE (scale folded into q outside the kernel)
+    and TTS_FLASH_VT_NOONES (dense-d AV + explicit row-sum normaliser)
+    are bit-compatible restructurings: each, and their combination,
+    matches the plain VT kernel within fp tolerance (interpret)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from tortoise_tts_tpu.ops.pallas_attention import \
+        flash_attention_bias_qkv_vt
+    b, h, d, t = 2, 2, 64, 300
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, h * 3 * d, t),
+                            jnp.float32) * 0.5
+    bias = jax.random.normal(jax.random.PRNGKey(1), (h, t, t)) * 0.3
+    ref = flash_attention_bias_qkv_vt(qkv, bias, h, interpret=True)
+    for env in ({"TTS_FLASH_VT_PRESCALE": "1"},
+                {"TTS_FLASH_VT_NOONES": "1"},
+                {"TTS_FLASH_VT_PRESCALE": "1",
+                 "TTS_FLASH_VT_NOONES": "1"}):
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            got = flash_attention_bias_qkv_vt(qkv, bias, h,
+                                              interpret=True)
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-6, rtol=1e-5, err_msg=str(env))

@@ -133,7 +133,10 @@ def _exp2_fast(t: jnp.ndarray) -> jnp.ndarray:
 
 def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
                          scale: float, d_out: int, fast_exp: bool,
-                         bf16_scores: bool = False):
+                         bf16_scores: bool = False,
+                         prescaled: bool = False,
+                         ones_col: bool = True,
+                         ablate: str = ""):
     """Row-major scores with a pre-transposed V: dots live as (bq, S)
     so the softmax reduces over LANES (the fast VPU axis), and the AV
     matmul is MXU-canonical because V arrives as (S, D) — the one
@@ -150,24 +153,52 @@ def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
     cheap (bq, 1)-broadcast divide after the MXU instead of an extra
     read+write of the score block."""
     # TTS_FLASH_VT_BF16=1: the score block (the kernel's largest VMEM
-    # tensor, bq x S) stays bf16 through the elementwise chain —
-    # Mosaic walks these ops one full-block pass at a time, so halving
-    # the block bytes halves that traffic.  Numerics precedent: the
-    # XLA fallback path already defaults to bf16 scores
+    # tensor, bq x S) runs bf16 through the elementwise chain — Mosaic
+    # walks these ops one full-block pass at a time, so halving the
+    # block bytes halves that traffic.  The MXU accumulator itself must
+    # be 32-bit (Mosaic rejects a bf16 matmul acc on real hardware —
+    # chip-verified round 5), so the cast happens in the first
+    # elementwise pass after the dot.  Numerics precedent: the XLA
+    # fallback path already defaults to bf16 scores
     # (ops/attention.qkv_attention, TTS_ATTN_BF16).
     acc_t = jnp.bfloat16 if bf16_scores else jnp.float32
     dots = jax.lax.dot_general(q_ref[0], k_ref[0],
                                (((0,), (0,)), ((), ())),
-                               preferred_element_type=acc_t)
-    dots = dots * acc_t(scale) + b_ref[0].astype(acc_t)   # (bq, S)
-    m = jnp.max(dots, axis=1, keepdims=True)
-    if fast_exp:
-        p = _exp2_fast((dots - m) * acc_t(_LOG2E)).astype(vt_ref.dtype)
+                               preferred_element_type=jnp.float32)
+    # TTS_FLASH_VT_PRESCALE=1 folds 1/sqrt(d) into q OUTSIDE the kernel
+    # (XLA fuses it into the qkv producer) — one fewer full-block
+    # elementwise pass here; the bias arrives already in the score
+    # dtype so its cast is free
+    if ablate == "nobias":
+        # TTS_FLASH_VT_ABLATE=nobias: cost of the bias tile DMA + add
+        dots = dots.astype(acc_t) * acc_t(scale)
+    elif prescaled:
+        dots = dots.astype(acc_t) + b_ref[0].astype(acc_t)
     else:
-        p = jnp.exp(dots - m).astype(vt_ref.dtype)
+        dots = (dots.astype(acc_t) * acc_t(scale)
+                + b_ref[0].astype(acc_t))                 # (bq, S)
+    if ablate == "nosoftmax":
+        # TTS_FLASH_VT_ABLATE=nosoftmax: matmuls + bias only (cast is
+        # kept so the AV operand dtype matches the real kernel)
+        p = dots.astype(vt_ref.dtype)
+    else:
+        m = jnp.max(dots, axis=1, keepdims=True)
+        if fast_exp:
+            p = _exp2_fast((dots - m) * acc_t(_LOG2E)).astype(
+                vt_ref.dtype)
+        else:
+            p = jnp.exp(dots - m).astype(vt_ref.dtype)
     acc = jax.lax.dot_general(p, vt_ref[0], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    o = acc[:, :d_out] / acc[:, d_out:d_out + 1]
+    if ones_col:
+        o = acc[:, :d_out] / acc[:, d_out:d_out + 1]
+    else:
+        # TTS_FLASH_VT_NOONES=1: V stays (S, d) — the AV matmul does
+        # HALF the FLOPs of the 128-lane ones-padded layout; the
+        # softmax normaliser comes from an explicit (bq, S) row-sum
+        # reduce instead of the appended ones column
+        denom = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        o = acc[:, :d_out] / denom
     o_ref[0] = o.astype(o_ref.dtype)                      # (1, bq, D)
 
 
@@ -202,17 +233,33 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
         bq = sp if sp <= max(block_q, 1024) else max(block_q, 128)
     sp = -(-sp // bq) * bq
     pad = sp - s
+    prescale = _os.environ.get("TTS_FLASH_VT_PRESCALE", "0") == "1"
+    ones_col = _os.environ.get("TTS_FLASH_VT_NOONES", "0") != "1"
+    if prescale:
+        # fold 1/sqrt(d) into the q channels outside the kernel: a
+        # (width, 1) mask multiply that XLA fuses into the qkv producer
+        # — saves one full-block elementwise pass per kernel grid step
+        ch = jnp.arange(width) % (3 * d)
+        mult = jnp.where(ch < d, jnp.asarray(scale, qkv.dtype),
+                         jnp.ones((), qkv.dtype))
+        qkv = qkv * mult[None, :, None]
     f = qkv.reshape(b * h * 3, d, s)
     # V transposed outside: (B*H, S, D) — a cheap XLA transpose of the
     # small value tensor; lets the in-kernel AV matmul run canonically.
     # Column d carries the softmax normaliser's ones (see kernel doc);
     # the width is padded to a lane multiple so every tile is aligned.
-    dv = -(-(d + 1) // 128) * 128
+    # (TTS_FLASH_VT_NOONES=1 keeps V at its dense d lanes instead —
+    # half the AV FLOPs, normaliser via an explicit row-sum.)
     vt = jnp.swapaxes(
         qkv.reshape(b, h, 3, d, s)[:, :, 2], -1, -2).reshape(b * h, s, d)
-    ones = jnp.ones((b * h, s, 1), vt.dtype)
-    vt = jnp.concatenate(
-        [vt, ones, jnp.zeros((b * h, s, dv - d - 1), vt.dtype)], axis=-1)
+    if ones_col:
+        dv = -(-(d + 1) // 128) * 128
+        ones = jnp.ones((b * h, s, 1), vt.dtype)
+        vt = jnp.concatenate(
+            [vt, ones, jnp.zeros((b * h, s, dv - d - 1), vt.dtype)],
+            axis=-1)
+    else:
+        dv = d
     if pad:
         f = jnp.pad(f, ((0, 0), (0, 0), (0, pad)))
         vt = jnp.pad(vt, ((0, 0), (0, pad), (0, 0)))
@@ -228,7 +275,9 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
         _attn_bias_vt_kernel, scale=scale, d_out=d,
         fast_exp=os.environ.get("TTS_FLASH_VT_EXP2", "0") == "1",
         bf16_scores=(os.environ.get("TTS_FLASH_VT_BF16", "0") == "1"
-                     and qkv.dtype == jnp.bfloat16))
+                     and qkv.dtype == jnp.bfloat16),
+        prescaled=prescale, ones_col=ones_col,
+        ablate=os.environ.get("TTS_FLASH_VT_ABLATE", ""))
     in_specs = [
         pl.BlockSpec((1, d, bq),
                      lambda j, hi, bi, h=h: (3 * (bi * h + hi), 0, j)),
