@@ -270,12 +270,39 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
         bias = jnp.pad(bias, ((0, 0), (0, pad), (0, 0)))
 
     import os
+    bf16_sc = (os.environ.get("TTS_FLASH_VT_BF16", "0") == "1"
+               and qkv.dtype == jnp.bfloat16)
+    # head-group default 4: chip-measured win at every working shape
+    # (B=16/T=896: 32.28 vs 32.79 ms full denoiser step; B=16/T=640:
+    # 21.68 vs 22.42; B=8/T=896: 15.84 vs 16.12).  TTS_FLASH_VT_HG=0
+    # reverts to the per-head grid; guards fall back automatically
+    # when h % g != 0 or the shape needs query blocking.
+    hg = int(os.environ.get("TTS_FLASH_VT_HG", "4"))
+    if hg > 1 and bq == sp and h % hg == 0 and ones_col and not prescale:
+        # head-group path: g heads per grid step (see the hg kernel's
+        # doc for the chip-measured motivation); requires the single
+        # q-block shape (bq == sp), which is every production T
+        out = _vt_hg_call(f, vt, bias, b, h, d, dv, sp, hg, scale,
+                          bf16_sc, qkv.dtype, interpret)
+        out = jnp.swapaxes(out.reshape(b, h, sp, d), -1, -2)
+        return out.reshape(b, h * d, sp)[..., :s]
+    if (os.environ.get("TTS_FLASH_VT_QT", "0") == "1" and ones_col
+            and not prescale):
+        # row-major-q path: both matmuls MXU-canonical (see qt kernel)
+        qt = jnp.swapaxes(
+            qkv.reshape(b, h, 3, d, s)[:, :, 0], -1, -2
+        ).reshape(b * h, s, d)
+        if pad:
+            qt = jnp.pad(qt, ((0, 0), (0, pad), (0, 0)))
+        out = _vt_qt_call(qt, f, vt, bias, b, h, d, dv, sp, bq, scale,
+                          bf16_sc, qkv.dtype, interpret)
+        out = jnp.swapaxes(out.reshape(b, h, sp, d), -1, -2)
+        return out.reshape(b, h * d, sp)[..., :s]
     grid = (sp // bq, h, b)
     kernel = functools.partial(
         _attn_bias_vt_kernel, scale=scale, d_out=d,
         fast_exp=os.environ.get("TTS_FLASH_VT_EXP2", "0") == "1",
-        bf16_scores=(os.environ.get("TTS_FLASH_VT_BF16", "0") == "1"
-                     and qkv.dtype == jnp.bfloat16),
+        bf16_scores=bf16_sc,
         prescaled=prescale, ones_col=ones_col,
         ablate=os.environ.get("TTS_FLASH_VT_ABLATE", ""))
     in_specs = [
@@ -309,6 +336,135 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
     # (B*H, S, D) -> channels-major (B, H*D, T)
     out = jnp.swapaxes(out.reshape(b, h, sp, d), -1, -2)
     return out.reshape(b, h * d, sp)[..., :s]
+
+
+def _attn_bias_vt_hg_kernel(f_ref, vt_ref, b_ref, o_ref, *,
+                            scale: float, d_out: int, g: int,
+                            bf16_scores: bool = False):
+    """Head-GROUP variant of the VT kernel: one grid step computes `g`
+    heads (static in-kernel loop) instead of one.  The per-head VT
+    kernel's grid step costs ~5.6 us against a ~2.3 us MXU floor
+    (chip-measured round 5: matmuls+casts are 18.8 of the 19.3 ms
+    attention cost at B=16/T=896, bias and softmax are ~free), so the
+    fixed per-step overhead is the target: g heads per step cuts grid
+    steps g-fold and lets the next head's DMA ride under the current
+    head's matmuls.
+
+    f_ref: (3g, D, bq) — g heads' interleaved [q;k;v] channel blocks;
+    vt_ref: (g, S, dv); b_ref: (g, bq, S); o_ref: (g, bq, D)."""
+    acc_t = jnp.bfloat16 if bf16_scores else jnp.float32
+    for j in range(g):
+        dots = jax.lax.dot_general(f_ref[3 * j], f_ref[3 * j + 1],
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dots = (dots.astype(acc_t) * acc_t(scale)
+                + b_ref[j].astype(acc_t))                 # (bq, S)
+        m = jnp.max(dots, axis=1, keepdims=True)
+        p = jnp.exp(dots - m).astype(vt_ref.dtype)
+        acc = jax.lax.dot_general(p, vt_ref[j], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o = acc[:, :d_out] / acc[:, d_out:d_out + 1]
+        o_ref[j] = o.astype(o_ref.dtype)
+
+
+def _attn_bias_vt_qt_kernel(qt_ref, k_ref, vt_ref, b_ref, o_ref, *,
+                            scale: float, d_out: int,
+                            bf16_scores: bool = False):
+    """Fully-canonical-matmul variant (TTS_FLASH_VT_QT=1): q arrives
+    ROW-major (bq, d) — the qk dot contracts d on q's LANES and k's
+    sublanes, the canonical MXU orientation, where the channels-major
+    kernel's (d, bq) q forces a transposed-lhs matmul.  The AV dot was
+    already canonical.  The q transpose happens OUTSIDE on the tiny
+    (S, d) per-head tensor, exactly like V's."""
+    acc_t = jnp.bfloat16 if bf16_scores else jnp.float32
+    dots = jax.lax.dot_general(qt_ref[0], k_ref[0],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dots = (dots.astype(acc_t) * acc_t(scale)
+            + b_ref[0].astype(acc_t))                     # (bq, S)
+    m = jnp.max(dots, axis=1, keepdims=True)
+    p = jnp.exp(dots - m).astype(vt_ref.dtype)
+    acc = jax.lax.dot_general(p, vt_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o = acc[:, :d_out] / acc[:, d_out:d_out + 1]
+    o_ref[0] = o.astype(o_ref.dtype)                      # (1, bq, D)
+
+
+def _vt_qt_call(qt, f, vt, bias, b, h, d, dv, sp, bq, scale, bf16_sc,
+                dtype, interpret):
+    """pallas_call plumbing for the row-major-q VT kernel.
+
+    qt: (B*H, SP, D); f: (B*H*3, D, SP) (k is sliced from it);
+    vt: (B*H, SP, DV); bias: (H, SP, SP).  Returns (B*H, SP, D)."""
+    grid = (sp // bq, h, b)
+    kernel = functools.partial(_attn_bias_vt_qt_kernel, scale=scale,
+                               d_out=d, bf16_scores=bf16_sc)
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda j, hi, bi, h=h: (bi * h + hi, j, 0)),
+        pl.BlockSpec((1, d, sp),
+                     lambda j, hi, bi, h=h: (3 * (bi * h + hi) + 1, 0, 0)),
+        pl.BlockSpec((1, sp, dv), lambda j, hi, bi, h=h: (bi * h + hi, 0, 0)),
+        pl.BlockSpec((1, bq, sp), lambda j, hi, bi: (hi, j, 0)),
+    ]
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * sp * sp * (d + dv) * (b * h),
+            transcendentals=sp * sp * b * h,
+            bytes_accessed=(4 * b * h * d * sp + h * sp * sp) * 2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, d), dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, d),
+                               lambda j, hi, bi, h=h: (bi * h + hi, j, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(qt, f, vt, bias)
+
+
+def _vt_hg_call(f, vt, bias, b, h, d, dv, sp, g, scale, bf16_sc,
+                dtype, interpret):
+    """pallas_call plumbing for the head-group VT kernel.
+
+    f: (B*H*3, D, SP); vt: (B*H, SP, DV); bias: (H, SP, SP).
+    Grid (H//g, B) with batch innermost so the g-head bias tile's DMA
+    is reused across the batch.  Returns channels-major (B, H*D, SP)."""
+    grid = (h // g, b)
+    kernel = functools.partial(_attn_bias_vt_hg_kernel, scale=scale,
+                               d_out=d, g=g, bf16_scores=bf16_sc)
+    in_specs = [
+        pl.BlockSpec((3 * g, d, sp),
+                     lambda hi, bi, h=h, g=g: (bi * (h // g) + hi, 0, 0)),
+        pl.BlockSpec((g, sp, dv),
+                     lambda hi, bi, h=h, g=g: (bi * (h // g) + hi, 0, 0)),
+        pl.BlockSpec((g, sp, sp), lambda hi, bi: (hi, 0, 0)),
+    ]
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * sp * sp * (d + dv) * (b * h),
+            transcendentals=sp * sp * b * h,
+            bytes_accessed=(3 * b * h * d * sp + h * sp * sp
+                            + b * h * sp * dv) * 2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, d), dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (g, sp, d),
+            lambda hi, bi, h=h, g=g: (bi * (h // g) + hi, 0, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(f, vt, bias)
 
 
 def _attn_bias_kq_kernel(q_ref, k_ref, v_ref, bt_ref, o_ref, *,
