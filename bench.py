@@ -151,7 +151,13 @@ def main():
     if mode == "candidates":
         # BASELINE config #3: N-candidate generation + CLVP rerank (the
         # candidates ride the serving mesh's 'data' axis when present);
-        # metric = wall seconds per reranked utterance, reported as RTF
+        # metric = wall seconds per reranked utterance, reported as RTF.
+        # Recommended fan-out serving config: hd-major decode cache —
+        # at the B=16 decode shape the cache read dominates and kmajor
+        # measured +8% end-to-end (8.83 vs 8.12 RTF, r5; token-exact
+        # tested).  Set TTS_DECODE_KMAJOR=0 to measure the default
+        # S-major layout.
+        os.environ.setdefault("TTS_DECODE_KMAJOR", "1")
         n = int(os.environ.get("BENCH_CANDIDATES", 16))
         tts.inference(text, ref, seed=0, candidates=n, **kwargs)
         rtfs = []

@@ -117,6 +117,17 @@ def main():
                     "vocoder": "bigvgan", "decode_quant": "int8"},
         "configs": {},
     }
+    # --only reruns merge into the existing record instead of
+    # clobbering the other rows
+    out_path = Path(args.out)
+    if out_path.exists():
+        try:
+            prev = json.loads(out_path.read_text())
+            result["configs"] = prev.get("configs", {})
+            if "training" in prev:
+                result["training"] = prev["training"]
+        except json.JSONDecodeError:
+            pass
     missing = []
     for name, (argv, env, how) in rows.items():
         if only and name not in only:

@@ -164,7 +164,10 @@ def main():
 
     engines.step = timed_step
 
+    save_at = [None]          # steps_t index when the save was issued
+
     def save_fn(es, step):
+        save_at[0] = len(steps_t)
         t0 = time.perf_counter()
         es.save_checkpoint(cfg.ckpt_dir,
                            keep_last=cfg.trainer.keep_last_checkpoints,
@@ -184,7 +187,12 @@ def main():
     # timed_step wraps only engines.step), so every remaining step —
     # including log-cadence metric-fetch steps — counts.
     skip = 10 if len(steps_t) > 10 else 0
-    window = steps_t[skip:]
+    # steady window ends where the in-loop checkpoint was issued: the
+    # steps that overlap the background write contend with its relay
+    # transfers and are reported as their own metric, not blended in
+    cut = save_at[0] if save_at[0] is not None else len(steps_t)
+    window = steps_t[skip:cut]
+    overlap = steps_t[cut:]
     st_stalls = stalls[skip:] or stalls
     steady = float(np.mean(window)) if window else float("nan")
     st = engines[name]
@@ -214,6 +222,8 @@ def main():
         "n_params": n_params,
         "loader_stall_ms_mean": round(float(np.mean(st_stalls)) * 1e3, 2),
         "loader_stall_ms_max": round(float(np.max(st_stalls)) * 1e3, 2),
+        "ckpt_overlap_ms_per_step": (round(float(np.mean(overlap)) * 1e3,
+                                           1) if overlap else None),
         "checkpoint_stall_s": round(ckpt_s[0], 2),
         "checkpoint_write_s": (round(saver.last_write_s, 1)
                                if saver is not None

@@ -136,21 +136,28 @@ def _device_copy(tree):
         lambda x: jnp.where(jnp.ones((), bool), x, x), tree)
 
 
-def snapshot_state(state: TrainState) -> TrainState:
-    """Device-side snapshot of a TrainState + non-blocking D2H start.
+def snapshot_state(state: TrainState, start_d2h: bool = False
+                   ) -> TrainState:
+    """Device-side snapshot of a TrainState.
 
-    Returns a state whose leaves are fresh device buffers with their
-    host transfer already in flight (`copy_to_host_async`) — the
-    round-4 relay probe showed D2H overlaps device compute, so the
-    transfer rides under continued training and a later np.asarray
-    (in the writer thread) only waits out the remainder."""
+    Returns a state whose leaves are fresh device buffers; the writer
+    thread's per-leaf np.asarray starts each host transfer lazily.
+
+    ``start_d2h=True`` additionally fires `copy_to_host_async` on every
+    leaf immediately.  Chip-measured (round 5): eagerly queueing ~2 GB
+    of D2H floods the relay and the train steps that overlap the write
+    run ~80x slower (~9 s/step); the LAZY default lets step dispatches
+    interleave between the writer's leaf-at-a-time transfers.  Eager
+    mode remains right when nothing else needs the relay (terminal
+    saves)."""
     snap = _device_copy(state)
-    for leaf in jax.tree_util.tree_leaves(snap):
-        if isinstance(leaf, jax.Array):
-            try:
-                leaf.copy_to_host_async()
-            except Exception:   # platform without async copy
-                pass
+    if start_d2h:
+        for leaf in jax.tree_util.tree_leaves(snap):
+            if isinstance(leaf, jax.Array):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:   # platform without async copy
+                    pass
     return snap
 
 
