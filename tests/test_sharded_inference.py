@@ -299,7 +299,9 @@ def test_batch_row_matches_single_call():
     seeds = [101, 202]
     kw = dict(max_ar_steps=16, max_diffusion_steps=4, ar_temp=0.8,
               top_p=0.95, diffusion_pad_multiple=8)
-    batch, sr = t.batch_inference(texts, voices=[None, None], seeds=seeds,
+    # no voices argument: the DEFAULT voiceless batch draws each row's
+    # RLG voice from its own seed (per-row replay holds out of the box)
+    batch, sr = t.batch_inference(texts, seeds=seeds,
                                   row_buckets=False, **kw)
     assert sr == 24_000
     for text, s, wb in zip(texts, seeds, batch):

@@ -157,16 +157,30 @@ def main():
         # loses earlier measurements (atomic replace)
         tmp = Path(args.out).with_suffix(".tmp")
         tmp.parent.mkdir(parents=True, exist_ok=True)
-        result["missing"] = missing
+        result["missing"] = _missing_rows(result, rows)
         tmp.write_text(json.dumps(result, indent=2) + "\n")
         os.replace(tmp, args.out)
 
+    # the fail-loud verdict comes from the MERGED record, not just the
+    # rows this invocation ran: a --only rerun must not report "all
+    # recorded" while an earlier null (or a never-run row) persists
+    missing = _missing_rows(result, rows)
     print(json.dumps(result, indent=2))
     if missing:
         print(f"FAILED: missing rows: {missing}", file=sys.stderr)
         return 1
     print("ALL ROWS RECORDED:", args.out)
     return 0
+
+
+def _missing_rows(result, rows):
+    out = []
+    for name in rows:
+        val = (result.get("training") if name == "training"
+               else result["configs"].get(name))
+        if val is None:
+            out.append(name)
+    return out
 
 
 if __name__ == "__main__":

@@ -188,9 +188,12 @@ def main():
     # including log-cadence metric-fetch steps — counts.
     skip = 10 if len(steps_t) > 10 else 0
     # steady window ends where the in-loop checkpoint was issued: the
-    # steps that overlap the background write contend with its relay
-    # transfers and are reported as their own metric, not blended in
-    cut = save_at[0] if save_at[0] is not None else len(steps_t)
+    # steps that overlap the BACKGROUND write may contend with its
+    # relay transfers and are reported as their own metric, not
+    # blended in.  Sync mode has no background write — no cut, and no
+    # misleading "overlap" figure.
+    cut = (save_at[0] if save_at[0] is not None and not args.sync_ckpt
+           else len(steps_t))
     window = steps_t[skip:cut]
     overlap = steps_t[cut:]
     st_stalls = stalls[skip:] or stalls

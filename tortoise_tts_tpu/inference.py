@@ -766,9 +766,24 @@ class TTS:
             return np.asarray(a), np.asarray(d)
 
         if voices is None:
-            a, d = one(references, 0)
-            return (np.broadcast_to(a, (b, a.shape[-1])),
-                    d.reshape(1, -1))
+            if references is None:
+                # default voiceless batch: PER-ROW random voices (each
+                # row's RLG draw from its own seed), so the per-row
+                # replay contract holds for the default call too — a
+                # single shared random voice would derive from row 0's
+                # seed and make rows 1.. irreproducible as single calls
+                voices = [None] * b
+            else:
+                # ONE shared voice (round-3 semantics): encoded once
+                # with row 0's seed.  Replay note: single-call replay
+                # of row r re-encodes with seeds[r]; the voice-latent
+                # cache (cache_voice=True, seed-independent key) makes
+                # the latents identical within a process — for exact
+                # cross-process replay pass per-row ``voices`` or
+                # explicit conditioning_latents.
+                a, d = one(references, 0)
+                return (np.broadcast_to(a, (b, a.shape[-1])),
+                        d.reshape(1, -1))
         if references is not None:
             raise ValueError("pass either references (one voice) or "
                              "voices (one entry per row), not both")
@@ -840,8 +855,16 @@ class TTS:
         derived from its OWN seed, ``seeds[r]`` (default ``seed + r``),
         so any production row replays bit-exactly as
         ``inference(texts[r], seed=seeds[r], ...)`` with the same voice
-        and knobs (pinned by
+        conditioning and knobs (pinned by
         tests/test_sharded_inference.py::test_batch_row_matches_single_call).
+        Voice conditioning and replay: per-row ``voices`` entries (or
+        the default voiceless per-row RLG) are derived from each row's
+        own seed — replay-exact.  A shared ``references`` voice is
+        encoded ONCE with row 0's seed; the voice-latent cache
+        (seed-independent key) makes single-call replays identical
+        within a process, but exact cross-process replay of a shared
+        voice should pass explicit ``conditioning_latents`` or per-row
+        ``voices``.
 
         ``mesh`` (or ``TTS(mesh=...)``): a ('data',) jax.sharding.Mesh —
         rows are device_put sharded over 'data' and every stage runs
@@ -879,6 +902,14 @@ class TTS:
         diffusion = self._model("diffusion")
 
         b = len(texts)
+        if any("\n" in t.strip() for t in texts):
+            # inference() splits lines and keys each line separately;
+            # a silent single-line encode here would break the per-row
+            # replay contract for multi-line rows
+            raise ValueError(
+                "batch_inference rows are single utterances; split "
+                "multi-line texts into rows (or use inference() for "
+                "line-split synthesis)")
         if seeds is not None and len(seeds) != b:
             raise ValueError(f"seeds has {len(seeds)} entries for "
                              f"{b} texts")

@@ -278,7 +278,13 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
     # reverts to the per-head grid; guards fall back automatically
     # when h % g != 0 or the shape needs query blocking.
     hg = int(os.environ.get("TTS_FLASH_VT_HG", "4"))
-    if hg > 1 and bq == sp and h % hg == 0 and ones_col and not prescale:
+    if (hg > 1 and bq == sp and h % hg == 0 and ones_col
+            and not prescale
+            # measurement knobs below are only implemented by the
+            # per-head kernel — routing them through hg would silently
+            # measure the full unablated kernel
+            and not os.environ.get("TTS_FLASH_VT_ABLATE")
+            and os.environ.get("TTS_FLASH_VT_EXP2", "0") != "1"):
         # head-group path: g heads per grid step (see the hg kernel's
         # doc for the chip-measured motivation); requires the single
         # q-block shape (bq == sp), which is every production T

@@ -201,9 +201,20 @@ def train_engines(cfg: Config,
             do_save()
     finally:
         # join any in-flight async checkpoint write before the process
-        # (and its daemon writer thread) can exit
+        # (and its daemon writer thread) can exit — but never let a
+        # writer error mask a propagating training exception or skip
+        # the log close (finally-raise would replace the root cause)
         if hasattr(engines, "finish_saves"):
-            engines.finish_saves()
+            import sys as _sys
+            propagating = _sys.exc_info()[0] is not None
+            try:
+                engines.finish_saves()
+            except BaseException:
+                if not propagating:     # clean exit: stay fail-loud
+                    if log_f:
+                        log_f.close()
+                    raise
+                _logger.exception("async checkpoint write failed")
         if log_f:
             log_f.close()
     _logger.info("training done in %.1fs", time.time() - start)
