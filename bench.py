@@ -156,7 +156,10 @@ def main():
         # at the B=16 decode shape the cache read dominates and kmajor
         # measured +8% end-to-end (8.83 vs 8.12 RTF, r5; token-exact
         # tested).  Set TTS_DECODE_KMAJOR=0 to measure the default
-        # S-major layout.
+        # S-major layout.  The shared-prefix candidate decode (prefill
+        # K/V stored once at B=1 — inference_speech_shared) is DEFAULT
+        # ON in TTS.inference: chip A/B 10.45 vs 8.75 RTF same session;
+        # TTS_DECODE_SHARED_PREFIX=0 measures the batched fan-out.
         os.environ.setdefault("TTS_DECODE_KMAJOR", "1")
         n = int(os.environ.get("BENCH_CANDIDATES", 16))
         tts.inference(text, ref, seed=0, candidates=n, **kwargs)

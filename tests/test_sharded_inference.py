@@ -381,6 +381,31 @@ def test_batch_candidates_parity_and_beam_smoke():
         assert np.isfinite(w).all() and w.size > 1000
 
 
+def test_shared_prefix_candidates_match_fanout_public_api():
+    """Shared-prefix candidate decode (default ON: rows share ONE B=1
+    prefill K/V outside the decode carry — the fan-out decode is
+    attention-read-bound; chip A/B 10.45x vs 8.75x RTF at
+    candidates-16) produces the same candidates, winner and wav as the
+    batched fan-out decode (TTS_DECODE_SHARED_PREFIX=0) for the same
+    seed."""
+    import os
+    t = _tiny_tts()
+    kw = dict(max_ar_steps=16, max_diffusion_steps=4, seed=11,
+              candidates=6, ar_temp=0.8, diffusion_pad_multiple=8)
+    old = os.environ.get("TTS_DECODE_SHARED_PREFIX")
+    os.environ["TTS_DECODE_SHARED_PREFIX"] = "0"
+    try:
+        ref, sr = t.inference("a line of text", **kw)
+    finally:
+        if old is None:
+            del os.environ["TTS_DECODE_SHARED_PREFIX"]
+        else:
+            os.environ["TTS_DECODE_SHARED_PREFIX"] = old
+    got, _ = t.inference("a line of text", **kw)
+    assert sr == 24_000
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_batch_async_fetch_matches_sync():
     """fetch='async' defers only the device->host transfer: the
     finalize() rows equal the sync call's bit-for-bit (the serving

@@ -30,7 +30,7 @@ from .emb import mel as emb_mel
 from .models import load_model
 from .models import gaussian
 from .models.unified_voice import DecodeResult, forward as uv_forward, \
-    inference_speech, inference_speech_beam
+    inference_speech, inference_speech_beam, inference_speech_shared
 from .ops.sampling import SamplingConfig
 from .ops.stft import denormalize_tacotron_mel
 from .tokenizer import VoiceBpeTokenizer
@@ -1274,6 +1274,26 @@ class TTS:
                 do_sample=not sampling.greedy)
             return res, tokens, lengths
         qmesh = mesh if ar_params is not ar.params else None
+        if (candidates > 1 and mesh is None
+                and os.environ.get("TTS_DECODE_SHARED_PREFIX", "1") != "0"
+                and os.environ.get("TTS_DECODE_PACKKV", "0") != "1"
+                and os.environ.get("TTS_FLASH_DECODE", "0") != "1"):
+            # candidate rows share one [cond‖text] prefill: store its K/V
+            # once (B=1) outside the decode carry so each step streams the
+            # prefix once instead of `candidates` times (the fan-out
+            # decode is attention-read-bound — see _mha_shared).  Keys
+            # are the same per-row _row_keys streams, so candidates match
+            # the fan-out path draw for draw (token-exact + wav-bit-exact
+            # tested).  Chip A/B (same session, candidates-16 bench):
+            # 10.45x vs 8.75x RTF — DEFAULT ON for the unsharded fan-out;
+            # TTS_DECODE_SHARED_PREFIX=0 reverts.
+            res = inference_speech_shared(
+                ar_params, lat[:1], jnp.asarray(tokens[:1]),
+                jnp.asarray(lengths[:1]), key, rows=nrows,
+                cfg=ar.config, sampling=sampling, max_length=max_ar_steps,
+                collect_latents=collect_latents, qgpt=self._ar_qgpt(qmesh),
+                quant_mode=self._quant_mode)
+            return res, tokens, lengths
         return inference_speech(
             ar_params, lat, jnp.asarray(tokens), jnp.asarray(lengths), key,
             ar.config, sampling, max_length=max_ar_steps,

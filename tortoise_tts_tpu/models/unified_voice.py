@@ -308,6 +308,52 @@ def _mha_kmajor(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
     return jnp.einsum("bhqs,bhds->bhqd", w, vc)
 
 
+def _mha_shared(q: jnp.ndarray, kp: jnp.ndarray, vp: jnp.ndarray,
+                kd: jnp.ndarray, vd: jnp.ndarray, mask: jnp.ndarray,
+                kmaj: bool) -> jnp.ndarray:
+    """Decode attention over a SHARED single-copy prefix + per-row decode
+    region (candidate fan-out: every row's [cond‖text‖start_mel] prefill
+    is identical, so its K/V are stored ONCE and each step streams them
+    once instead of B times — the B=16 decode is attention-read-bound,
+    1.75 of 2.55 ms/token, and the prefix is ~1/3 of the cache bytes).
+
+    q: (B,H,1,hd); kp/vp: (H,Sp,hd) S-major or (H,hd,Sp) hd-major —
+    NO batch axis; kd/vd: per-row decode region, (B,H,Sd,hd) or
+    (B,H,hd,Sd); mask: bool broadcastable to (B,H,1,Sp+Sd).
+
+    The joint softmax over [prefix ‖ region] scores is mathematically
+    identical to the full-cache attention (same dots, same mask); the
+    output is accumulated in fp32 across the two partial AV matmuls, so
+    values match the fused path to accumulation-order rounding."""
+    from ..ops.attention import NEG_INF
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    if kmaj:
+        dp = jnp.einsum("bhqd,hds->bhqs", q, kp,
+                        preferred_element_type=jnp.float32)
+        dd = jnp.einsum("bhqd,bhds->bhqs", q, kd,
+                        preferred_element_type=jnp.float32)
+    else:
+        dp = jnp.einsum("bhqd,hkd->bhqk", q, kp,
+                        preferred_element_type=jnp.float32)
+        dd = jnp.einsum("bhqd,bhkd->bhqk", q, kd,
+                        preferred_element_type=jnp.float32)
+    dots = jnp.concatenate([dp, dd], axis=-1) * scale
+    dots = jnp.where(mask, dots, NEG_INF)
+    w = jax.nn.softmax(dots, axis=-1).astype(q.dtype)
+    sp = dp.shape[-1]
+    if kmaj:
+        out = (jnp.einsum("bhqs,hds->bhqd", w[..., :sp], vp,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhqs,bhds->bhqd", w[..., sp:], vd,
+                            preferred_element_type=jnp.float32))
+    else:
+        out = (jnp.einsum("bhqk,hkd->bhqd", w[..., :sp], vp,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhqk,bhkd->bhqd", w[..., sp:], vd,
+                            preferred_element_type=jnp.float32))
+    return out.astype(q.dtype)
+
+
 def quantize_decode_weights(params: Params) -> Params:
     """Weight-only int8 quantization of the GPT trunk linears for the
     decode loop (per-output-channel symmetric scales).
@@ -353,9 +399,17 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
                      key_mask: jnp.ndarray,
                      qgpt: Optional[Params] = None,
                      quant_mode: str = "int8",
-                     attn_len: Optional[int] = None
+                     attn_len: Optional[int] = None,
+                     prefix: Optional[KVCache] = None,
+                     prefix_mask: Optional[jnp.ndarray] = None
                      ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token step. x: (B, 1, D); pos: scalar — cache slot to write.
+
+    prefix: optional SHARED (L, 1, H, ...) read-only prefix K/V (see
+    _mha_shared) — then ``cache`` holds only the per-row decode REGION,
+    ``pos`` is the region index, and ``prefix_mask`` is the (1, Sp)
+    prefix-validity mask.  Mutually exclusive with attn_len and the
+    packed/flash-decode cache layouts.
 
     key_mask: (B, S) bool of *prefix validity* (text padding); positions
     >= pos are masked by the running-length check.
@@ -380,16 +434,26 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     packed = cache.v.ndim != 5      # K||V packed into 128 lanes
     kmaj = _use_kmajor()            # (L,B,H,hd,S) hd-major cache
     if (os.environ.get("TTS_DECODE_SCANYS") == "1" and not packed
-            and not kmaj
+            and not kmaj and prefix is None
             and not (qgpt is not None and quant_mode == "w8a8")):
         return _gpt_decode_step_scanys(gpt, x, heads, cache, pos, key_mask,
                                        qgpt=qgpt)
     b, _, d = x.shape
     hd = d // heads
     s = cache.k.shape[4] if kmaj else cache.k.shape[3]
-    s_att = s if attn_len is None else min(attn_len, s)
-    valid = key_mask[:, :s_att] & (jnp.arange(s_att)[None, :] <= pos)
-    mask = valid[:, None, None, :]
+    if prefix is not None:
+        assert attn_len is None and not packed, \
+            "shared-prefix decode excludes attn_len/packed layouts"
+        s_att = s
+        sp = prefix.k.shape[4] if kmaj else prefix.k.shape[3]
+        valid = jnp.concatenate(
+            [jnp.broadcast_to(prefix_mask, (1, sp)),
+             jnp.arange(s)[None, :] <= pos], axis=1)      # (1, Sp+Sd)
+        mask = valid[:, None, None, :]
+    else:
+        s_att = s if attn_len is None else min(attn_len, s)
+        valid = key_mask[:, :s_att] & (jnp.arange(s_att)[None, :] <= pos)
+        mask = valid[:, None, None, :]
     L = cache.k.shape[0]
     lp_all = _layer_params(gpt)
     # Quantized GEMVs go through the Pallas kernel with the FULL stacked
@@ -434,7 +498,7 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
     ln2 = ((gpt["ln_2"]["scale"], gpt["ln_2"]["bias"])
            if fuse_ln else None)
 
-    use_fd = _use_flash_decode() and s % 128 == 0
+    use_fd = _use_flash_decode() and s % 128 == 0 and prefix is None
 
     def body(carry, layer):
         x, ck, cv = carry
@@ -482,7 +546,17 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
                 layer_v = (None if packed else
                            lax.dynamic_index_in_dim(cv, li, 0,
                                                     keepdims=False))
-            if kmaj:
+            if prefix is not None:
+                if isinstance(li, int):
+                    kp_l, vp_l = prefix.k[li][0], prefix.v[li][0]
+                else:
+                    kp_l = lax.dynamic_index_in_dim(prefix.k, li, 0,
+                                                    keepdims=False)[0]
+                    vp_l = lax.dynamic_index_in_dim(prefix.v, li, 0,
+                                                    keepdims=False)[0]
+                a = _mha_shared(q, kp_l, vp_l, layer_k, layer_v, mask,
+                                kmaj)
+            elif kmaj:
                 a = _mha_kmajor(q, layer_k[..., :s_att],
                                 layer_v[..., :s_att], mask)
             elif packed:
@@ -703,16 +777,25 @@ class DecodeState(NamedTuple):
     mu: jnp.ndarray        # (B,) mirostat running max-surprise
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_length"))
+@partial(jax.jit, static_argnames=("cfg", "max_length", "shared_rows"))
 def decode_start(params: Params, cond_latent: jnp.ndarray,
                  text: jnp.ndarray, text_lengths: jnp.ndarray,
                  key: jax.Array,
                  cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
-                 max_length: int = 500) -> DecodeState:
+                 max_length: int = 500, shared_rows: int = 0) -> DecodeState:
     """Prefill [cond, text, start_mel] and return a resumable DecodeState.
 
     Sequence: [cond, start_text, text, stop_text, pad.., start_mel, ...]
     (reference unified_voice.py:632-668 layout).
+
+    shared_rows > 0 (candidate fan-out, all rows share one prefill):
+    prefill runs ONCE at B=1 and the return is ``(state, prefix)`` —
+    ``state`` carries only the per-row decode-REGION cache for
+    ``shared_rows`` rows and ``prefix`` is the read-only (L,1,H,...)
+    prefill K/V, passed to decode_chunk's ``prefix=`` (it never rides
+    the while_loop carry, so it is streamed once per step and never
+    copied).  Requires single-row inputs; excluded with the
+    packed/flash-decode cache layouts.
     """
     b, tt = text.shape
     d = cfg.model_dim
@@ -736,6 +819,41 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
 
     ones = jnp.ones((b, 1), dtype=bool)
     prefill_mask = jnp.concatenate([ones, text_mask, ones], axis=1)
+    if shared_rows:
+        if b != 1:
+            raise ValueError("shared_rows decode takes single-row inputs "
+                             f"(got batch {b})")
+        if _use_packed_kv() or _use_flash_decode():
+            raise ValueError("shared-prefix decode excludes the "
+                             "packed-KV/flash-decode cache layouts")
+        r, hd = shared_rows, d // cfg.heads
+        sp = prefill.shape[1]
+        hidden, pcache = _gpt_prefill(params["gpt"], prefill, cfg.heads,
+                                      prefill_mask, sp)
+        if _use_kmajor():
+            pcache = KVCache(jnp.swapaxes(pcache.k, -1, -2),
+                             jnp.swapaxes(pcache.v, -1, -2))
+            rshape = (cfg.layers, r, cfg.heads, hd, max_length)
+        else:
+            rshape = (cfg.layers, r, cfg.heads, max_length, hd)
+        if key.ndim == 1:   # same per-row streams as the fan-out path
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(r))
+        else:
+            keys = key
+        counts0 = jnp.zeros((r, cfg.number_mel_codes), jnp.int32)
+        counts0 = counts0.at[:, cfg.start_mel_token].add(1)
+        first_lat = jnp.broadcast_to(
+            layer_norm(params["final_norm"], hidden[:, -1]), (r, d))
+        state = DecodeState(
+            jnp.zeros((), jnp.int32),
+            KVCache(jnp.zeros(rshape, dtype), jnp.zeros(rshape, dtype)),
+            first_lat,
+            jnp.full((r, max_length), cfg.stop_mel_token, jnp.int32),
+            counts0, jnp.zeros((r, max_length, d), dtype),
+            jnp.zeros((r,), bool), jnp.full((r,), max_length, jnp.int32),
+            keys, prefill_mask, jnp.zeros((r,), jnp.float32))
+        return state, pcache
     hidden, cache = _gpt_prefill(params["gpt"], prefill, cfg.heads,
                                  prefill_mask, cache_len)
     if _use_packed_kv():
@@ -795,7 +913,8 @@ def decode_chunk(params: Params, state: DecodeState,
                  collect_latents: bool = False,
                  qgpt: Optional[Params] = None,
                  quant_mode: str = "int8",
-                 attn_len: Optional[int] = None) -> DecodeState:
+                 attn_len: Optional[int] = None,
+                 prefix: Optional[KVCache] = None) -> DecodeState:
     """Advance the decode by up to `chunk` tokens (while_loop with early
     exit).  chunk=None runs to max_length.  The streaming route calls
     this in 40-token chunks, vocoding between calls (inference.py:250-329
@@ -803,9 +922,15 @@ def decode_chunk(params: Params, state: DecodeState,
 
     ``attn_len``: static attention-read bound for this chunk — every
     step reads only the first attn_len cache rows (must cover the
-    chunk's last write position; see inference_speech's ladder)."""
+    chunk's last write position; see inference_speech's ladder).
+
+    ``prefix``: shared read-only prefill K/V from
+    ``decode_start(shared_rows=R)`` — state.cache then holds only the
+    decode region and state.key_mask the (1, Sp) prefix mask."""
     b = state.tokens.shape[0]
     max_len = state.tokens.shape[1]
+    if prefix is not None and attn_len is not None:
+        raise ValueError("attn_len is not supported with a shared prefix")
     if _use_kmajor() and state.cache.v.size:
         # guard against a layout/env mismatch (TTS_DECODE_KMAJOR flipped
         # between decode_start and decode_chunk, or a stale cache):
@@ -830,7 +955,9 @@ def decode_chunk(params: Params, state: DecodeState,
                 " — the cache was built with a different layout env")
     cache_len = (state.cache.k.shape[4] if _use_kmajor()
                  else state.cache.k.shape[3])
-    prefix_len = cache_len - 1 - max_len
+    # shared-prefix mode: the cache IS the decode region (write index =
+    # step); otherwise the write position offsets past the prefill
+    prefix_len = None if prefix is not None else cache_len - 1 - max_len
     dtype = params["mel_embedding"]["w"].dtype
 
     def latent_of(h):
@@ -887,11 +1014,12 @@ def decode_chunk(params: Params, state: DecodeState,
         emb = embedding(params["mel_embedding"], tok)[:, None]
         pos_off = 2 if cfg.hf_decode_positions else 1
         emb = emb + params["mel_pos_embedding"]["w"][c.step + pos_off][None, None]
-        pos = prefix_len + 1 + c.step
+        pos = c.step if prefix is not None else prefix_len + 1 + c.step
         h, cache = _gpt_decode_step(params["gpt"], emb.astype(dtype),
                                     cfg.heads, c.cache, pos, c.key_mask,
                                     qgpt=qgpt, quant_mode=quant_mode,
-                                    attn_len=attn_len)
+                                    attn_len=attn_len, prefix=prefix,
+                                    prefix_mask=c.key_mask)
         return DecodeState(c.step + 1, cache, latent_of(h), tokens, counts,
                            latents, finished, lengths, rng, c.key_mask, mu)
 
@@ -953,6 +1081,39 @@ def inference_speech(params: Params, cond_latent: jnp.ndarray,
                              quant_mode=quant_mode,
                              attn_len=attn_len if cs < max_length else None)
         done += n
+    return DecodeResult(state.tokens, state.lengths, state.latents)
+
+
+@partial(jax.jit, static_argnames=("quant_mode", "cfg", "sampling",
+                                   "max_length", "collect_latents",
+                                   "rows"))
+def inference_speech_shared(params: Params, cond_latent: jnp.ndarray,
+                            text: jnp.ndarray, text_lengths: jnp.ndarray,
+                            key: jax.Array, rows: int,
+                            cfg: UnifiedVoiceConfig = UnifiedVoiceConfig(),
+                            sampling: SamplingConfig = SamplingConfig(),
+                            max_length: int = 500,
+                            collect_latents: bool = False,
+                            qgpt: Optional[Params] = None,
+                            quant_mode: str = "int8") -> DecodeResult:
+    """Candidate fan-out decode with a SHARED B=1 prefix cache.
+
+    All ``rows`` candidates of one (text, voice) pair have the same
+    [cond‖text‖start_mel] prefill (reference candidates fan-out,
+    inference.py:334+392-396 with num_return_sequences): prefill runs
+    once, its K/V are stored ONCE outside the while_loop carry, and
+    each decode step streams them once instead of ``rows`` times
+    (_mha_shared).  Inputs are single-row; ``key`` is either one (2,)
+    key (per-row streams derived via fold_in, matching the batched
+    fan-out) or explicit (rows, 2) keys.  Token streams are the
+    fan-out path's to accumulation-order rounding (exact on the dots
+    and softmax; the AV matmul accumulates the prefix and region
+    partials in fp32)."""
+    state, pcache = decode_start(params, cond_latent, text, text_lengths,
+                                 key, cfg, max_length, shared_rows=rows)
+    state = decode_chunk(params, state, cfg, sampling, chunk=None,
+                         collect_latents=collect_latents, qgpt=qgpt,
+                         quant_mode=quant_mode, prefix=pcache)
     return DecodeResult(state.tokens, state.lengths, state.latents)
 
 
