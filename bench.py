@@ -230,6 +230,15 @@ def _install_small_models(tts):
                                   fromlist=["x"]), hg_cfg,
             _hifigan_random(ks[5], hg_cfg), False),
     }
+    # voiceless conditioning at the small dims (without these the
+    # voiceless route would load the full-size 1024/2048-d RLGs and
+    # mismatch the 64-d AR/diffusion latents)
+    from tortoise_tts_tpu.models import rlg as rlg_m
+    d_lat = d_cfg.model_channels * 2
+    tts._models["rlg_auto"] = LoadedModel(
+        "rlg_auto", rlg_m, D, rlg_m.init(ks[6], D), False)
+    tts._models["rlg_diffuser"] = LoadedModel(
+        "rlg_diffuser", rlg_m, d_lat, rlg_m.init(ks[7], d_lat), False)
     from tortoise_tts_tpu.emb import mel as emb_mel
     emb_mel.load_model = lambda name, dtype="float32": tts._models[name]
 

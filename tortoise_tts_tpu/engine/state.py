@@ -136,38 +136,27 @@ def _device_copy(tree):
         lambda x: jnp.where(jnp.ones((), bool), x, x), tree)
 
 
-def snapshot_state(state: TrainState, start_d2h: bool = False
-                   ) -> TrainState:
+def snapshot_state(state: TrainState) -> TrainState:
     """Device-side snapshot of a TrainState.
 
     Returns a state whose leaves are fresh device buffers; the writer
-    thread's per-leaf np.asarray starts each host transfer lazily.
-
-    ``start_d2h=True`` additionally fires `copy_to_host_async` on every
-    leaf immediately.  Chip-measured (round 5): eagerly queueing ~2 GB
-    of D2H floods the relay and the train steps that overlap the write
-    run ~80x slower (~9 s/step); the LAZY default lets step dispatches
-    interleave between the writer's leaf-at-a-time transfers.  Eager
-    mode remains right when nothing else needs the relay (terminal
-    saves)."""
-    snap = _device_copy(state)
-    if start_d2h:
-        for leaf in jax.tree_util.tree_leaves(snap):
-            if isinstance(leaf, jax.Array):
-                try:
-                    leaf.copy_to_host_async()
-                except Exception:   # platform without async copy
-                    pass
-    return snap
+    thread's per-leaf np.asarray starts each host transfer LAZILY.
+    Chip-measured (round 5): eagerly `copy_to_host_async`ing ~2 GB of
+    leaves at snapshot time floods the relay and the train steps that
+    overlap the write run ~80x slower (~9 s/step); lazy per-leaf
+    transfers let step dispatches interleave.  Terminal saves
+    (save_on_quit, OOM) use the synchronous save_checkpoint path."""
+    return _device_copy(state)
 
 
 class AsyncCheckpointer:
     """Background checkpoint writer (reference engines/base.py:141-169
-    role without stalling the loop): ``save`` snapshots the state on
-    device (microseconds of stall) and hands the transfer + file write
-    to a worker thread; training continues while the relay drains the
-    D2H copies.  One save is in flight at a time; ``wait`` joins the
-    writer and re-raises any write error on the caller thread.
+    role without stalling the loop): the caller snapshots each state on
+    device (snapshot_state — microseconds of stall) and ``submit``
+    hands the transfer + file write to a worker thread; training
+    continues while the relay drains the D2H copies.  One save is in
+    flight at a time; ``wait`` joins the writer and re-raises any write
+    error on the caller thread.
 
     The synchronous ``save_checkpoint`` remains the right call for
     terminal saves (save_on_quit, OOM recovery) where the process may
@@ -217,18 +206,6 @@ class AsyncCheckpointer:
         self._thread = threading.Thread(target=_write, daemon=True,
                                         name="ckpt-write")
         self._thread.start()
-
-    def save(self, ckpt_dir: Path, name: str, state: TrainState,
-             step: int, keep_last: int = 0,
-             extra_state: Optional[Dict[str, np.ndarray]] = None,
-             userdata: Optional[dict] = None,
-             is_leader: bool = True) -> Optional[Path]:
-        if not is_leader:
-            return None
-        self.submit(ckpt_dir,
-                    [(name, snapshot_state(state), step, extra_state,
-                      userdata)], keep_last=keep_last)
-        return Path(ckpt_dir) / name / str(step)
 
 
 def _prune_checkpoints(base: Path, keep_last: int) -> None:

@@ -389,6 +389,19 @@ def _host_keys(seed: int, n: int):
     return [np.asarray(s.generate_state(2), np.uint32) for s in ss.spawn(n)]
 
 
+@partial(jax.jit, static_argnames=("channels",))
+def _jit_rlg_rows(params, keys, channels):
+    """Batched voiceless conditioning: one RLG sample per row key.
+
+    keys: (n, 2) uint32 raw threefry keys.  Each row draws
+    normal(key, (1, channels)) — bit-identical to the single-call
+    ``rlg.sample(params, key, 1, channels)`` — so batching changes the
+    dispatch count, not the latents."""
+    from .models import rlg as rlg_m
+    return jax.vmap(
+        lambda k: rlg_m.sample(params, k, 1, channels)[0])(keys)
+
+
 def _key_int(key) -> int:
     """Fold a (2,) uint32 raw threefry key back into one host int."""
     k = np.asarray(key)
@@ -790,7 +803,33 @@ class TTS:
         if len(voices) != b:
             raise ValueError(f"voices has {len(voices)} entries for "
                              f"{b} texts")
-        rows = [one(r, i) for i, r in enumerate(voices)]
+        rows: list = [None] * b
+        none_idx = [i for i, r in enumerate(voices) if r is None]
+        if none_idx:
+            # ALL voiceless rows in one vmapped sample per RLG model —
+            # the per-row host loop is 2 eager dispatches + 2 blocking
+            # ~50-100 ms relay fetches PER ROW (a 16-row voiceless
+            # batch paid ~2-5 s of serialized latency before the AR
+            # stage).  vmap draws normal(key, (1, C)) from each row's
+            # own key exactly like the single call, so the latents are
+            # bit-identical and the replay contract is unchanged.
+            rga = self._model("rlg_auto")
+            rgd = self._model("rlg_diffuser")
+            pairs = [_host_keys(row_seeds[i] ^ 0x5F3C, 2)
+                     for i in none_idx]
+            a_all, d_all = jax.device_get((
+                _jit_rlg_rows(rga.params,
+                              jnp.asarray(np.stack([p[0] for p in pairs])),
+                              int(rga.config)),
+                _jit_rlg_rows(rgd.params,
+                              jnp.asarray(np.stack([p[1] for p in pairs])),
+                              int(rgd.config))))
+            for j, i in enumerate(none_idx):
+                rows[i] = (np.asarray(a_all[j:j + 1]),
+                           np.asarray(d_all[j:j + 1]))
+        for i, r in enumerate(voices):
+            if r is not None:
+                rows[i] = one(r, i)
         return (np.concatenate([a for a, _ in rows], axis=0),
                 np.concatenate([d for _, d in rows], axis=0))
 
@@ -853,10 +892,18 @@ class TTS:
         ``seed`` at batch scale): row r draws every sample — AR tokens,
         candidate fan-out, diffusion noise, vocoder noise — from keys
         derived from its OWN seed, ``seeds[r]`` (default ``seed + r``),
-        so any production row replays bit-exactly as
+        so any production row replays as
         ``inference(texts[r], seed=seeds[r], ...)`` with the same voice
-        conditioning and knobs (pinned by
-        tests/test_sharded_inference.py::test_batch_row_matches_single_call).
+        conditioning and knobs.  The replay is bit-exact when the row's
+        diffusion length padding matches the single call's —
+        always with ``row_buckets=False`` (pinned by
+        tests/test_sharded_inference.py::test_batch_row_matches_single_call);
+        with the default ``row_buckets=True`` a row may ride a
+        different ladder rung T than the single call's padded length,
+        and since diffusion noise bits are a function of the whole
+        (100, T) array shape, its audio then differs within sampling
+        noise (the AR tokens, candidate set and CLVP winner are
+        T-independent and replay exactly either way).
         Voice conditioning and replay: per-row ``voices`` entries (or
         the default voiceless per-row RLG) are derived from each row's
         own seed — replay-exact.  A shared ``references`` voice is

@@ -170,8 +170,12 @@ def _attn_bias_vt_kernel(q_ref, k_ref, vt_ref, b_ref, o_ref, *,
     # elementwise pass here; the bias arrives already in the score
     # dtype so its cast is free
     if ablate == "nobias":
-        # TTS_FLASH_VT_ABLATE=nobias: cost of the bias tile DMA + add
-        dots = dots.astype(acc_t) * acc_t(scale)
+        # TTS_FLASH_VT_ABLATE=nobias: cost of the bias tile DMA + add.
+        # With prescale the 1/sqrt(d) already rode in on q — scaling
+        # again would both double-apply it and reintroduce the
+        # elementwise pass prescale removes, corrupting the A/B
+        dots = (dots.astype(acc_t) if prescaled
+                else dots.astype(acc_t) * acc_t(scale))
     elif prescaled:
         dots = dots.astype(acc_t) + b_ref[0].astype(acc_t)
     else:
@@ -293,7 +297,13 @@ def flash_attention_bias_qkv_vt(qkv: jnp.ndarray, bias: jnp.ndarray,
         out = jnp.swapaxes(out.reshape(b, h, sp, d), -1, -2)
         return out.reshape(b, h * d, sp)[..., :s]
     if (os.environ.get("TTS_FLASH_VT_QT", "0") == "1" and ones_col
-            and not prescale):
+            and not prescale
+            # the qt kernel implements neither the ablation nor the
+            # exp2 measurement knobs — fall through to the per-head
+            # kernel rather than silently measuring the full kernel
+            # (same guard as the hg path above)
+            and not os.environ.get("TTS_FLASH_VT_ABLATE")
+            and os.environ.get("TTS_FLASH_VT_EXP2", "0") != "1"):
         # row-major-q path: both matmuls MXU-canonical (see qt kernel)
         qt = jnp.swapaxes(
             qkv.reshape(b, h, 3, d, s)[:, :, 0], -1, -2

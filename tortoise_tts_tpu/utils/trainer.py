@@ -101,6 +101,7 @@ def train_engines(cfg: Config,
     if pre in ("quit", "eval_quit"):
         return engines
 
+    propagating = False
     try:
         log_every = max(1, getattr(tcfg, "log_frequency", 1))
         for batch in dataset.batches():
@@ -199,14 +200,20 @@ def train_engines(cfg: Config,
     except KeyboardInterrupt:
         if tcfg.save_on_quit:
             do_save()
+    except BaseException:
+        # explicit flag, NOT sys.exc_info() in the finally: exc_info
+        # also reports an OUTER exception being handled by the caller
+        # (train_engines inside a retry wrapper's except block), which
+        # would silently demote a writer error on a CLEAN run to a log
+        # line — "success" with a broken final checkpoint
+        propagating = True
+        raise
     finally:
         # join any in-flight async checkpoint write before the process
         # (and its daemon writer thread) can exit — but never let a
         # writer error mask a propagating training exception or skip
         # the log close (finally-raise would replace the root cause)
         if hasattr(engines, "finish_saves"):
-            import sys as _sys
-            propagating = _sys.exc_info()[0] is not None
             try:
                 engines.finish_saves()
             except BaseException:
