@@ -190,12 +190,73 @@ def test_shared_prefix_respects_text_padding():
                                   np.asarray(got1.codes))
 
 
-def test_shared_prefix_rejects_multi_row_and_bad_layouts():
+def test_grouped_shared_prefix_matches_fanout():
+    """Batched serving shape: G=2 texts x C=3 candidates each — the
+    grouped prefix (L,G,H,...) must reproduce the flat fan-out decode
+    (6 repeated rows) token for token, with the group-major row order
+    and per-row keys of the batch path."""
+    params = uv.init(jax.random.PRNGKey(0), CFG)
+    qgpt = uv.quantize_decode_weights(params)
+    rng = np.random.RandomState(8)
+    g, c, tt = 2, 3, 10
+    text = jnp.asarray(rng.randint(3, 255, (g, tt)))
+    cond = jnp.asarray(rng.randn(g, CFG.model_dim), dtype=jnp.float32)
+    lengths = jnp.asarray([tt, tt - 3])
+    samp = SamplingConfig(temperature=0.8, top_p=0.9,
+                          repetition_penalty=2.0)
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(50 + gi), ci)
+                      for gi in range(g) for ci in range(c)])
+    for q in (None, qgpt):
+        ref = uv.inference_speech(
+            params, jnp.repeat(cond, c, axis=0),
+            jnp.repeat(text, c, axis=0), jnp.repeat(lengths, c), keys,
+            CFG, samp, max_length=48, qgpt=q, quant_mode="int8")
+        got = uv.inference_speech_shared(
+            params, cond, text, lengths, keys, rows=c, cfg=CFG,
+            sampling=samp, max_length=48, qgpt=q, quant_mode="int8")
+        np.testing.assert_array_equal(np.asarray(ref.codes),
+                                      np.asarray(got.codes))
+        np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                      np.asarray(got.lengths))
+
+
+def test_grouped_shared_prefix_kmajor_matches_fanout():
+    params = uv.init(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(12)
+    g, c, tt = 2, 2, 9
+    text = jnp.asarray(rng.randint(3, 255, (g, tt)))
+    cond = jnp.asarray(rng.randn(g, CFG.model_dim), dtype=jnp.float32)
+    lengths = jnp.asarray([tt, tt - 2])
+    samp = SamplingConfig(temperature=0.9, top_k=50)
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(gi), ci)
+                      for gi in range(g) for ci in range(c)])
+    ref = uv.inference_speech(
+        params, jnp.repeat(cond, c, axis=0), jnp.repeat(text, c, axis=0),
+        jnp.repeat(lengths, c), keys, CFG, samp, max_length=32)
+    old = os.environ.get("TTS_DECODE_KMAJOR")
+    os.environ["TTS_DECODE_KMAJOR"] = "1"
+    _clear_decode_caches()
+    try:
+        got = uv.inference_speech_shared(
+            params, cond, text, lengths, keys, rows=c, cfg=CFG,
+            sampling=samp, max_length=32)
+        np.testing.assert_array_equal(np.asarray(ref.codes),
+                                      np.asarray(got.codes))
+    finally:
+        if old is None:
+            del os.environ["TTS_DECODE_KMAJOR"]
+        else:
+            os.environ["TTS_DECODE_KMAJOR"] = old
+
+
+def test_shared_prefix_rejects_bad_keys_and_layouts():
     params = uv.init(jax.random.PRNGKey(0), CFG)
     rng = np.random.RandomState(2)
     text = jnp.asarray(rng.randint(3, 255, (2, 8)))
     cond = jnp.asarray(rng.randn(2, CFG.model_dim), dtype=jnp.float32)
-    with pytest.raises(ValueError, match="single-row"):
+    # grouped (G>1) with a single key: per-row stream derivation is the
+    # caller's contract (per group seed) — must not silently fold_in
+    with pytest.raises(ValueError, match="per-row keys"):
         uv.decode_start(params, cond, text, jnp.asarray([8, 8]),
                         jax.random.PRNGKey(0), CFG, max_length=16,
                         shared_rows=4)

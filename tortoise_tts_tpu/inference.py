@@ -983,6 +983,7 @@ class TTS:
                 axis=0).astype(np.float32)                   # (bp, Dd)
         else:
             diff_cond = diff_rows.astype(np.float32)         # (1, Dd)
+        g_tokens, g_lengths, g_lat = tokens, lengths, lat  # pre-fan-out
         if C > 1:
             # per-row candidate fan-out: row-major groups of C
             tokens = np.repeat(tokens, C, axis=0)
@@ -1027,6 +1028,22 @@ class TTS:
                 ar_params, lat, jnp.asarray(tokens), jnp.asarray(lengths),
                 ar.config, num_beams=beam_width, max_length=max_ar_steps,
                 sampling=sampling, key=trips[0][0], do_sample=not greedy)
+        elif (C > 1 and mesh is None
+              and os.environ.get("TTS_DECODE_SHARED_PREFIX", "1") != "0"
+              and os.environ.get("TTS_DECODE_PACKKV", "0") != "1"
+              and os.environ.get("TTS_FLASH_DECODE", "0") != "1"):
+            # grouped shared-prefix decode: each row's C candidates
+            # share that row's prefill K/V, stored once per group
+            # outside the decode carry (see _mha_shared; same win as
+            # the single-call candidates path, chip A/B +19%).  Keys
+            # stay the (bp*C, 2) per-row schedule, so candidates match
+            # the fan-out decode draw for draw.
+            res = inference_speech_shared(
+                ar_params, jnp.asarray(g_lat), jnp.asarray(g_tokens),
+                jnp.asarray(g_lengths), jnp.asarray(ar_keys), rows=C,
+                cfg=ar.config, sampling=sampling,
+                max_length=max_ar_steps, qgpt=self._ar_qgpt(mesh),
+                quant_mode=self._quant_mode)
         else:
             res = inference_speech(ar_params, lat, jnp.asarray(tokens),
                                    jnp.asarray(lengths), ar_keys,

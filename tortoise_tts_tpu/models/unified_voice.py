@@ -317,9 +317,13 @@ def _mha_shared(q: jnp.ndarray, kp: jnp.ndarray, vp: jnp.ndarray,
     once instead of B times — the B=16 decode is attention-read-bound,
     1.75 of 2.55 ms/token, and the prefix is ~1/3 of the cache bytes).
 
-    q: (B,H,1,hd); kp/vp: (H,Sp,hd) S-major or (H,hd,Sp) hd-major —
-    NO batch axis; kd/vd: per-row decode region, (B,H,Sd,hd) or
-    (B,H,hd,Sd); mask: bool broadcastable to (B,H,1,Sp+Sd).
+    q: (B,H,1,hd); kp/vp: the prefix K/V with NO per-candidate axis —
+    single-group form (H,Sp,hd) S-major / (H,hd,Sp) hd-major, or
+    GROUPED form with a leading groups axis (G,H,...) where B = G*C
+    (batched serving: each of G rows fans out C candidates sharing
+    that row's prefill; candidate rows are group-major, row = g*C+c).
+    kd/vd: per-row decode region, (B,H,Sd,hd) or (B,H,hd,Sd); mask:
+    bool broadcastable to (B,H,1,Sp+Sd), or (G,1,1,1,Sp+Sd) grouped.
 
     The joint softmax over [prefix ‖ region] scores is mathematically
     identical to the full-cache attention (same dots, same mask); the
@@ -327,6 +331,40 @@ def _mha_shared(q: jnp.ndarray, kp: jnp.ndarray, vp: jnp.ndarray,
     values match the fused path to accumulation-order rounding."""
     from ..ops.attention import NEG_INF
     scale = 1.0 / math.sqrt(q.shape[-1])
+    if kp.ndim == 4:                       # grouped: kp (G,H,...), B=G*C
+        g = kp.shape[0]
+        b, h, _, hd = q.shape
+        c = b // g
+        qg = q.reshape(g, c, h, 1, hd)
+        if kmaj:
+            kdg = kd.reshape(g, c, h, hd, -1)
+            vdg = vd.reshape(g, c, h, hd, -1)
+            dp = jnp.einsum("gchqd,ghds->gchqs", qg, kp,
+                            preferred_element_type=jnp.float32)
+            dd = jnp.einsum("gchqd,gchds->gchqs", qg, kdg,
+                            preferred_element_type=jnp.float32)
+        else:
+            kdg = kd.reshape(g, c, h, -1, hd)
+            vdg = vd.reshape(g, c, h, -1, hd)
+            dp = jnp.einsum("gchqd,ghkd->gchqk", qg, kp,
+                            preferred_element_type=jnp.float32)
+            dd = jnp.einsum("gchqd,gchkd->gchqk", qg, kdg,
+                            preferred_element_type=jnp.float32)
+        dots = jnp.concatenate([dp, dd], axis=-1) * scale
+        dots = jnp.where(mask, dots, NEG_INF)  # mask (G,1,1,1,Sp+Sd)
+        w = jax.nn.softmax(dots, axis=-1).astype(q.dtype)
+        sp = dp.shape[-1]
+        if kmaj:
+            out = (jnp.einsum("gchqs,ghds->gchqd", w[..., :sp], vp,
+                              preferred_element_type=jnp.float32)
+                   + jnp.einsum("gchqs,gchds->gchqd", w[..., sp:], vdg,
+                                preferred_element_type=jnp.float32))
+        else:
+            out = (jnp.einsum("gchqk,ghkd->gchqd", w[..., :sp], vp,
+                              preferred_element_type=jnp.float32)
+                   + jnp.einsum("gchqk,gchkd->gchqd", w[..., sp:], vdg,
+                                preferred_element_type=jnp.float32))
+        return out.reshape(b, h, 1, hd).astype(q.dtype)
     if kmaj:
         dp = jnp.einsum("bhqd,hds->bhqs", q, kp,
                         preferred_element_type=jnp.float32)
@@ -445,11 +483,16 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
         assert attn_len is None and not packed, \
             "shared-prefix decode excludes attn_len/packed layouts"
         s_att = s
+        g = prefix.k.shape[1]             # prefill groups (B = G*C)
         sp = prefix.k.shape[4] if kmaj else prefix.k.shape[3]
         valid = jnp.concatenate(
-            [jnp.broadcast_to(prefix_mask, (1, sp)),
-             jnp.arange(s)[None, :] <= pos], axis=1)      # (1, Sp+Sd)
-        mask = valid[:, None, None, :]
+            [jnp.broadcast_to(prefix_mask, (g, sp)),
+             jnp.broadcast_to(jnp.arange(s)[None, :] <= pos, (g, s))],
+            axis=1)                                       # (G, Sp+Sd)
+        # single group: (1,1,1,S*) broadcasting over rows; grouped:
+        # rank-5 (G,1,1,1,S*) matching _mha_shared's (G,C,H,1,S*) dots
+        mask = (valid[:, None, None, :] if g == 1
+                else valid[:, None, None, None, :])
     else:
         s_att = s if attn_len is None else min(attn_len, s)
         valid = key_mask[:, :s_att] & (jnp.arange(s_att)[None, :] <= pos)
@@ -548,12 +591,14 @@ def _gpt_decode_step(gpt: Params, x: jnp.ndarray, heads: int,
                                                     keepdims=False))
             if prefix is not None:
                 if isinstance(li, int):
-                    kp_l, vp_l = prefix.k[li][0], prefix.v[li][0]
+                    kp_l, vp_l = prefix.k[li], prefix.v[li]
                 else:
                     kp_l = lax.dynamic_index_in_dim(prefix.k, li, 0,
-                                                    keepdims=False)[0]
+                                                    keepdims=False)
                     vp_l = lax.dynamic_index_in_dim(prefix.v, li, 0,
-                                                    keepdims=False)[0]
+                                                    keepdims=False)
+                if kp_l.shape[0] == 1:     # single group: squeeze
+                    kp_l, vp_l = kp_l[0], vp_l[0]
                 a = _mha_shared(q, kp_l, vp_l, layer_k, layer_v, mask,
                                 kmaj)
             elif kmaj:
@@ -788,13 +833,15 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
     Sequence: [cond, start_text, text, stop_text, pad.., start_mel, ...]
     (reference unified_voice.py:632-668 layout).
 
-    shared_rows > 0 (candidate fan-out, all rows share one prefill):
-    prefill runs ONCE at B=1 and the return is ``(state, prefix)`` —
-    ``state`` carries only the per-row decode-REGION cache for
-    ``shared_rows`` rows and ``prefix`` is the read-only (L,1,H,...)
-    prefill K/V, passed to decode_chunk's ``prefix=`` (it never rides
-    the while_loop carry, so it is streamed once per step and never
-    copied).  Requires single-row inputs; excluded with the
+    shared_rows > 0 (candidate fan-out, rows share prefills): the B
+    input rows are G prefill GROUPS; each fans out ``shared_rows``
+    candidate rows (group-major, row g*C+c) sharing its prefill.  The
+    return is ``(state, prefix)`` — ``state`` carries only the
+    per-row decode-REGION cache for G*shared_rows rows and ``prefix``
+    is the read-only (L,G,H,...) prefill K/V, passed to decode_chunk's
+    ``prefix=`` (it never rides the while_loop carry, so it is
+    streamed once per step per group and never copied).  The
+    single-call candidates path is G=1.  Excluded with the
     packed/flash-decode cache layouts.
     """
     b, tt = text.shape
@@ -820,13 +867,12 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
     ones = jnp.ones((b, 1), dtype=bool)
     prefill_mask = jnp.concatenate([ones, text_mask, ones], axis=1)
     if shared_rows:
-        if b != 1:
-            raise ValueError("shared_rows decode takes single-row inputs "
-                             f"(got batch {b})")
         if _use_packed_kv() or _use_flash_decode():
             raise ValueError("shared-prefix decode excludes the "
                              "packed-KV/flash-decode cache layouts")
-        r, hd = shared_rows, d // cfg.heads
+        # b prefill rows = G groups; every group fans out `shared_rows`
+        # candidate rows (group-major: row g*C+c) sharing its prefill
+        r, hd = b * shared_rows, d // cfg.heads
         sp = prefill.shape[1]
         hidden, pcache = _gpt_prefill(params["gpt"], prefill, cfg.heads,
                                       prefill_mask, sp)
@@ -837,14 +883,20 @@ def decode_start(params: Params, cond_latent: jnp.ndarray,
         else:
             rshape = (cfg.layers, r, cfg.heads, max_length, hd)
         if key.ndim == 1:   # same per-row streams as the fan-out path
+            if b != 1:
+                raise ValueError(
+                    "grouped shared-prefix decode needs explicit "
+                    f"({r}, 2) per-row keys (the batch caller derives "
+                    "them per group seed — _row_keys)")
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                 jnp.arange(r))
         else:
             keys = key
         counts0 = jnp.zeros((r, cfg.number_mel_codes), jnp.int32)
         counts0 = counts0.at[:, cfg.start_mel_token].add(1)
-        first_lat = jnp.broadcast_to(
-            layer_norm(params["final_norm"], hidden[:, -1]), (r, d))
+        first_lat = jnp.repeat(
+            layer_norm(params["final_norm"], hidden[:, -1]),
+            shared_rows, axis=0)                           # (G*C, D)
         state = DecodeState(
             jnp.zeros((), jnp.int32),
             KVCache(jnp.zeros(rshape, dtype), jnp.zeros(rshape, dtype)),
@@ -1096,19 +1148,20 @@ def inference_speech_shared(params: Params, cond_latent: jnp.ndarray,
                             collect_latents: bool = False,
                             qgpt: Optional[Params] = None,
                             quant_mode: str = "int8") -> DecodeResult:
-    """Candidate fan-out decode with a SHARED B=1 prefix cache.
+    """Candidate fan-out decode with a SHARED prefix cache.
 
     All ``rows`` candidates of one (text, voice) pair have the same
     [cond‖text‖start_mel] prefill (reference candidates fan-out,
     inference.py:334+392-396 with num_return_sequences): prefill runs
-    once, its K/V are stored ONCE outside the while_loop carry, and
-    each decode step streams them once instead of ``rows`` times
-    (_mha_shared).  Inputs are single-row; ``key`` is either one (2,)
-    key (per-row streams derived via fold_in, matching the batched
-    fan-out) or explicit (rows, 2) keys.  Token streams are the
-    fan-out path's to accumulation-order rounding (exact on the dots
-    and softmax; the AV matmul accumulates the prefix and region
-    partials in fp32)."""
+    once per group, its K/V are stored ONCE outside the while_loop
+    carry, and each decode step streams them once instead of ``rows``
+    times (_mha_shared).  Inputs carry G rows (single call: G=1;
+    batched serving: one row per text, decode rows group-major
+    g*rows+c); ``key`` is one (2,) key for G=1 (per-row streams
+    derived via fold_in, matching the batched fan-out) or explicit
+    (G*rows, 2) keys.  Token streams are the fan-out path's to
+    accumulation-order rounding (exact on the dots and softmax; the
+    AV matmul accumulates the prefix and region partials in fp32)."""
     state, pcache = decode_start(params, cond_latent, text, text_lengths,
                                  key, cfg, max_length, shared_rows=rows)
     state = decode_chunk(params, state, cfg, sampling, chunk=None,
