@@ -359,6 +359,32 @@ def test_trainer_repl_deferred_events_and_lr(train_env, monkeypatch):
     assert 3 in saved
 
 
+def test_trainer_writer_error_raises_inside_outer_except(train_env,
+                                                         monkeypatch):
+    """A failed async checkpoint write at the end of a CLEAN training
+    run must raise even when train_engines runs inside an outer except
+    block (a retry wrapper): sys.exc_info() in the finally would report
+    the OUTER handled exception and demote the writer error to a log
+    line — the explicit propagating flag keeps it fail-loud."""
+    from tortoise_tts_tpu.data import Dataset
+    from tortoise_tts_tpu.utils import trainer as tr
+
+    cfg = Config.load(train_env / "cfg.yaml")
+    engines = load_engines(cfg, training=True)
+    ds = Dataset(cfg, cfg.dataset.training, training=True)
+    monkeypatch.setattr(tr, "_non_blocking_input", lambda: "")
+
+    def boom():
+        raise RuntimeError("writer failed")
+
+    engines.finish_saves = boom
+    with pytest.raises(RuntimeError, match="writer failed"):
+        try:
+            raise ValueError("outer handled error")
+        except ValueError:
+            tr.train_engines(cfg, ds, engines, max_iterations=1)
+
+
 def test_model_path_checkpoint_loads(train_env, tmp_path):
     """models[].path with this package's '/'-named sft export layout
     restores the exact exported tensors into the engine (the flat-dict
